@@ -1,0 +1,91 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Local mode is a single JVM with N threads (tests use ``local[32]``); the
+configs below are chosen so the *same* logical plans survive a 1000-executor
+cluster at 100 TB:
+
+- AQE on (runtime re-plan: partition coalescing, skew-join splitting,
+  broadcast conversion from runtime stats),
+- shuffle partitions sized for the local box but overridable via
+  ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` (on a real cluster you'd set this to
+  2-3x total cores or rely on AQE coalescing from a high initial value),
+- Arrow enabled for the Pandas-UDF slow paths,
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "modware_loader_spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    Any config already set by an outer harness (e.g. the driver passing its
+    own session) wins — ``getOrCreate`` does not override a live session.
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_GRAFT_NO_MASTER"):
+        builder = builder.master(f"local[{DEFAULT_CPUS}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """Load the driver's synthetic star schema as DataFrames + temp views.
+
+    Column pruning / predicate pushdown reach the parquet scan because these
+    are plain ``spark.read.parquet`` relations (check ``PushedFilters`` /
+    ``ReadSchema`` in ``.explain("formatted")``).
+    """
+    # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
+    # read it as long nanos and rebuild a timestamp (micros, like DuckDB's
+    # own nanos→micros truncation, so the oracle sees identical values).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            if name == "events":
+                df = df.withColumn(
+                    "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+                )
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

@@ -1,0 +1,80 @@
+"""Local replica of the driver's correctness gate: run each ``queries()``
+entry on Spark and its ``oracle_sql()`` on DuckDB over the same parquet,
+compare row count + column names + order-insensitive values.
+
+Values are canonicalized conservatively (floats via repr of round(12),
+everything else via str) — stricter than any sane hash, so passing here
+should imply passing the driver's hash.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duckdb_conn(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def canon_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 12))
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def canon_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(canon_cell(r[i]) for i in idx))
+    out.sort()
+    return sorted(c for c in cols), out
+
+
+def compare(spark, sf_dir: str, name: str, fn, sql: str | None):
+    sdf = fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    result = {"name": name, "spark_rows": len(srows)}
+    if sql is None:
+        result["status"] = "rows_only"
+        result["ok"] = len(srows) >= 0
+        return result
+    con = duckdb_conn(sf_dir)
+    res = con.execute(sql)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    result["oracle_rows"] = len(orows)
+    sc, sr = canon_rows(scols, srows)
+    oc, orr = canon_rows(ocols, orows)
+    result["schema_ok"] = sc == oc
+    result["count_ok"] = len(sr) == len(orr)
+    result["values_ok"] = sr == orr
+    result["ok"] = result["schema_ok"] and result["count_ok"] and result["values_ok"]
+    if not result["schema_ok"]:
+        result["spark_cols"] = sc
+        result["oracle_cols"] = oc
+    if result["schema_ok"] and not result["values_ok"]:
+        diff_s = [r for r in sr if r not in set(orr)][:3]
+        diff_o = [r for r in orr if r not in set(sr)][:3]
+        result["spark_only"] = diff_s
+        result["oracle_only"] = diff_o
+    return result
