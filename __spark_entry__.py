@@ -16,7 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from modware_loader_spark.plans.driver_queries import ORACLES, QUERIES  # noqa: E402
+import modware_loader_spark.plans.driver_queries  # noqa: E402,F401
+import modware_loader_spark.plans.export_queries  # noqa: E402,F401
+from modware_loader_spark.plans.registry import ORACLES, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -20,31 +20,14 @@ Determinism rules (so Spark and DuckDB hash-match):
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from modware_loader_spark.operators import merge as M
+from modware_loader_spark.plans.registry import ORACLES, QUERIES, money, query
 from modware_loader_spark.session import load_tables
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
-
-
-def money(col):
-    """Order-independent money aggregate: exact decimal sum → 2dp double."""
-    return F.round(F.sum(col.cast("decimal(38,6)")), 2).cast("double")
+__all__ = ["QUERIES", "ORACLES"]
 
 
 # ---------------------------------------------------------------------------
