@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing is per-query wall clock around a count-materializing action
+(``df.write.format('noop')``-equivalent via count on the cached plan would
+hide scan cost; we use ``count()`` on the raw plan so scans and shuffles
+are included each run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from modware_loader_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the TPC-H-shaped plans plus the heaviest operator families
+# (LSH dedup, SimHash, cosine pairs, closure, windows). One entry per
+# family keeps the bench sensitive to regressions without taking all 46
+# registry queries through a full run.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "m9_refresh_child_sets",
+    "m11_window_dedup",
+    "e8_pivot_props",
+    "e9_collect_to_delimited_string",
+    "e10_ordered_assembly",
+    "t1_interval_overlap_groups",
+    "events_sessionization",
+    "closure_transitive_paths",
+    "dedup_minhash_candidate_pairs",
+    "dedup_simhash_near_pairs",
+    "dedup_exact_fingerprint",
+    "similarity_cosine_near_pairs",
+    "similarity_lsh_bucket_topk",
+    "text_langid",
+    "text_token_stats",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("modware-bench")
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    # one warm-up action so JVM/codegen startup isn't billed to the first query
+    qs["q1_pricing_summary"](spark, SF_DIR).count()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,235 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Design for 100 TB:
+
+- **exact**: hash-groupBy on a fingerprint — one shuffle on the md5 key,
+  uniformly distributed by construction (no skew).
+- **MinHash LSH**: signature is a per-row map stage; candidate generation
+  is a self-join on (band_id, band_hash) — only docs sharing a band meet,
+  so the join fans out per-bucket, not all-pairs. Bucket sizes are the
+  scale knob: more bands/rows-per-band → smaller buckets. The shuffle key
+  (band_hash) is uniform (md5).
+- **SimHash**: fingerprint is a map stage + one groupBy(doc, bit) shuffle;
+  pairing at scale must go through band-bucketing on fingerprint prefixes
+  (the all-pairs variant here is for oracle-checkable small scopes).
+- **n-gram Jaccard**: inverted-index join (doc,shingle)⋈(doc,shingle).
+  At scale add prefix filtering (only the rarest k shingles per doc
+  generate candidates) to bound bucket fan-out.
+
+All hashing is md5-based (portable to the DuckDB oracle bit-for-bit).
+No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from modware_loader_spark.operators.text import fingerprint, token_hash, tokens
+
+
+def shingles(tokens_col: Column, k: int = 3) -> Column:
+    """Word k-gram shingles as strings; empty array when fewer than k
+    tokens (guards Spark's descending-sequence surprise for size<k)."""
+    idx = F.sequence(F.lit(1), F.size(tokens_col) - (k - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens_col, i + j) for j in range(k)]
+        ),
+    )
+    return F.when(F.size(tokens_col) >= k, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signature(shingles_col: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: for hash family h, min over shingles of
+    md5(shingle + '#h') as a 60-bit long."""
+    # NB: the per-seed lambda must stay single-argument — PySpark treats a
+    # 2-arg lambda (even one with a default) as (element, index).
+    def hasher(seed: str):
+        def fn(x):
+            return F.conv(
+                F.substring(F.md5(F.concat(x, F.lit(seed))), 1, 15), 16, 10
+            ).cast("long")
+
+        return fn
+
+    sigs = [
+        F.array_min(F.transform(shingles_col, hasher(f"#{h}")))
+        for h in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def lsh_bands(sig_col: Column, bands: int = 4, rows_per_band: int = 4) -> Column:
+    """Band hashes: md5 of the '_'-joined signature slice per band."""
+    out = []
+    for b in range(bands):
+        sl = F.slice(sig_col, b * rows_per_band + 1, rows_per_band)
+        joined = F.array_join(F.transform(sl, lambda x: x.cast("string")), "_")
+        out.append(
+            F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
+        )
+    return F.array(*out)
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: fingerprint groupBy; canonical id = min id per group."""
+    fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return fp.withColumn("canonical_id", F.min(id_col).over(w)).withColumn(
+        "is_dup", (F.col(id_col) != F.col("canonical_id")).cast("int")
+    )
+
+
+def minhash_band_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band_id, band_hash) — the LSH bucket table."""
+    rows_per_band = num_hashes // bands
+    # Formulated as explode → hash columns → groupBy-min so each shingle
+    # string is BUILT once and hashed num_hashes times (the array-expression
+    # variant re-inlines the shingle construction into all 16 signature
+    # items — Catalyst CollapseProject defeats manual staging). The groupBy
+    # runs on the repartition key, so no extra shuffle; partial min
+    # aggregation combines map-side.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(par, id_col).select(
+        F.col(id_col), F.explode(shingles(tokens(F.col(text_col)))).alias("shingle")
+    )
+    hashed = sh.select(
+        id_col,
+        *[
+            F.conv(F.substring(F.md5(F.concat(F.col("shingle"), F.lit(f"#{h}"))), 1, 15), 16, 10)
+            .cast("long")
+            .alias(f"h{h}")
+            for h in range(num_hashes)
+        ],
+    )
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{h}").alias(f"h{h}") for h in range(num_hashes)]
+    )
+    band_exprs = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+        joined = F.concat_ws("_", *[c.cast("string") for c in cols])
+        band_exprs.append(
+            F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
+        )
+    banded = sig.select(
+        id_col, F.posexplode(F.array(*band_exprs))
+    ).withColumnsRenamed({"pos": "band_id", "col": "band_hash"})
+    return banded
+
+
+def minhash_candidate_pairs(band_table: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct id pairs sharing ≥1 LSH band, with shared-band count."""
+    # both join sides derive from the same (hash-heavy) subtree — persist it
+    # so the signature pipeline runs once, not twice
+    band_table = band_table.persist()
+    a = band_table.select(
+        F.col(id_col).alias("doc_a"), "band_id", "band_hash"
+    )
+    b = band_table.select(
+        F.col(id_col).alias("doc_b"), "band_id", "band_hash"
+    )
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count_distinct("band_id").alias("n_shared_bands"))
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Frequency-weighted SimHash fingerprint (``bits`` wide, default 32).
+
+    Per (doc, bit): sum of ±1 over token occurrences (sign of the token
+    hash's bit); fingerprint sets bit where the sum is positive.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(par, id_col).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    hashed = toks.select(id_col, token_hash(F.col("tok")).alias("h"))
+    per_bit = (
+        hashed.select(id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
+        .withColumn(
+            "contrib",
+            F.when(F.expr("(shiftright(h, b) & 1) = 1"), F.lit(1)).otherwise(F.lit(-1)),
+        )
+        .groupBy(id_col, "b")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return per_bit.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)")).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    fp: DataFrame, id_col: str = "doc_id", max_hamming: int = 2
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bits. All-pairs join — fine for scoped
+    inputs; at 100 TB bucket on fingerprint bytes first (each near-pair
+    shares at least one of ⌈bits/(max_hamming+1)⌉ chunks — pigeonhole)."""
+    fp = fp.persist()
+    a = fp.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = fp.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """n-gram Jaccard near-dup: inverted-index join on hashed shingles,
+    |∩| from the pair join, |∪| = |A|+|B|-|∩|; single double division,
+    rounded, thresholded."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.repartition(par, id_col)
+        .select(
+            F.col(id_col), F.explode(shingles(tokens(F.col(text_col)), k)).alias("shingle")
+        )
+        .select(id_col, token_hash(F.col("shingle")).alias("sh"))
+        .distinct()
+        .persist()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.select(F.col(id_col).alias("doc_a"), "sh")
+        .join(sh.select(F.col(id_col).alias("doc_b"), "sh"), "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,103 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The Spark-side machinery here is real and tested (schemas, batch iteration,
+partition-preserving transforms); the actual media decode is STUBBED —
+image/audio libraries are not in this container. ``decode_image_batch``
+raises ``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic fake decoder (md5-derived "dimensions") exercises the full
+batch path.
+
+Scale notes: binary payloads dominate partition size — size
+``spark.sql.files.maxPartitionBytes`` down (e.g. 32 MB) for media tables,
+and keep metadata in sidecar columns so filters prune *before* bytes are
+read (parquet column pruning skips the binary column entirely when the
+query doesn't touch it).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta_width", T.IntegerType(), True),
+        T.StructField("meta_height", T.IntegerType(), True),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("decoded_width", T.IntegerType(), True),
+        T.StructField("decoded_height", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Build a media table from a text table: payload = utf-8 bytes.
+
+    Stands in for reading real media files; the binary column, metadata
+    sidecars, and partitioning behave exactly as they would for images.
+    """
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("image/fake").alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.pmod(F.length(text_col), F.lit(640)).cast("int").alias("meta_width"),
+        F.pmod(F.length(text_col), F.lit(480)).cast("int").alias("meta_height"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic fake 'decode': dimensions + 4-dim feature from md5."""
+    import hashlib
+
+    h = hashlib.md5(payload or b"").digest()
+    width = int.from_bytes(h[0:2], "big") % 1024
+    height = int.from_bytes(h[2:4], "big") % 1024
+    feature = [round(b / 255.0, 6) for b in h[4:8]]
+    return width, height, feature
+
+
+def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Arrow-batched decode via ``mapInPandas``: payload → dims + feature.
+
+    ``fake=False`` raises ``NotImplementedError`` from the executors at
+    action time — real decoding needs PIL/ffmpeg, not in this container.
+    The batch shape (iterator of pandas DataFrames, one output row per
+    input row, binary column dropped on output) is the production shape.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "media decode requires PIL/ffmpeg; pass fake=True for the "
+                    "deterministic stub decoder"
+                )
+            decoded = pdf["payload"].map(_fake_decode)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(lambda p: len(p) if p is not None else 0),
+                    "decoded_width": decoded.map(lambda d: d[0]),
+                    "decoded_height": decoded.map(lambda d: d[1]),
+                    "feature": decoded.map(lambda d: d[2]),
+                }
+            )
+
+    return df.mapInPandas(batches, DECODED_SCHEMA)

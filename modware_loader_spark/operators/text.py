@@ -1,0 +1,80 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, language-ID heuristics, quality scoring, fingerprinting.
+
+Everything is built-in `pyspark.sql.functions` (JVM-side, codegen'd) — no
+Python UDFs in any hot path. Token arrays live only inside a projection;
+nothing is collected. At 100 TB these are embarrassingly parallel map
+stages: zero shuffles until an aggregation is requested.
+
+Portability: hashes are md5-based 60-bit longs (see
+``modware_loader_spark.functions.md5_long``) so a DuckDB oracle reproduces
+them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Real pipelines would use fastText/CLD3; the operator shape
+# (token-set membership scoring, argmax with deterministic tie-break) is
+# what matters here.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "is", "in"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "es": ["el", "la", "de", "y", "es", "un"],
+    "fr": ["le", "la", "et", "les", "des", "un"],
+    "zh": ["de", "le", "shi", "bu", "wo"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (text is pre-normalized single-space)."""
+    return F.split(F.trim(col), " ")
+
+
+def token_hash(col: Column) -> Column:
+    """Portable 60-bit token hash (same value in DuckDB)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def stopword_count(tokens_col: Column, words: list[str]) -> Column:
+    """Count of tokens that are in ``words`` (with multiplicity)."""
+    lit_words = [F.lit(w) for w in words]
+    return F.size(F.filter(tokens_col, lambda x: x.isin(*words)))
+
+
+def token_stats(tokens_col: Column) -> dict[str, Column]:
+    """Token-count statistics: total, unique, mean length."""
+    n = F.size(tokens_col)
+    n_uniq = F.size(F.array_distinct(tokens_col))
+    total_len = F.aggregate(
+        tokens_col, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    avg_len = F.round(total_len.cast("double") / n, 6)
+    return {"n_tokens": n, "n_uniq_tokens": n_uniq, "avg_token_len": avg_len}
+
+
+def quality_score(text_col: Column, tokens_col: Column) -> Column:
+    """Heuristic quality score in [0,1]: favors mid-length docs with
+    diverse vocabulary — the shape of Gopher/C4-style quality filters.
+    All double arithmetic is single-op per row (deterministic IEEE)."""
+    n = F.size(tokens_col).cast("double")
+    uniq_ratio = F.round(F.size(F.array_distinct(tokens_col)).cast("double") / n, 6)
+    len_score = F.when(F.length(text_col) >= 200, F.lit(1.0)).otherwise(
+        F.round(F.length(text_col).cast("double") / 200, 6)
+    )
+    # no outer decimal round: (a+b)/2 is exact in binary for 6dp-rounded
+    # operands, and a decimal round here would sit exactly on the .5
+    # boundary where Spark (HALF_UP) and DuckDB disagree
+    return (uniq_ratio + len_score) / 2
+
+
+def fingerprint(text_col: Column) -> Column:
+    """Document fingerprint: md5 hex of the normalized text (exact-dup key).
+
+    The rolling-hash variant for shingle-level fingerprints is
+    ``dedup.shingles`` + ``token_hash``.
+    """
+    return F.md5(F.trim(text_col))

@@ -1,0 +1,356 @@
+"""LLM-training-data pipeline operators (BASELINE.json north star):
+deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding-cosine), similarity search (brute-force + LSH-bucketed ANN),
+text analysis (lang-ID, quality, token stats), and multimodal binary
+metadata — each over the ``documents`` / ``embeddings`` tables with a
+DuckDB oracle.
+
+All hashing is md5-based 60-bit longs so both engines agree bit-for-bit;
+cosines use index-ordered sequential double accumulation in both engines
+and are rounded to 6dp before any threshold comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modware_loader_spark.operators import dedup as D
+from modware_loader_spark.operators import similarity as S
+from modware_loader_spark.operators import text as TX
+from modware_loader_spark.operators.multimodal import attach_binary_payload
+from modware_loader_spark.plans.registry import query
+from modware_loader_spark.session import load_tables
+
+__all__: list[str] = []
+
+# DuckDB fragments shared by several oracles
+_DDB_TOKENS = "string_split(trim(text), ' ')"
+_DDB_SHINGLES = (
+    "CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w)-2), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END"
+)
+_DDB_H60 = "cast('0x' || substring(md5({x}), 1, 15) as bigint)"
+
+
+@query(
+    "dedup_exact_fingerprint",
+    """
+    SELECT doc_id, md5(trim(text)) AS fingerprint,
+           min(doc_id) OVER (PARTITION BY md5(trim(text))) AS canonical_id,
+           CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY md5(trim(text)))
+                THEN 1 ELSE 0 END AS is_dup
+    FROM documents
+    """,
+)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via fingerprint hash-groupBy: one uniform shuffle."""
+    t = load_tables(spark, sf_dir)
+    return D.exact_duplicates(t["documents"])
+
+
+@query(
+    "dedup_minhash_bands",
+    f"""
+    WITH d AS (SELECT doc_id, {_DDB_TOKENS} AS w FROM documents),
+    sh AS (SELECT doc_id, {_DDB_SHINGLES} AS s FROM d),
+    sig AS (SELECT doc_id, list_transform(generate_series(0, 15), h ->
+              list_min(list_transform(s, x -> {_DDB_H60.format(x="x || '#' || cast(h as varchar)")}))) AS sig
+            FROM sh),
+    bands AS (SELECT doc_id, u.b AS band_id,
+               {_DDB_H60.format(x="array_to_string(sig[u.b*4+1 : u.b*4+4], '_')")} AS band_hash
+              FROM sig, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) u)
+    SELECT doc_id, band_id, band_hash FROM bands
+    """,
+)
+def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature (16 hashes) → 4 LSH band hashes per doc: the
+    bucket table that makes near-dup candidate generation bucket-local."""
+    t = load_tables(spark, sf_dir)
+    return D.minhash_band_table(t["documents"])
+
+
+@query(
+    "dedup_minhash_candidate_pairs",
+    f"""
+    WITH d AS (SELECT doc_id, {_DDB_TOKENS} AS w FROM documents),
+    sh AS (SELECT doc_id, {_DDB_SHINGLES} AS s FROM d),
+    sig AS (SELECT doc_id, list_transform(generate_series(0, 15), h ->
+              list_min(list_transform(s, x -> {_DDB_H60.format(x="x || '#' || cast(h as varchar)")}))) AS sig
+            FROM sh),
+    bands AS (SELECT doc_id, u.b AS band_id,
+               {_DDB_H60.format(x="array_to_string(sig[u.b*4+1 : u.b*4+4], '_')")} AS band_hash
+              FROM sig, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) u)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(DISTINCT a.band_id) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 band — the near-dup shortlist."""
+    t = load_tables(spark, sf_dir)
+    return D.minhash_candidate_pairs(D.minhash_band_table(t["documents"]))
+
+
+@query(
+    "dedup_simhash_fingerprint",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_DDB_TOKENS}) AS tok FROM documents),
+    th AS (SELECT doc_id, {_DDB_H60.format(x="tok")} AS h FROM tok),
+    bits AS (SELECT doc_id, u.b AS b,
+                    sum(CASE WHEN (h >> u.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             FROM th, LATERAL (SELECT unnest(generate_series(0, 31)) AS b) u
+             GROUP BY 1, 2)
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit frequency-weighted SimHash fingerprint per document."""
+    t = load_tables(spark, sf_dir)
+    return D.simhash_fingerprints(t["documents"])
+
+
+@query(
+    "dedup_simhash_near_pairs",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_DDB_TOKENS}) AS tok FROM documents),
+    th AS (SELECT doc_id, {_DDB_H60.format(x="tok")} AS h FROM tok),
+    bits AS (SELECT doc_id, u.b AS b,
+                    sum(CASE WHEN (h >> u.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             FROM th, LATERAL (SELECT unnest(generate_series(0, 31)) AS b) u
+             GROUP BY 1, 2),
+    fp AS (SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+           FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+)
+def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 2). All-pairs here; the scale
+    path buckets on fingerprint chunks (pigeonhole) — see operators.dedup."""
+    t = load_tables(spark, sf_dir)
+    return D.simhash_near_pairs(D.simhash_fingerprints(t["documents"]))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH d AS (SELECT doc_id, {_DDB_TOKENS} AS w FROM documents WHERE lang = 'de'),
+    shl AS (SELECT doc_id, {_DDB_SHINGLES} AS s FROM d),
+    sh AS (SELECT DISTINCT doc_id, {_DDB_H60.format(x="u.sh")} AS sh
+           FROM shl, LATERAL (SELECT unnest(s) AS sh) u),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(i::DOUBLE / (x.n + y.n - i), 6) AS jaccard
+    FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+    WHERE round(i::DOUBLE / (x.n + y.n - i), 6) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dups within the 'de' scope: inverted-index join;
+    prefix filtering is the 100 TB knob (see operators.dedup docstring)."""
+    t = load_tables(spark, sf_dir)
+    return D.ngram_jaccard_pairs(t["documents"].filter(F.col("lang") == "de"))
+
+
+@query(
+    "similarity_cosine_near_pairs",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i])) AS dp,
+            sqrt(list_sum(list_transform(a.e, x -> x * x))) AS na,
+            sqrt(list_sum(list_transform(b.e, x -> x * x))) AS nb
+          FROM v a JOIN v b ON a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, round(dp / (na * nb), 6) AS cos
+    FROM p WHERE round(dp / (na * nb), 6) >= 0.4
+    """,
+)
+def similarity_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4, rounded-6dp compare)."""
+    t = load_tables(spark, sf_dir)
+    return S.cosine_near_pairs(t["embeddings"], threshold=0.4)
+
+
+@query(
+    "similarity_brute_force_topk",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id < 20),
+    scored AS (SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+                 round(list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * t.e[i]))
+                   / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+                      * sqrt(list_sum(list_transform(t.e, x -> x * x)))), 6) AS cos
+               FROM q JOIN v t ON q.vec_id <> t.vec_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, target_id) AS rank
+               FROM scored)
+    SELECT query_id, target_id, cos, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: brute-force cosine top-5 for 20 query vectors.
+
+    Query side broadcast; targets stream — the exact-search pattern that
+    stays viable at scale only for small query batches."""
+    t = load_tables(spark, sf_dir)
+    queries_df = t["embeddings"].filter(F.col("vec_id") < 20)
+    return S.brute_force_topk(queries_df, t["embeddings"], k=5)
+
+
+@query(
+    "similarity_lsh_bucket_topk",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    bk AS (SELECT vec_id, e,
+             list_aggregate(list_transform(generate_series(1, 8),
+               i -> CASE WHEN e[i] > 0 THEN (1::BIGINT << (8 - i)) ELSE 0 END), 'sum') AS bucket
+           FROM v),
+    scored AS (SELECT a.vec_id AS query_id, a.bucket, b.vec_id AS target_id,
+                 round(list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i]))
+                   / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                      * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) AS cos
+               FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, target_id) AS rank
+               FROM scored)
+    SELECT query_id, bucket, target_id, cos, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def similarity_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: sign-bit bucket LSH, top-3 within bucket only."""
+    t = load_tables(spark, sf_dir)
+    return S.lsh_bucket_topk(t["embeddings"], k=3, bits=8)
+
+
+@query(
+    "text_token_stats",
+    """
+    WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+    SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_uniq_tokens,
+           round(list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w), 6) AS avg_token_len
+    FROM d
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: totals, uniques, mean token length — pure map stage."""
+    t = load_tables(spark, sf_dir)
+    toks = TX.tokens(F.col("text"))
+    stats = TX.token_stats(toks)
+    return t["documents"].select(
+        "doc_id",
+        stats["n_tokens"].alias("n_tokens"),
+        stats["n_uniq_tokens"].alias("n_uniq_tokens"),
+        stats["avg_token_len"].alias("avg_token_len"),
+    )
+
+
+_LANG_COUNT_DDB = {
+    lang: (
+        "len(list_filter(w, x -> x IN ("
+        + ", ".join(f"'{w}'" for w in TX.STOPWORDS[lang])
+        + ")))"
+    )
+    for lang in ("en", "de", "es", "fr", "zh")
+}
+
+
+@query(
+    "text_langid",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    c AS (SELECT doc_id,
+            {_LANG_COUNT_DDB['en']} AS en_hits,
+            {_LANG_COUNT_DDB['de']} AS de_hits,
+            {_LANG_COUNT_DDB['es']} AS es_hits,
+            {_LANG_COUNT_DDB['fr']} AS fr_hits,
+            {_LANG_COUNT_DDB['zh']} AS zh_hits
+          FROM d)
+    SELECT doc_id, en_hits, de_hits, es_hits, fr_hits, zh_hits,
+           CASE WHEN en_hits >= de_hits AND en_hits >= es_hits
+                 AND en_hits >= fr_hits AND en_hits >= zh_hits THEN 'en'
+                WHEN de_hits >= es_hits AND de_hits >= fr_hits
+                 AND de_hits >= zh_hits THEN 'de'
+                WHEN es_hits >= fr_hits AND es_hits >= zh_hits THEN 'es'
+                WHEN fr_hits >= zh_hits THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM c
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language-ID heuristic with deterministic argmax
+    (fixed priority order breaks ties)."""
+    t = load_tables(spark, sf_dir)
+    toks = TX.tokens(F.col("text"))
+    d = t["documents"].select(
+        "doc_id",
+        *[
+            TX.stopword_count(toks, TX.STOPWORDS[lang]).alias(f"{lang}_hits")
+            for lang in ("en", "de", "es", "fr", "zh")
+        ],
+    )
+    en, de, es, fr, zh = (F.col(f"{x}_hits") for x in ("en", "de", "es", "fr", "zh"))
+    pred = (
+        F.when((en >= de) & (en >= es) & (en >= fr) & (en >= zh), "en")
+        .when((de >= es) & (de >= fr) & (de >= zh), "de")
+        .when((es >= fr) & (es >= zh), "es")
+        .when(fr >= zh, "fr")
+        .otherwise("zh")
+    )
+    return d.withColumn("pred_lang", pred)
+
+
+@query(
+    "text_quality_score",
+    """
+    WITH d AS (SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents)
+    SELECT doc_id,
+           (round(len(list_distinct(w))::DOUBLE / len(w), 6)
+            + CASE WHEN length(text) >= 200 THEN 1.0
+                   ELSE round(length(text)::DOUBLE / 200, 6) END) / 2 AS quality
+    FROM d
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: vocabulary-diversity + length terms (C4/Gopher-style
+    filter shape), single-op double arithmetic for oracle parity."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        TX.quality_score(F.col("text"), TX.tokens(F.col("text"))).alias("quality"),
+    )
+
+
+@query(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id, 'image/fake' AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5,
+           lower(hex(substr(text, 1, 8))) AS head_hex
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, JVM-side half: binary payload column + typed
+    metadata (byte length, digest, head bytes). The Arrow/mapInPandas
+    decode path is exercised in tests (operators.multimodal, fake decoder)."""
+    t = load_tables(spark, sf_dir)
+    media = attach_binary_payload(t["documents"])
+    return media.select(
+        F.col("media_id").alias("doc_id"),
+        "media_type",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.lower(F.hex(F.substring(F.col("payload"), 1, 8))).alias("head_hex"),
+    )
