@@ -1,0 +1,72 @@
+"""obo2chado golden parity (``t/loader/obo2chado.t``,
+``obo2chado-core-update.t``): eco.obo term/relationship counts and the
+v2→v1 incremental update behavior."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from modware_loader_spark.plans.ontology_load import ChadoOntologyLoader
+
+OBO_DIR = "/root/reference/t/test_data/obo"
+
+
+@pytest.fixture(scope="module")
+def obo_dir():
+    if not os.path.isdir(OBO_DIR):
+        pytest.skip("reference fixtures not available")
+    return OBO_DIR
+
+
+def test_eco_load_golden_counts(spark, obo_dir):
+    loader = ChadoOntologyLoader(spark)
+    counts = loader.load_file(os.path.join(obo_dir, "eco.obo"))
+    # t/loader/obo2chado.t:60-65 — 294 cvterms in cv 'eco'
+    assert loader.cvterm_count("eco") == 294
+    assert loader.cvterm_count("eco", obsolete=1) == 3
+    # :66-74 — 14 is_a subjects of 'direct assay evidence'
+    assert loader.subject_count("direct assay evidence", "is_a") == 14
+    # :75-83 — 58 used_in subjects of 'manual assertion'
+    assert loader.subject_count("manual assertion", "used_in") == 58
+    # :84-96 — objects of the long-named subject
+    subj = "non-traceable author statement used in manual assertion"
+    assert loader.object_count(subj) == 3
+    assert loader.object_count(subj, "used_in") == 1
+    # typedef loaded as a relationship-type cvterm
+    typedef = loader.tables["cvterm"].filter(
+        (F.col("name") == "used_in") & (F.col("is_relationshiptype") == 1)
+    )
+    assert typedef.count() == 1
+    assert counts["new_cvterms"] == 298  # 297 terms + used_in typedef
+
+
+def test_eco_v2_then_v1_update(spark, obo_dir):
+    # obo2chado-core-update.t: load v2 (268 terms / 1 obsolete), then the
+    # newer v1 file as an update (294 / 3) — exercises prune, SCD-1 update
+    # and child-set refresh together.
+    loader = ChadoOntologyLoader(spark)
+    loader.load_file(os.path.join(obo_dir, "eco_v2.00.obo"))
+    assert loader.cvterm_count("eco") == 268
+    assert loader.cvterm_count("eco", obsolete=1) == 1
+    obsolete = loader.tables["cvterm"].filter(F.col("is_obsolete") == 1).first()
+    assert obsolete.name == "not_recorded (obsolete ECO:0000037)"
+
+    counts = loader.load_file(os.path.join(obo_dir, "eco.obo"))
+    assert loader.cvterm_count("eco") == 294
+    assert loader.cvterm_count("eco", obsolete=1) == 3
+    # new dbxrefs created by the update (obo2chado-core-update.t)
+    for acc in ("0000325", "0000326", "0000327", "0000328", "0000329", "0000330"):
+        assert (
+            loader.tables["dbxref"].filter(F.col("accession") == acc).count() == 1
+        ), acc
+    assert counts["new_relationships"] > 0
+
+
+def test_version_gate_rejects_older_file(spark, obo_dir):
+    loader = ChadoOntologyLoader(spark)
+    loader.load_file(os.path.join(obo_dir, "eco.obo"))  # date 04:04:2013
+    with pytest.raises(ValueError, match="not newer"):
+        loader.load_file(os.path.join(obo_dir, "eco_v2.00.obo"))  # 25:03:2012
