@@ -1,0 +1,70 @@
+"""Structured Streaming pipelines over the events table — the streaming
+twins of the batch queries in ``plans.export_queries``
+(``events_tumbling_window`` / ``events_sessionization``).
+
+The reference has no streaming surface (its closest analog is chunked
+flush loops, ``lib/Modware/Export/GAF.pm:129-135``); this is extension
+scope per the BASELINE north star. Design:
+
+- file/parquet source → event-time watermark → windowed aggregation;
+  state is bounded by the watermark (late rows beyond it are dropped),
+- session windows via ``F.session_window`` (gap-based, same 30-min gap as
+  the batch twin),
+- sinks: memory (tests), parquet + checkpoint (production).
+
+Scale: stateful aggs shuffle on (window, keys); state store size is
+(#active windows × #keys), bounded by the watermark horizon — the knobs
+that matter at 100 TB/day are watermark delay and
+``spark.sql.shuffle.partitions`` for the state store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def read_event_stream(spark, path: str, schema) -> DataFrame:
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """1-hour tumbling windows per event_type with a late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_aggregates(events: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Gap-based session windows per user (native session_window state)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )

@@ -1,0 +1,74 @@
+"""Streaming/batch equivalence: the streaming tumbling-window and
+session-window pipelines must agree with their batch twins on a bounded
+input (complete/append over a static file feed)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from modware_loader_spark.session import load_tables
+from modware_loader_spark.streaming.events import (
+    read_event_stream,
+    session_aggregates,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_feed(spark, sf_dir, tmp_path_factory):
+    # events.ts is TIMESTAMP(NANOS) in the source parquet; rewrite through
+    # load_tables so the stream reads normal timestamps
+    path = str(tmp_path_factory.mktemp("events_feed"))
+    ev = load_tables(spark, sf_dir)["events"].withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ev.write.mode("overwrite").parquet(path)
+    return path, spark.read.parquet(path)
+
+
+def _run_stream(spark, stream_df, name, mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_tumbling_window_matches_batch(spark, events_feed):
+    path, batch_df = events_feed
+    stream = read_event_stream(spark, path, batch_df.schema)
+    result = _run_stream(spark, tumbling_counts(stream), "tumbling_t", "complete")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in result.collect()
+    }
+    expect = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in batch_df.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == expect
+
+
+def test_session_windows_produce_bounded_sessions(spark, events_feed):
+    path, batch_df = events_feed
+    stream = read_event_stream(spark, path, batch_df.schema)
+    result = _run_stream(spark, session_aggregates(stream), "sessions_t", "complete")
+    rows = result.collect()
+    assert len(rows) > 0
+    assert result.filter(F.col("session_end") < F.col("session_start")).count() == 0
+    # total events across sessions == total input events
+    assert sum(r.n_events for r in rows) == batch_df.count()
