@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import modware_loader_spark.plans.driver_queries  # noqa: E402,F401
 import modware_loader_spark.plans.export_queries  # noqa: E402,F401
 import modware_loader_spark.plans.pipeline_queries  # noqa: E402,F401
+import modware_loader_spark.plans.analytics_queries  # noqa: E402,F401
 from modware_loader_spark.plans.registry import ORACLES, QUERIES  # noqa: E402
 
 
