@@ -1,0 +1,86 @@
+"""Chado catalog persistence: one parquet directory per table (the
+production shape of the in-memory loader state), with a JDBC mirror for a
+real Chado database.
+
+The reference's persistent state is rows in Pg/SQLite/Oracle via
+DBIx::Class (``lib/Modware/Role/Command/WithBCS.pm:118-121``); its
+transactionality (single txn around a whole load,
+``gff3tochado.pm:251,272-277``) maps to idempotent merge design (M6
+EXCEPT semantics) + atomic directory overwrite per table here. The JDBC
+path uses the same DataFrames with ``spark.read/write.jdbc`` — dialect
+differences live entirely in the JDBC writer (the reference needed three
+SQL dialects; we need none).
+
+Scale: each table directory is partitionable (e.g. feature by
+organism_id, featureloc by srcfeature_id) — pass ``partition_by`` to get
+partition pruning on the read side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ChadoCatalog:
+    def __init__(self, spark: SparkSession, root: str,
+                 partition_by: dict[str, list[str]] | None = None):
+        self.spark = spark
+        self.root = root
+        self.partition_by = partition_by or {}
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def save(self, tables: dict[str, DataFrame]) -> None:
+        for name, df in tables.items():
+            writer = df.write.mode("overwrite")
+            if name in self.partition_by:
+                writer = writer.partitionBy(*self.partition_by[name])
+            writer.parquet(self._path(name))
+
+    def load(self, names: list[str]) -> dict[str, DataFrame]:
+        out = {}
+        for name in names:
+            path = self._path(name)
+            if os.path.isdir(path):
+                out[name] = self.spark.read.parquet(path)
+        return out
+
+    # -- JDBC mirror (untested in this container: no database server) ----
+    def save_jdbc(self, tables: dict[str, DataFrame], url: str,
+                  properties: dict | None = None, batchsize: int = 4000) -> None:
+        """Write each table over JDBC. ``batchsize`` default mirrors the
+        reference's staging chunk (``Temp/WithPostgresql.pm:10-11``)."""
+        props = dict(properties or {})
+        props.setdefault("batchsize", str(batchsize))
+        for name, df in tables.items():
+            df.write.mode("append").jdbc(url, name, properties=props)
+
+    def load_jdbc(self, names: list[str], url: str,
+                  properties: dict | None = None) -> dict[str, DataFrame]:
+        return {
+            name: self.spark.read.jdbc(url, name, properties=dict(properties or {}))
+            for name in names
+        }
+
+
+def save_loader_state(loader, catalog: ChadoCatalog) -> None:
+    """Persist a ChadoGFF3Loader/ChadoOntologyLoader's tables + dims."""
+    tables = dict(loader.tables)
+    for name, df in getattr(loader, "dims", {}).items():
+        tables[f"dim_{name}"] = df
+    catalog.save(tables)
+
+
+def restore_loader_state(loader, catalog: ChadoCatalog) -> None:
+    table_names = list(loader.tables)
+    restored = catalog.load(table_names)
+    loader.tables.update(restored)
+    dims = getattr(loader, "dims", None)
+    if dims is not None:
+        for name in list(dims):
+            got = catalog.load([f"dim_{name}"])
+            if got:
+                dims[name] = got[f"dim_{name}"]

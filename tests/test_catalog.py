@@ -1,0 +1,36 @@
+"""Catalog persistence round-trip: save loader state to parquet, restore
+into a fresh loader, continue with the incremental update load — golden
+counts must match the in-memory run exactly."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from modware_loader_spark.catalog import (
+    ChadoCatalog,
+    restore_loader_state,
+    save_loader_state,
+)
+from modware_loader_spark.plans.gff3_load import ChadoGFF3Loader
+from tests.test_gff3_load import EXPECT_CREATE, EXPECT_UPDATE, FIXTURES
+
+
+def test_persisted_catalog_continues_incremental_load(spark, tmp_path):
+    if not os.path.isdir(FIXTURES):
+        pytest.skip("reference fixtures not available")
+    loader = ChadoGFF3Loader(spark)
+    assert loader.load_file(os.path.join(FIXTURES, "test1.gff3")) == EXPECT_CREATE
+    catalog = ChadoCatalog(spark, str(tmp_path / "chado"))
+    save_loader_state(loader, catalog)
+
+    fresh = ChadoGFF3Loader(spark)
+    restore_loader_state(fresh, catalog)
+    fresh._auto_counter = loader._auto_counter
+    assert fresh.tables["feature"].count() == 53
+    counts = fresh.load_file(os.path.join(FIXTURES, "test2.gff3"))
+    assert counts == EXPECT_UPDATE
+    # persisted feature table partitions prune on read (smoke: filter scan)
+    feats = catalog.load(["feature"])["feature"]
+    assert feats.filter("uniquename = 'Contig1'").count() == 1
