@@ -67,14 +67,27 @@ class ChadoCatalog:
 
 
 def save_loader_state(loader, catalog: ChadoCatalog) -> None:
-    """Persist a ChadoGFF3Loader/ChadoOntologyLoader's tables + dims."""
+    """Persist a loader's tables + dims + scalar state (the auto-id
+    counter is the analog of the reference's DB sequence position —
+    without it a fresh process would mint colliding auto uniquenames)."""
+    import json
+
     tables = dict(loader.tables)
     for name, df in getattr(loader, "dims", {}).items():
         tables[f"dim_{name}"] = df
     catalog.save(tables)
+    meta = {
+        "auto_counter": getattr(loader, "_auto_counter", 0),
+        "metadata": getattr(loader, "metadata", {}),
+    }
+    os.makedirs(catalog.root, exist_ok=True)
+    with open(os.path.join(catalog.root, "_meta.json"), "w") as fh:
+        json.dump(meta, fh)
 
 
 def restore_loader_state(loader, catalog: ChadoCatalog) -> None:
+    import json
+
     table_names = list(loader.tables)
     restored = catalog.load(table_names)
     loader.tables.update(restored)
@@ -84,3 +97,11 @@ def restore_loader_state(loader, catalog: ChadoCatalog) -> None:
             got = catalog.load([f"dim_{name}"])
             if got:
                 dims[name] = got[f"dim_{name}"]
+    meta_path = os.path.join(catalog.root, "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if hasattr(loader, "_auto_counter"):
+            loader._auto_counter = meta.get("auto_counter", 0)
+        if hasattr(loader, "metadata"):
+            loader.metadata.update(meta.get("metadata", {}))

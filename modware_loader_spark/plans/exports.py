@@ -117,7 +117,9 @@ def spliced_sequences(
     locs = t["featureloc"].filter(F.col("rank") == 0).select(
         F.col("feature_id").alias("subject_id"), "srcfeature_id", "fmin", "fmax", "strand"
     )
-    residues = t["feature"].select(
+    # srcfeatures without residues can't contribute segments (the
+    # reference skips them the same way — no sequence, no dump)
+    residues = t["feature"].filter(F.col("residues").isNotNull()).select(
         F.col("feature_id").alias("srcfeature_id"), F.col("residues")
     )
     pieces = (
