@@ -28,6 +28,12 @@ FEATURE_CVTERM_SCHEMA = (
     "rank int, is_not boolean"
 )
 
+# dependent prop rows (reference: feature_cvtermprops created per
+# annotation, GAF.pm:86-140; exported back via the per-row lookups the
+# E8 pivot replaces, Export/GAF.pm:239-253)
+PROP_SCHEMA = "feature_cvterm_id long, type string, value string"
+PROP_TYPES = ("qualifier", "date", "source", "with", "aspect", "evidence")
+
 
 class GAFLoader:
     """Annotation loader against caller-provided dimension DataFrames:
@@ -48,10 +54,12 @@ class GAFLoader:
         self.pubs = pubs
         self.evidence = evidence
         self.feature_cvterm = spark.createDataFrame([], FEATURE_CVTERM_SCHEMA)
+        self.feature_cvtermprop = spark.createDataFrame([], PROP_SCHEMA)
 
     def prune(self) -> None:
         """U5: full-table delete before reload (``Manager.pm:126-139``)."""
         self.feature_cvterm = self.spark.createDataFrame([], FEATURE_CVTERM_SCHEMA)
+        self.feature_cvtermprop = self.spark.createDataFrame([], PROP_SCHEMA)
 
     def resolve(self, gaf: DataFrame) -> DataFrame:
         """U6 resolution joins + validity filter (invalid rows dropped)."""
@@ -119,15 +127,38 @@ class GAFLoader:
         )
         base_id = live.agg(F.max("feature_cvterm_id").alias("m")).first().m or 0
         w_id = Window.orderBy("feature_id", "cvterm_id", "pub_id", "rank")
-        fresh = ranked.select(
-            (F.row_number().over(w_id) + base_id).alias("feature_cvterm_id"),
-            "feature_id",
-            "cvterm_id",
-            "pub_id",
-            "rank",
-            "is_not",
+        keyed = ranked.withColumn(
+            "feature_cvterm_id", F.row_number().over(w_id) + base_id
+        ).localCheckpoint()
+        fresh = keyed.select(
+            "feature_cvterm_id", "feature_id", "cvterm_id", "pub_id", "rank", "is_not"
         )
         self.feature_cvterm = live.unionByName(fresh).localCheckpoint()
+        # dependent props (U3's feature_cvtermprop creation), one row per
+        # present prop type — unpivot via stack
+        prop_cols = [
+            ("qualifier", F.col("qualifier")),
+            ("date", F.col("date")),
+            ("source", F.col("assigned_by")),
+            ("with", F.array_join(F.col("with_from"), "|")),
+            ("aspect", F.col("aspect")),
+            ("evidence", F.col("evidence_code")),
+        ]
+        props = keyed.select(
+            "feature_cvterm_id",
+            F.explode(
+                F.filter(
+                    F.array(
+                        *[
+                            F.struct(F.lit(n).alias("type"), c.cast("string").alias("value"))
+                            for n, c in prop_cols
+                        ]
+                    ),
+                    lambda s: s.value.isNotNull() & (s.value != ""),
+                )
+            ).alias("p"),
+        ).select("feature_cvterm_id", "p.type", "p.value")
+        self.feature_cvtermprop = self.feature_cvtermprop.unionByName(props).localCheckpoint()
         return {"loaded": fresh.count(), "total": self.feature_cvterm.count()}
 
     def load_file(self, path: str) -> dict[str, int]:

@@ -1,0 +1,59 @@
+"""chado2gaf round trip: GAF file → GAFLoader (resolution + props) →
+chado2gaf_rows → annotation tuples must match the resolvable input rows."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from modware_loader_spark.plans.gaf_export import chado2gaf_rows
+from modware_loader_spark.plans.gaf_load import GAFLoader
+from modware_loader_spark.sinks.gaf import write_gaf
+from modware_loader_spark.sources.gaf import parse_gaf
+
+DATA = "/root/reference/t/test_data"
+
+
+def test_gaf_round_trip_through_chado(spark, tmp_path):
+    if not os.path.isdir(DATA):
+        pytest.skip("reference fixtures not available")
+    gaf = parse_gaf(spark, os.path.join(DATA, "testdicty.gaf2"))
+
+    features = spark.createDataFrame(
+        [("DDB_G0277399", 1, "piaA"), ("DDB_G0274035", 2, "stip-1")],
+        "uniquename string, feature_id long, symbol string",
+    )
+    cvterms = spark.createDataFrame(
+        [("0005515", 10), ("0003676", 11)], "accession string, cvterm_id long"
+    )
+    pubs = spark.createDataFrame(
+        [("PMID:16079174", 100), ("GO_REF:0000002", 101)], "uniquename string, pub_id long"
+    )
+    evidence = spark.createDataFrame(
+        [("IPI", 201), ("IEA", 202)], "synonym string, cvterm_id long"
+    )
+    loader = GAFLoader(spark, features, cvterms, pubs, evidence)
+    loader.load(gaf)
+
+    exported = chado2gaf_rows(loader)
+    key_cols = ["db_object_id", "go_id", "evidence_code", "date", "aspect"]
+    got = {tuple(r) for r in exported.select(*key_cols).collect()}
+    resolvable = gaf.filter(
+        F.col("db_object_id").isin("DDB_G0277399", "DDB_G0274035")
+        & F.col("go_id").isin("GO:0005515", "GO:0003676")
+    )
+    expect = {tuple(r) for r in resolvable.select(*key_cols).collect()}
+    assert got == expect
+    assert len(got) == 3
+    # with_from survives pivot + re-split
+    wf = {r.with_from[0] for r in exported.collect() if r.with_from}
+    assert any(w.startswith("UniProtKB:") for w in wf)
+    # and the writer produces a parseable file
+    out = str(tmp_path / "export.gaf")
+    write_gaf(exported, out)
+    import glob
+
+    reparsed = parse_gaf(spark, glob.glob(os.path.join(out, "part-*"))[0])
+    assert reparsed.count() == exported.count()
