@@ -73,6 +73,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     are plain ``spark.read.parquet`` relations (check ``PushedFilters`` /
     ``ReadSchema`` in ``.explain("formatted")``).
     """
+    # Plans are reusable: cache per (session, dir) so back-to-back queries
+    # skip 10 parquet footer reads + view registrations each.
+    cache_key = (id(spark), sf_dir)
+    cached = _TABLE_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
     # read it as long nanos and rebuild a timestamp (micros, like DuckDB's
     # own nanos→micros truncation, so the oracle sees identical values).
@@ -88,4 +94,8 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
                 )
             df.createOrReplaceTempView(name)
             out[name] = df
+    _TABLE_CACHE[cache_key] = out
     return out
+
+
+_TABLE_CACHE: dict = {}
