@@ -1,0 +1,84 @@
+"""Seeded randomized invariant tests (bulk-data property checks):
+- overlap_groups: groups are maximal — consecutive groups never overlap,
+  and within a group every interval overlaps the running span;
+- sessionize: gaps inside a session ≤ threshold, gaps across session
+  boundaries > threshold;
+- jaccard: symmetric-bounded in (0, 1].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from modware_loader_spark.operators.dedup import ngram_jaccard_pairs
+from modware_loader_spark.operators.intervals import overlap_groups, sessionize
+
+
+def _random_intervals(spark, n=2000, seed=7):
+    start = F.pmod(F.hash(F.col("id") + seed), 10000)
+    return spark.range(n).select(
+        (F.col("id") % 13).alias("key"),
+        start.alias("start_s"),
+        (start + 1 + F.pmod(F.hash(F.col("id") * 31 + seed), 500)).alias("end_s"),
+    )
+
+
+def test_overlap_groups_invariants(spark):
+    iv = _random_intervals(spark)
+    g = overlap_groups(iv, ["key"], "start_s", "end_s")
+    spans = g.groupBy("key", "interval_group").agg(
+        F.min("start_s").alias("lo"), F.max("end_s").alias("hi")
+    )
+    w = Window.partitionBy("key").orderBy("interval_group")
+    # consecutive groups must be disjoint with a strict gap
+    bad_gap = (
+        spans.withColumn("prev_hi", F.lag("hi").over(w))
+        .filter(F.col("prev_hi").isNotNull() & (F.col("lo") <= F.col("prev_hi")))
+        .count()
+    )
+    assert bad_gap == 0
+    # within a group, each interval starts no later than the running max
+    # end of its predecessors (connectivity of the overlap chain)
+    w2 = Window.partitionBy("key", "interval_group").orderBy("start_s", "end_s")
+    run_max = F.max("end_s").over(w2.rowsBetween(Window.unboundedPreceding, -1))
+    disconnected = g.withColumn("pm", run_max).filter(
+        F.col("pm").isNotNull() & (F.col("start_s") > F.col("pm"))
+    ).count()
+    assert disconnected == 0
+
+
+def test_sessionize_invariants(spark):
+    ev = _random_intervals(spark, n=3000, seed=11).select(
+        "key", F.timestamp_seconds(F.col("start_s")).alias("ts")
+    )
+    gap = 120
+    s = sessionize(ev, ["key"], "ts", gap)
+    w = Window.partitionBy("key").orderBy(F.col("ts"))
+    epoch = F.col("ts").cast("long")
+    diff = epoch - F.lag(epoch).over(w)
+    same = F.col("session_id") == F.lag("session_id").over(w)
+    flagged = s.withColumn("diff", diff).withColumn("same", same).filter(
+        F.col("diff").isNotNull()
+    )
+    assert flagged.filter(F.col("same") & (F.col("diff") > gap)).count() == 0
+    assert flagged.filter(~F.col("same") & (F.col("diff") <= gap)).count() == 0
+
+
+def test_jaccard_bounds(spark):
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit("w"), F.pmod(F.hash(F.col("id") * (i + 3)), 12))
+                for i in range(15)
+            ],
+        ).alias("text"),
+    )
+    pairs = ngram_jaccard_pairs(docs, threshold=0.0)
+    out_of_range = pairs.filter(
+        (F.col("jaccard") <= 0) | (F.col("jaccard") > 1)
+    ).count()
+    assert out_of_range == 0
+    assert pairs.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
