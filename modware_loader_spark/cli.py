@@ -76,14 +76,14 @@ def cmd_oboclosure2chado(args) -> dict:
 
 
 def cmd_chado2gff3(args) -> dict:
-    from modware_loader_spark.plans.exports import chado2gff3_rows
+    from modware_loader_spark.plans.exports import chado2gff3_rows, sequence_regions
     from modware_loader_spark.sinks.gff3 import write_gff3
 
     spark = get_spark("chado2gff3")
     catalog = ChadoCatalog(spark, args.catalog)
     loader = _gff3_loader(spark, catalog)
     rows = chado2gff3_rows(loader)
-    write_gff3(rows, args.output)
+    write_gff3(rows, args.output, sequence_regions=sequence_regions(loader))
     return {"features_exported": rows.count()}
 
 

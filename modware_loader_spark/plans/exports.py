@@ -26,6 +26,30 @@ from modware_loader_spark.functions import reverse_complement
 from modware_loader_spark.plans.gff3_load import ChadoGFF3Loader
 
 
+def sequence_regions(loader: ChadoGFF3Loader) -> list[tuple[str, int, int]]:
+    """``##sequence-region`` directives derived from the reference
+    features (everything that serves as a srcfeature), spanning 1..seqlen
+    (or the max fmax located on it when no residues were loaded)."""
+    t = loader.tables
+    spans = (
+        t["featureloc"]
+        .groupBy("srcfeature_id")
+        .agg(F.max("fmax").alias("max_fmax"))
+        .join(
+            t["feature"].select(
+                F.col("feature_id").alias("srcfeature_id"), "uniquename", "seqlen"
+            ),
+            "srcfeature_id",
+        )
+        .select(
+            "uniquename",
+            F.coalesce(F.col("seqlen"), F.col("max_fmax")).alias("hi"),
+        )
+        .orderBy("uniquename")
+    )
+    return [(r.uniquename, 1, int(r.hi)) for r in spans.collect()]
+
+
 def chado2gff3_rows(loader: ChadoGFF3Loader) -> DataFrame:
     """Chado-shaped tables → GFF3-shaped rows (seq_id, source, type,
     start, end, score, strand, phase, attributes)."""

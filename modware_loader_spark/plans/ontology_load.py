@@ -47,6 +47,7 @@ TABLE_SCHEMAS = {
         "is_relationshiptype int, cv_id long, dbxref_id long"
     ),
     "cvterm_relationship": "object_id long, subject_id long, type_id long",
+    "cvprop": "cv_id long, type_id long, value string",
     "cvtermsynonym": "cvterm_id long, synonym string, type_id long",
     "cvtermprop": "cvterm_id long, type_id long, value string",
     "cvterm_dbxref": "cvterm_id long, dbxref_id long",
@@ -71,10 +72,12 @@ class ChadoOntologyLoader:
     def _bootstrap(self) -> None:
         self._find_or_create_db(["internal"])
         self._find_or_create_cv(
-            ["cvterm_property_type", "synonym_type", "relationship"]
+            ["cvterm_property_type", "synonym_type", "relationship", "cv_property"]
         )
         self._find_or_create_terms(
-            [("comment", "cvterm_property_type"), ("alt_id", "cvterm_property_type"),
+            [("date", "cv_property"), ("data-version", "cv_property"),
+             ("saved-by", "cv_property"), ("remark", "cv_property"),
+             ("comment", "cvterm_property_type"), ("alt_id", "cvterm_property_type"),
              ("xref", "cvterm_property_type"), ("cyclic", "cvterm_property_type"),
              ("reflexive", "cvterm_property_type"), ("transitive", "cvterm_property_type"),
              ("anonymous", "cvterm_property_type"), ("domain", "cvterm_property_type"),
@@ -170,12 +173,51 @@ class ChadoOntologyLoader:
         )
 
     # ------------------------------------------------------------------
+    def _cvprop_value(self, ns: str, prop: str) -> str | None:
+        cvrow = self.tables["cv"].filter(F.col("name") == ns).first()
+        if cvrow is None:
+            return None
+        trow = self.tables["cvterm"].filter(F.col("name") == prop).first()
+        if trow is None:
+            return None
+        row = (
+            self.tables["cvprop"]
+            .filter((F.col("cv_id") == cvrow.cv_id) & (F.col("type_id") == trow.cvterm_id))
+            .first()
+        )
+        return row.value if row is not None else None
+
+    def store_metadata(self, header: dict) -> None:
+        """store_metadata (Ontology.pm:241-293): per-namespace cvprop rows
+        for date / data-version / saved-by / remark (SCD-1 upsert)."""
+        ns = header.get("default-namespace") or header.get("ontology")
+        self._find_or_create_cv([ns])
+        cv_id = self.tables["cv"].filter(F.col("name") == ns).first().cv_id
+        prop_cv = self.tables["cv"].filter(F.col("name") == "cv_property").first().cv_id
+        types = {
+            r.name: r.cvterm_id
+            for r in self.tables["cvterm"].filter(F.col("cv_id") == prop_cv).collect()
+        }
+        rows = [
+            (cv_id, types[key], header[key])
+            for key in ("date", "data-version", "saved-by", "remark")
+            if key in header and key in types
+        ]
+        if not rows:
+            return
+        staged = self.spark.createDataFrame(rows, "cv_id long, type_id long, value string")
+        kept = self.tables["cvprop"].join(
+            staged.select("cv_id", "type_id"), ["cv_id", "type_id"], "left_anti"
+        )
+        self.tables["cvprop"] = kept.unionByName(staged).localCheckpoint()
+        self.metadata[f"{ns}:date"] = header.get("date", "")
+
     def is_newer(self, header: dict) -> bool:
         """Version gate (Ontology.pm:206-239): header date must be newer
-        than the stored date for this namespace."""
+        than the date stored in cvprop for this namespace."""
         ns = header.get("default-namespace") or header.get("ontology")
-        stored = self.metadata.get(f"{ns}:date")
-        if stored is None or "date" not in header:
+        stored = self._cvprop_value(ns, "date") or self.metadata.get(f"{ns}:date") or None
+        if not stored or "date" not in header:
             return True
         new = datetime.strptime(header["date"], OBO_DATE_FORMAT)
         old = datetime.strptime(stored, OBO_DATE_FORMAT)
@@ -188,9 +230,7 @@ class ChadoOntologyLoader:
             raise ValueError(
                 "ontology version in file is not newer than the stored version"
             )
-        ns = header.get("default-namespace") or header.get("ontology")
-        if "date" in header:
-            self.metadata[f"{ns}:date"] = header["date"]
+        self.store_metadata(header)
         return self._merge(parsed)
 
     # ------------------------------------------------------------------
