@@ -70,3 +70,19 @@ def test_version_gate_rejects_older_file(spark, obo_dir):
     loader.load_file(os.path.join(obo_dir, "eco.obo"))  # date 04:04:2013
     with pytest.raises(ValueError, match="not newer"):
         loader.load_file(os.path.join(obo_dir, "eco_v2.00.obo"))  # 25:03:2012
+
+
+def test_metadata_stored_and_updated_in_cvprop(spark, obo_dir):
+    # obo2chado-metadata-update.t: header metadata lands in cvprop and is
+    # updated (not duplicated) by a newer load
+    loader = ChadoOntologyLoader(spark)
+    loader.load_file(os.path.join(obo_dir, "eco_v2.00.obo"))
+    assert loader._cvprop_value("eco", "date") == "25:03:2012 23:17"
+    assert loader._cvprop_value("eco", "data-version") == "2.00"
+    loader.load_file(os.path.join(obo_dir, "eco.obo"))
+    assert loader._cvprop_value("eco", "date") == "04:04:2013 16:48"
+    assert loader._cvprop_value("eco", "data-version") == "releases/2013-04-04"
+    # one row per (cv, prop) — updated, not appended
+    eco_cv = loader.tables["cv"].filter(F.col("name") == "eco").first().cv_id
+    n = loader.tables["cvprop"].filter(F.col("cv_id") == eco_cv).count()
+    assert n <= 4
