@@ -1,0 +1,87 @@
+"""Stock (strain/plasmid) import + dump plans (reference S12 + K6 + the
+dictystrain dump command).
+
+Reference: ``lib/Modware/Import/Stock/StrainImporter.pm`` (tab split,
+``/^DBS[0-9]{7}/`` validation, prune-by-type U5) and
+``lib/Modware/Dump/Command/dictystrain.pm`` (row-at-a-time cursor walk,
+sequential ``DSC_G%07d`` id minting at ``:41``, trim/sprintf shaping).
+
+Spark shape: import = validated scan + prop attach; dump = one join +
+``row_number`` for the DSC ids (M13 deterministic minting replaces the
+cursor counter) + `lpad` zero-padding — a single projection written as
+TSV (K6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from modware_loader_spark.sources.tsv_stock import parse_strains
+
+PROP_COLUMNS = ["strain_id", "prop_type", "prop_value"]
+
+
+def load_strains(
+    spark: SparkSession, strain_path: str, props_path: str | None = None
+) -> dict[str, DataFrame]:
+    """→ {strains, props, invalid}: trimmed strain rows + typed props."""
+    valid, invalid = parse_strains(spark, strain_path)
+    strains = valid.select(
+        "strain_id",
+        F.trim("strain_name").alias("strain_name"),
+        F.coalesce(F.trim("species"), F.lit("")).alias("species"),
+        F.coalesce(F.trim("strain_descr"), F.lit("")).alias("strain_descr"),
+    )
+    if props_path:
+        raw = spark.read.option("sep", "\t").csv(props_path).toDF(*PROP_COLUMNS)
+        props = raw.filter(F.col("strain_id").rlike(r"^DBS[0-9]{7}"))
+    else:
+        props = spark.createDataFrame([], "strain_id string, prop_type string, prop_value string")
+    return {"strains": strains, "props": props, "invalid": invalid}
+
+
+def dump_strains(strains: DataFrame, props: DataFrame) -> DataFrame:
+    """dictystrain dump rows: DBS id, minted DSC_G id, name, species,
+    description, pipe-joined synonyms, mutagenesis method."""
+    w = Window.orderBy("strain_id")
+    with_dsc = strains.withColumn(
+        "dscg_id",
+        F.concat(
+            F.lit("DSC_G"), F.lpad(F.row_number().over(w).cast("string"), 7, "0")
+        ),
+    )
+    syn = (
+        props.filter(F.col("prop_type") == "synonym")
+        .groupBy("strain_id")
+        .agg(F.concat_ws("|", F.array_sort(F.collect_list("prop_value"))).alias("synonyms"))
+    )
+    mut = (
+        props.filter(F.col("prop_type") == "mutagenesis method")
+        .groupBy("strain_id")
+        .agg(F.first("prop_value").alias("mutagenesis_method"))
+    )
+    return (
+        with_dsc.join(F.broadcast(syn), "strain_id", "left")
+        .join(F.broadcast(mut), "strain_id", "left")
+        .select(
+            "strain_id",
+            "dscg_id",
+            "strain_name",
+            "species",
+            "strain_descr",
+            F.coalesce("synonyms", F.lit("")).alias("synonyms"),
+            F.coalesce("mutagenesis_method", F.lit("")).alias("mutagenesis_method"),
+        )
+    )
+
+
+def write_stock_tsv(df: DataFrame, path: str) -> None:
+    """K6 TSV writer: tab-separated, ordered, single file per dump."""
+    (
+        df.orderBy(df.columns[0])
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("sep", "\t")
+        .csv(path)
+    )

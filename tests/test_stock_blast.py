@@ -53,3 +53,31 @@ def test_blast_overlap_grouping(spark):
     # T2 cutoff drops the weak minus-strand HSP entirely
     cut = blast_to_gff3_rows(hsps, evalue_cutoff=1e-9).collect()
     assert all(r.strand == 1 for r in cut)
+
+
+def test_strain_load_and_dump(spark, tmp_path):
+    if not os.path.isdir(DATA):
+        pytest.skip("reference fixtures not available")
+    from modware_loader_spark.plans.stock import dump_strains, load_strains, write_stock_tsv
+
+    loaded = load_strains(
+        spark,
+        os.path.join(DATA, "strain_strain.tsv"),
+        os.path.join(DATA, "strain_props.tsv"),
+    )
+    dump = dump_strains(loaded["strains"], loaded["props"])
+    rows = {r.strain_id: r for r in dump.collect()}
+    assert len(rows) == loaded["strains"].count()
+    # DSC ids minted sequentially, zero-padded (dictystrain.pm:41)
+    ids = sorted(r.dscg_id for r in rows.values())
+    assert ids[0] == "DSC_G0000001"
+    assert all(len(i) == 12 for i in ids)
+    # synonyms pipe-joined from props
+    syn_strains = [r for r in rows.values() if r.synonyms]
+    assert any("|" in r.synonyms for r in syn_strains)
+    out = str(tmp_path / "strains")
+    write_stock_tsv(dump, out)
+    import glob
+    lines = open(glob.glob(os.path.join(out, "part-*"))[0]).read().splitlines()
+    assert len(lines) == len(rows)
+    assert all(len(ln.split("\t")) == 7 for ln in lines)
