@@ -87,3 +87,25 @@ def test_gaf_parse_and_rank(spark, data_dir):
     assert sorted(r.rank for r in piaa_rows2) == [0, 1, 2, 3]
     loader.prune()
     assert loader.feature_cvterm.count() == 0
+
+
+def test_goa_filters(spark, data_dir):
+    from modware_loader_spark.plans.goa_filter import mod_id_in_goa, mod_ref_in_goa
+
+    gaf = parse_gaf(spark, os.path.join(data_dir, "testdicty.gaf2"))
+    id_map = spark.createDataFrame(
+        [("DDB_G0277399", "GENE1"), ("DDB_G0274035", "GENE2")],
+        "goa_id string, mod_id string",
+    )
+    out = mod_id_in_goa(gaf, id_map)
+    assert out.count() == 3  # 2 piaA + 1 stip-1 rows map; others drop
+    assert {r.db_object_id for r in out.collect()} == {"GENE1", "GENE2"}
+    assert all(r.db == "dictyBase" for r in out.collect())
+
+    pub_map = spark.createDataFrame(
+        [("PMID:16079174", "DDB_REF:123")], "goa_ref string, mod_ref string"
+    )
+    reffed = mod_ref_in_goa(gaf, pub_map)
+    assert reffed.count() == gaf.count()  # rewrite, never drop
+    rewritten = reffed.filter(F.element_at("db_ref", 1) == "DDB_REF:123").count()
+    assert rewritten == 2  # the two piaA PMID rows
