@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "similarity_lsh_bucket_topk",
     "text_langid",
     "text_token_stats",
+    "agg_rollup_priority_status",
+    "agg_cube_returnflag_linestatus",
+    "window_running_total",
 ]
 
 
