@@ -61,17 +61,6 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "
     )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
-    """Deterministic fake 'decode': dimensions + 4-dim feature from md5."""
-    import hashlib
-
-    h = hashlib.md5(payload or b"").digest()
-    width = int.from_bytes(h[0:2], "big") % 1024
-    height = int.from_bytes(h[2:4], "big") % 1024
-    feature = [round(b / 255.0, 6) for b in h[4:8]]
-    return width, height, feature
-
-
 def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     """Arrow-batched decode via ``mapInPandas``: payload → dims + feature.
 
@@ -81,6 +70,17 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     input row, binary column dropped on output) is the production shape.
     """
 
+    # nested (not module-level) so cloudpickle ships everything by value —
+    # executors need no importable copy of this package
+    def fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+        import hashlib
+
+        h = hashlib.md5(payload or b"").digest()
+        width = int.from_bytes(h[0:2], "big") % 1024
+        height = int.from_bytes(h[2:4], "big") % 1024
+        feature = [round(b / 255.0, 6) for b in h[4:8]]
+        return width, height, feature
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if not fake:
@@ -88,7 +88,7 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
                     "media decode requires PIL/ffmpeg; pass fake=True for the "
                     "deterministic stub decoder"
                 )
-            decoded = pdf["payload"].map(_fake_decode)
+            decoded = pdf["payload"].map(fake_decode)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

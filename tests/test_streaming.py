@@ -72,3 +72,50 @@ def test_session_windows_produce_bounded_sessions(spark, events_feed):
     assert result.filter(F.col("session_end") < F.col("session_start")).count() == 0
     # total events across sessions == total input events
     assert sum(r.n_events for r in rows) == batch_df.count()
+
+
+def test_stateful_profiles_carry_state_across_microbatches(spark, sf_dir, tmp_path):
+    from modware_loader_spark.streaming.stateful import user_profiles
+
+    ev = load_tables(spark, sf_dir)["events"].withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    # two separate files → maxFilesPerTrigger=1 forces two micro-batches
+    feed = str(tmp_path / "feed")
+    ev.filter("event_id % 2 = 0").coalesce(1).write.parquet(feed + "/a")
+    ev.filter("event_id % 2 = 1").coalesce(1).write.parquet(feed + "/b")
+    import glob, shutil, os
+    merged = str(tmp_path / "merged"); os.makedirs(merged)
+    for i, f in enumerate(sorted(glob.glob(feed + "/*/part-*"))):
+        shutil.copy(f, os.path.join(merged, f"f{i}.parquet"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(merged)
+    )
+    q = (
+        user_profiles(stream)
+        .writeStream.format("memory")
+        .queryName("profiles_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 2  # state crossed micro-batches
+    # latest emitted row per user must equal the batch ground truth
+    res = spark.table("profiles_t")
+    latest = {}
+    for r in res.collect():  # update mode appends one row per batch per key;
+        # counts are cumulative/monotone, so the final state is the max
+        cur = latest.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            latest[r.user_id] = (r.n_events, r.max_value)
+    truth = {
+        r.user_id: (r.n, r.mx)
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    got_final = {u: latest[u] for u in truth}
+    assert got_final == truth
