@@ -19,6 +19,7 @@ partition pruning on the read side.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -34,11 +35,31 @@ class ChadoCatalog:
         return os.path.join(self.root, table)
 
     def save(self, tables: dict[str, DataFrame]) -> None:
+        """Write each table with a write-aside + atomic swap.
+
+        A restored DataFrame is a lazy scan over this catalog's own parquet
+        directory; a direct ``mode("overwrite")`` on that directory deletes
+        the source files before the scan runs (FAILED_READ_FILE + data loss).
+        Writing to a ``.__tmp__`` sibling first fully materializes the new
+        data from the old files, then a directory rename swaps it in — the
+        old generation is only removed after the new one is in place.
+        """
         for name, df in tables.items():
+            target = self._path(name)
+            tmp = target + ".__tmp__"
+            old = target + ".__old__"
+            for leftover in (tmp, old):
+                if os.path.isdir(leftover):
+                    shutil.rmtree(leftover)
             writer = df.write.mode("overwrite")
             if name in self.partition_by:
                 writer = writer.partitionBy(*self.partition_by[name])
-            writer.parquet(self._path(name))
+            writer.parquet(tmp)
+            if os.path.isdir(target):
+                os.rename(target, old)
+            os.rename(tmp, target)
+            if os.path.isdir(old):
+                shutil.rmtree(old)
 
     def load(self, names: list[str]) -> dict[str, DataFrame]:
         out = {}

@@ -53,10 +53,17 @@ def sessionize(
     ts_col: str,
     gap_seconds: int,
     session_col: str = "session_id",
+    tie_break: Sequence[str] = (),
 ) -> DataFrame:
     """Gap-based sessions: a new session starts when the time since the
-    previous row (per key) exceeds ``gap_seconds``."""
-    w = Window.partitionBy(*partition_by).orderBy(F.col(ts_col).asc())
+    previous row (per key) exceeds ``gap_seconds``.
+
+    ``tie_break`` columns extend the per-key ordering so rows with duplicate
+    timestamps get a deterministic session assignment (without it the
+    lag/cumsum windows see an engine-dependent order on ties).
+    """
+    order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in tie_break]]
+    w = Window.partitionBy(*partition_by).orderBy(*order)
     epoch = F.col(ts_col).cast("timestamp").cast("long")
     prev = F.lag(epoch).over(w)
     is_new = F.when(prev.isNull() | (epoch - prev > gap_seconds), F.lit(1)).otherwise(F.lit(0))

@@ -393,7 +393,8 @@ def u6_fk_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), grouped AS (
       SELECT user_id, start_s, end_s,
              sum(is_new) OVER (PARTITION BY user_id ORDER BY start_s, end_s
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS interval_group
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS interval_group
       FROM flagged
     )
     SELECT user_id, interval_group,
@@ -496,7 +497,7 @@ def closure_transitive_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionization",
     """
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER w IS NULL
                     OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER w > 1800
                   THEN 1 ELSE 0 END AS is_new
@@ -504,8 +505,9 @@ def closure_transitive_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
       SELECT user_id, ts, value,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, count(*) AS n_events,
@@ -519,7 +521,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``modware_loader_spark.streaming``; same lag+cumsum windows as T1."""
     t = load_tables(spark, sf_dir)
     ev = t["events"].select("user_id", "ts", "value", "event_id")
-    sess = sessionize(ev, ["user_id"], "ts", 1800)
+    sess = sessionize(ev, ["user_id"], "ts", 1800, tie_break=["event_id"])
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2)

@@ -104,7 +104,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM th, LATERAL (SELECT unnest(generate_series(0, 31)) AS b) u
              GROUP BY 1, 2)
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+           sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
     FROM bits GROUP BY doc_id
     """,
 )
@@ -124,7 +124,7 @@ def dedup_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM th, LATERAL (SELECT unnest(generate_series(0, 31)) AS b) u
              GROUP BY 1, 2),
     fp AS (SELECT doc_id,
-             sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+             sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
            FROM bits GROUP BY doc_id)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
@@ -214,7 +214,8 @@ def similarity_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
     bk AS (SELECT vec_id, e,
              list_aggregate(list_transform(generate_series(1, 8),
-               i -> CASE WHEN e[i] > 0 THEN (1::BIGINT << (8 - i)) ELSE 0 END), 'sum') AS bucket
+               i -> CASE WHEN e[i] > 0 THEN (1::BIGINT << (8 - i)) ELSE 0 END), 'sum')::BIGINT
+               AS bucket
            FROM v),
     scored AS (SELECT a.vec_id AS query_id, a.bucket, b.vec_id AS target_id,
                  round(list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i]))

@@ -34,3 +34,22 @@ def test_persisted_catalog_continues_incremental_load(spark, tmp_path):
     # persisted feature table partitions prune on read (smoke: filter scan)
     feats = catalog.load(["feature"])["feature"]
     assert feats.filter("uniquename = 'Contig1'").count() == 1
+
+
+def test_resave_of_restored_tables_keeps_data(spark, tmp_path):
+    """Re-saving a restored (lazily self-reading) table must not destroy it.
+
+    A plain overwrite deletes the parquet files the restored plan still
+    scans; save() writes aside and swaps, so this round-trips losslessly
+    (the obo2chado/oboclosure2chado save-after-restore path)."""
+    catalog = ChadoCatalog(spark, str(tmp_path / "cat"))
+    df = spark.range(100).withColumnRenamed("id", "k")
+    catalog.save({"t": df})
+    restored = catalog.load(["t"])["t"]
+    # no materialization between load and save: restored still scans the dir
+    catalog.save({"t": restored})
+    assert catalog.load(["t"])["t"].count() == 100
+    # and a second generation with a derived plan over the same path
+    derived = catalog.load(["t"])["t"].filter("k < 50")
+    catalog.save({"t": derived})
+    assert catalog.load(["t"])["t"].count() == 50
