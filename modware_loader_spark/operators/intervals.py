@@ -47,6 +47,35 @@ def overlap_groups(
     ).drop("__new")
 
 
+def nonoverlap_chain_groups(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    start_col: str,
+    end_col: str,
+    group_col: str = "interval_group",
+) -> DataFrame:
+    """The reference's ``non_overlapping`` grouping
+    (``blast2chadogff3.pm:337-435``): within each key, the maximal chain of
+    mutually NON-overlapping intervals forms ONE group (group 0 — think
+    exons of a single tblastn match), while every interval that overlaps an
+    earlier one becomes its own singleton group.
+
+    The reference marks index ``y`` as overlapping iff some earlier sorted
+    interval ends past ``start_y`` — i.e. ``start_y < running_max(end)``
+    over preceding rows, one window over one sort. (Its edge-case of
+    dropping the chain when it is a single row among overlappers is a bug
+    we do not reproduce.)
+    """
+    order = [F.col(start_col).asc(), F.col(end_col).asc()]
+    w = Window.partitionBy(*partition_by).orderBy(*order)
+    prev_max_end = F.max(end_col).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    is_overlap = prev_max_end.isNotNull() & (F.col(start_col) < prev_max_end)
+    return df.withColumn(
+        group_col,
+        F.when(is_overlap, F.row_number().over(w)).otherwise(F.lit(0)).cast("bigint"),
+    )
+
+
 def sessionize(
     df: DataFrame,
     partition_by: Sequence[str],

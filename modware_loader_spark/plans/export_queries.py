@@ -6,12 +6,15 @@ Same determinism rules as ``driver_queries``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modware_loader_spark.functions import normalize_id
 from modware_loader_spark.operators.closure import transitive_closure
 from modware_loader_spark.operators.intervals import overlap_groups, sessionize
+from modware_loader_spark.plans.blast2gff3 import blast_report_to_gff3_rows
 from modware_loader_spark.plans.registry import query
 from modware_loader_spark.session import load_tables
 
@@ -555,4 +558,60 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_value"),
         )
+    )
+
+
+# --- S11 raw BLAST report → GFF3 (golden-fixture oracle) ---------------------
+
+_BLAST_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "fixtures",
+    "blastn_report.txt",
+)
+
+
+@query(
+    "s11_blast_report_gff3",
+    """
+    SELECT * FROM (VALUES
+      ('chr1', 'nucleotide_match', 101::BIGINT, 160::BIGINT, 1e-20::DOUBLE, 1,
+       'chr1.q1.1.0', NULL, NULL, NULL),
+      ('chr1', 'nucleotide_match', 871::BIGINT, 900::BIGINT, 1e-20::DOUBLE, -1,
+       'chr1.q1.-1.0', NULL, NULL, NULL),
+      ('chr2', 'nucleotide_match', 501::BIGINT, 530::BIGINT, 1e-05::DOUBLE, 1,
+       'chr2.q1.1.0', NULL, NULL, NULL),
+      ('chr2', 'nucleotide_match', 2001::BIGINT, 2040::BIGINT, 1e-110::DOUBLE, 1,
+       'chr2.q2.1.0', NULL, NULL, NULL),
+      ('chr1', 'match_part', 101::BIGINT, 160::BIGINT, 1e-20::DOUBLE, 1,
+       'chr1.q1.1.0.1', 'chr1.q1.1.0', 'q1 1 60 +', '60M'),
+      ('chr1', 'match_part', 871::BIGINT, 900::BIGINT, 2e-05::DOUBLE, -1,
+       'chr1.q1.-1.0.1', 'chr1.q1.-1.0', 'q1 61 89 +', '10M 2I 14M 1D 4M'),
+      ('chr2', 'match_part', 501::BIGINT, 530::BIGINT, 1e-05::DOUBLE, 1,
+       'chr2.q1.1.0.1', 'chr2.q1.1.0', 'q1 1 30 +', '30M'),
+      ('chr2', 'match_part', 2001::BIGINT, 2040::BIGINT, 1e-110::DOUBLE, 1,
+       'chr2.q2.1.0.1', 'chr2.q2.1.0', 'q2 1 40 +', '40M')
+    ) AS t(seq_id, type, start, "end", score, strand, id, parent, target, gap)
+    """,
+)
+def s11_blast_report_gff3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 end-to-end: raw BLAST text report (fixture) → parsed HSPs →
+    match/match_part GFF3 rows, flattened to scalar columns. The oracle is
+    the golden expected output of the fixture — the same golden-fixture
+    style as the reference's own tests (``t/lib/ChadoGFF3.pm:120-162``).
+    Parser: ``sources/blast.py`` (Bio::SearchIO text parity,
+    ``blast2chadogff3.pm:191-233``)."""
+    rows = blast_report_to_gff3_rows(spark, _BLAST_FIXTURE)
+    attr = lambda k: F.element_at(F.col("attributes"), k).getItem(0)  # noqa: E731
+    return rows.select(
+        "seq_id",
+        "type",
+        "start",
+        "end",
+        "score",
+        "strand",
+        attr("ID").alias("id"),
+        attr("Parent").alias("parent"),
+        attr("Target").alias("target"),
+        attr("Gap").alias("gap"),
     )
