@@ -1,0 +1,372 @@
+"""gb2chado equivalent (S5 completion): GenBank record → GFF3-shaped
+feature rows → the SAME staging/merge machinery as the GFF3 load.
+
+Reference: ``lib/Modware/Loader/Genome/GenBank.pm:384-780`` —
+``load_scaffold`` creates the reference feature (residues/md5/seqlen,
+nuclear/mitochondrial featureprop, GenBank dbxref), then
+``load_canonical_features`` walks the feature table with a FeatureStack:
+each ``gene`` opens a stack, ``*RNA`` rows join it as transcripts, ``CDS``
+rows as polypeptides; ``load_gene``/``load_transcript``/``load_exon``/
+``load_polypeptide`` (``:531-780``) emit rows with part_of/derives_from
+relationships, 0-based interbase featureloc, spliced/translated residues.
+``load_mitochondrial_features`` (``:494-529``) additionally clones each
+CDS as its mRNA.
+
+Spark shape: the row-at-a-time FeatureStack becomes window functions over
+the feature ordinal — "current gene" is a running ``last`` over document
+order, transcript/CDS pairing is a per-gene ``row_number`` (the
+reference's ``feature_position``). Everything lands in the GFF3 loader's
+staging DataFrames, so the merge (M1/M5/M11/M13), golden-count contract
+and catalog persistence are shared code, not a parallel pipeline.
+
+Deliberate deviations (documented):
+- accessions come from deterministic ordinals, not ``nextval`` (same
+  M13 treatment as the GFF3 loader);
+- exon uniquenames are ``<transcript>.e<N>`` instead of ``auto<seq>``
+  (deterministic; the reference's are sequence-dependent anyway).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from modware_loader_spark.plans.gff3_load import ChadoGFF3Loader
+from modware_loader_spark.sources.genbank import parse_genbank
+
+
+def _revcomp(col):
+    return F.translate(F.reverse(col), "ACGTacgt", "TGCAtgca")
+
+
+def _attrs(**kv) -> F.Column:
+    """attributes map<string,array<string>> from key → Column-of-string
+    (wrapped) or Column-of-array entries; null values dropped."""
+    entries = []
+    for k, v in kv.items():
+        entries.append(
+            F.when(v.isNotNull(), F.struct(F.lit(k).alias("key"), v.alias("value")))
+        )
+    return F.map_from_entries(
+        F.filter(F.array(*entries), lambda e: e.isNotNull())
+    )
+
+
+def genbank_to_gff3_rows(
+    parsed: dict,
+    reference_type: str = "supercontig",
+    id_prefix: str = "GB",
+    mitochondrial: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """(features, sequences) shaped exactly like ``parse_gff3`` output, so
+    ``ChadoGFF3Loader._build_staging`` consumes them unchanged."""
+    meta = parsed["metadata"]
+    locus = meta.get("locus_name", "unknown")
+    seqlen = int(meta.get("seq_length", 0) or 0)
+    feats = parsed["features"]
+    spark = feats.sparkSession
+    scaffold_seq = parsed["sequence"]
+
+    genome_prop = "mitochondrial_DNA" if mitochondrial else "nuclear_sequence"
+    arr = lambda c: F.array(c)  # noqa: E731
+    sarr = lambda s: F.array(F.lit(s))  # noqa: E731
+
+    # --- scaffold (load_scaffold, :384-447) -------------------------------
+    # seq_id is blank: the reference creates NO featureloc for the scaffold
+    # itself, and the loader's srcfeature-resolution inner join drops
+    # featureloc rows whose seqid matches no feature.
+    scaffold = spark.range(1).select(
+        F.lit("").alias("seq_id"),
+        F.lit("genbank").alias("source"),
+        F.lit(reference_type).alias("type"),
+        F.lit(1).cast("long").alias("start"),
+        F.lit(seqlen).cast("long").alias("end"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("string").alias("strand"),
+        F.lit(None).cast("int").alias("phase"),
+        _attrs(
+            ID=sarr(locus),
+            Name=sarr(locus),
+            Dbxref=sarr(f"GenBank:{locus}"),
+            **{genome_prop: sarr("1")},
+        ).alias("attributes"),
+        F.lit(0).cast("long").alias("line_idx"),
+    )
+
+    # --- the FeatureStack as window functions -----------------------------
+    q = F.col("qualifiers")
+    first_q = lambda key: F.element_at(q, key).getItem(0)  # noqa: E731
+    w_doc = Window.orderBy("feat_id").rowsBetween(Window.unboundedPreceding, 0)
+    is_gene = F.col("feature_key") == "gene"
+    is_rna = F.col("feature_key").rlike("RNA$")
+    is_cds = F.col("feature_key") == "CDS"
+
+    body = (
+        feats.filter(is_gene | is_rna | is_cds)
+        .withColumn(
+            # gene uniquename: locus_tag else gene tag (load_gene :535-549)
+            "gene_uq",
+            F.last(
+                F.when(is_gene, F.coalesce(first_q("locus_tag"), first_q("gene"))),
+                ignorenulls=True,
+            ).over(w_doc),
+        )
+        .withColumn(
+            "gene_name",
+            F.last(
+                F.when(is_gene, F.coalesce(first_q("gene"), first_q("locus_tag"))),
+                ignorenulls=True,
+            ).over(w_doc),
+        )
+        .withColumn(
+            "gene_strand",
+            F.last(F.when(is_gene, F.col("strand")), ignorenulls=True).over(w_doc),
+        )
+        .filter(F.col("gene_uq").isNotNull())
+        .localCheckpoint()
+    )
+
+    strand_str = lambda c: F.when(c == -1, "-").otherwise("+")  # noqa: E731
+
+    genes = body.filter(is_gene).select(
+        F.lit(locus).alias("seq_id"),
+        F.lit("genbank").alias("source"),
+        F.lit("gene").alias("type"),
+        "start",
+        "end",
+        F.lit(None).cast("double").alias("score"),
+        strand_str(F.col("strand")).alias("strand"),
+        F.lit(None).cast("int").alias("phase"),
+        _attrs(
+            ID=arr(F.col("gene_uq")),
+            Name=arr(F.col("gene_name")),
+            Parent=arr(F.lit(locus)),
+            Dbxref=F.element_at(q, "db_xref"),
+            note=F.element_at(q, "note"),
+        ).alias("attributes"),
+        F.col("feat_id").alias("line_idx"),
+    )
+
+    # transcripts: mito mode clones each CDS as its mRNA (:494-529)
+    if mitochondrial:
+        raw_tr = body.filter(is_cds).withColumn(
+            "feature_key", F.lit("mRNA")
+        ).withColumn("strand", F.col("gene_strand"))
+    else:
+        raw_tr = body.filter(is_rna)
+    w_tr = Window.partitionBy("gene_uq").orderBy("feat_id")
+    transcripts = raw_tr.withColumn("tpos", F.row_number().over(w_tr) - 1).withColumn(
+        # locus_tag.tNN else deterministic accession (:609-616)
+        "tr_uq",
+        F.when(
+            first_q("locus_tag").isNotNull(),
+            F.concat(
+                first_q("locus_tag"), F.lit(".t"), F.format_string("%02d", F.col("tpos"))
+            ),
+        ).otherwise(F.concat(F.lit(id_prefix), F.col("feat_id"))),
+    ).localCheckpoint()
+
+    tr_rows = transcripts.select(
+        F.lit(locus).alias("seq_id"),
+        F.lit("genbank").alias("source"),
+        F.col("feature_key").alias("type"),
+        "start",
+        "end",
+        F.lit(None).cast("double").alias("score"),
+        strand_str(F.col("strand")).alias("strand"),
+        F.lit(None).cast("int").alias("phase"),
+        _attrs(
+            ID=arr(F.col("tr_uq")),
+            Name=arr(F.col("tr_uq")),
+            Parent=arr(F.col("gene_uq")),
+            Dbxref=F.element_at(q, "db_xref"),
+            note=F.element_at(q, "note"),
+            product=F.element_at(q, "product"),
+        ).alias("attributes"),
+        F.col("feat_id").alias("line_idx"),
+    )
+
+    # exons: one per location segment of the transcript (:676-731)
+    segs = transcripts.select(
+        "tr_uq",
+        "strand",
+        "feat_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("location"), F.lit(r"(\d+\.\.\d+|\d+)"), 1
+            )
+        ).alias("seg_n", "seg"),
+    ).select(
+        "tr_uq",
+        "strand",
+        "feat_id",
+        "seg_n",
+        F.split("seg", r"\.\.").getItem(0).cast("long").alias("seg_start"),
+        F.coalesce(
+            F.split("seg", r"\.\.").getItem(1).cast("long"),
+            F.split("seg", r"\.\.").getItem(0).cast("long"),
+        ).alias("seg_end"),
+    )
+    exon_rows = segs.select(
+        F.lit(locus).alias("seq_id"),
+        F.lit("genbank").alias("source"),
+        F.lit("exon").alias("type"),
+        F.col("seg_start").alias("start"),
+        F.col("seg_end").alias("end"),
+        F.lit(None).cast("double").alias("score"),
+        strand_str(F.col("strand")).alias("strand"),
+        F.lit(None).cast("int").alias("phase"),
+        _attrs(
+            ID=arr(F.concat(F.col("tr_uq"), F.lit(".e"), F.col("seg_n"))),
+            Parent=arr(F.col("tr_uq")),
+        ).alias("attributes"),
+        (F.col("feat_id") * 100 + F.col("seg_n")).alias("line_idx"),
+    )
+
+    # polypeptides: CDS at position i pairs with transcript i (:692-704,
+    # feature_position) — derives_from, translation residues (:723-741)
+    w_cds = Window.partitionBy("gene_uq").orderBy("feat_id")
+    polys = (
+        body.filter(is_cds)
+        .withColumn("ppos", F.row_number().over(w_cds) - 1)
+        .withColumn(
+            "pp_uq",
+            F.when(
+                first_q("locus_tag").isNotNull(),
+                F.concat(
+                    first_q("locus_tag"), F.lit(".p"),
+                    F.format_string("%02d", F.col("ppos")),
+                ),
+            ).otherwise(F.concat(F.lit(id_prefix), F.lit("P"), F.col("feat_id"))),
+        )
+        .join(
+            transcripts.select("gene_uq", F.col("tpos").alias("ppos"), "tr_uq"),
+            ["gene_uq", "ppos"],
+            "left",
+        )
+        .localCheckpoint()
+    )
+    # blank seq_id: the reference's load_polypeptide sets NO featureloc
+    # (:723-780 — location is inferred from the CDS at export time)
+    poly_rows = polys.select(
+        F.lit("").alias("seq_id"),
+        F.lit("genbank").alias("source"),
+        F.lit("polypeptide").alias("type"),
+        "start",
+        "end",
+        F.lit(None).cast("double").alias("score"),
+        strand_str(F.col("strand")).alias("strand"),
+        F.lit(None).cast("int").alias("phase"),
+        _attrs(
+            ID=arr(F.col("pp_uq")),
+            Name=arr(F.col("pp_uq")),
+            Derives_from=arr(F.coalesce(F.col("tr_uq"), F.col("gene_uq"))),
+            Dbxref=F.element_at(q, "db_xref"),
+            product=F.element_at(q, "product"),
+            protein_id=F.element_at(q, "protein_id"),
+        ).alias("attributes"),
+        (F.col("feat_id") * 100 + 99).alias("line_idx"),
+    )
+
+    features_out = (
+        scaffold.unionByName(genes)
+        .unionByName(tr_rows)
+        .unionByName(exon_rows)
+        .unionByName(poly_rows)
+    )
+
+    # --- residues (sequences DF keyed by feature id) ----------------------
+    scaffold_named = scaffold_seq.select(
+        F.lit(locus).alias("seq_id"), F.col("sequence")
+    )
+    ref_seq = F.broadcast(scaffold_named)
+    gene_seq = (
+        body.filter(is_gene)
+        .crossJoin(ref_seq.select(F.col("sequence").alias("__ref")))
+        .select(
+            F.col("gene_uq").alias("seq_id"),
+            F.expr("substring(__ref, start, end - start + 1)").alias("__sub"),
+            "strand",
+        )
+        .select(
+            "seq_id",
+            F.when(F.col("strand") == -1, _revcomp(F.col("__sub")))
+            .otherwise(F.col("__sub"))
+            .alias("sequence"),
+        )
+    )
+    # transcript spliced seq: ordered segment substrings concatenated,
+    # revcomp on minus strand (BioPerl spliced_seq, :633-637)
+    tr_seq = (
+        segs.crossJoin(ref_seq.select(F.col("sequence").alias("__ref")))
+        .withColumn(
+            "piece", F.expr("substring(__ref, seg_start, seg_end - seg_start + 1)")
+        )
+        .groupBy("tr_uq", "strand")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_n", "piece"))),
+                    lambda s: s.piece,
+                ),
+                "",
+            ).alias("__joined")
+        )
+        .select(
+            F.col("tr_uq").alias("seq_id"),
+            F.when(F.col("strand") == -1, _revcomp(F.col("__joined")))
+            .otherwise(F.col("__joined"))
+            .alias("sequence"),
+        )
+    )
+    poly_seq = polys.filter(
+        F.element_at(q, "translation").isNotNull()
+    ).select(
+        F.col("pp_uq").alias("seq_id"),
+        F.regexp_replace(first_q("translation"), r"\s+", "").alias("sequence"),
+    )
+    sequences_out = (
+        scaffold_named.unionByName(gene_seq)
+        .unionByName(tr_seq)
+        .unionByName(poly_seq)
+    )
+    return features_out, sequences_out
+
+
+class GenBankChadoLoader:
+    """gb2chado / gbassembly2chado: thin front-end over ChadoGFF3Loader —
+    the staging/merge/catalog machinery is shared, only the row shaping is
+    GenBank-specific."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        organism_id: int = 1,
+        reference_type: str = "supercontig",
+        id_prefix: str = "GB",
+        mitochondrial: bool = False,
+    ):
+        self.spark = spark
+        self.reference_type = reference_type
+        self.id_prefix = id_prefix
+        self.mitochondrial = mitochondrial
+        self.gff3 = ChadoGFF3Loader(spark, organism_id=organism_id)
+
+    @property
+    def tables(self):
+        return self.gff3.tables
+
+    @property
+    def dims(self):
+        return self.gff3.dims
+
+    def load_file(self, path: str) -> dict[str, int]:
+        parsed = parse_genbank(self.spark, path)
+        features, sequences = genbank_to_gff3_rows(
+            parsed,
+            reference_type=self.reference_type,
+            id_prefix=self.id_prefix,
+            mitochondrial=self.mitochondrial,
+        )
+        staging = self.gff3._build_staging(features, sequences)
+        return self.gff3._merge(staging)

@@ -40,12 +40,13 @@ def parse_genbank(spark: SparkSession, path: str) -> dict:
     ).first()
 
     features = spark.createDataFrame(
-        [], "feature_key string, location string, start long, end long, "
-            "strand int, qualifiers map<string,string>"
+        [], "feat_id long, feature_key string, location string, start long, "
+            "end long, strand int, qualifiers map<string,array<string>>"
     )
     if bounds.f is not None and bounds.o is not None:
         fl = lines.filter((F.col("idx") > bounds.f) & (F.col("idx") < bounds.o))
         is_feat = F.col("line").rlike(r"^ {5}\S")
+        is_qual = F.col("line").rlike(r"^ {21}/[\w-]+")
         w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
         tagged = (
             fl.withColumn("feat_id", F.sum(is_feat.cast("int")).over(w))
@@ -57,38 +58,80 @@ def parse_genbank(spark: SparkSession, path: str) -> dict:
                     ignorenulls=True,
                 ).over(w),
             )
+            # qual_id 0 = the location (key line + its continuations);
+            # each /qualifier starts a new group and may wrap onto
+            # continuation lines (translation= spans many)
+            .withColumn(
+                "qual_id",
+                F.sum(is_qual.cast("int")).over(
+                    Window.partitionBy("feat_id")
+                    .orderBy("idx")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
         )
-        locs = tagged.filter(is_feat).select(
-            "feat_id",
-            "feature_key",
-            F.trim(F.regexp_extract("line", r"^ {5}\S+\s+(.*)$", 1)).alias("location"),
+        locs = (
+            tagged.filter(F.col("qual_id") == 0)
+            .groupBy("feat_id", "feature_key")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                        lambda s: F.trim(
+                            F.regexp_replace(s.line, r"^ {5}\S+\s+", "")
+                        ),
+                    ),
+                    "",
+                ).alias("location")
+            )
         )
-        quals = (
-            tagged.filter(F.col("line").rlike(r"^ {21}/[\w-]+="))
+        qtexts = (
+            tagged.filter(F.col("qual_id") > 0)
+            .groupBy("feat_id", "qual_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                        lambda s: F.trim(s.line),
+                    ),
+                    " ",
+                ).alias("qtext")
+            )
             .select(
                 "feat_id",
-                F.regexp_extract("line", r"/([\w-]+)=", 1).alias("qk"),
+                "qual_id",
+                F.regexp_extract("qtext", r"^/([\w-]+)", 1).alias("qk"),
                 F.regexp_replace(
-                    F.regexp_extract("line", r"=(.*)$", 1), r'^"|"$', ""
+                    F.regexp_replace("qtext", r"^/[\w-]+=?\s?", ""), r'^"|"$', ""
                 ).alias("qv"),
+            )
+        )
+        quals = (
+            qtexts.groupBy("feat_id", "qk")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("qual_id", "qv"))),
+                    lambda s: s.qv,
+                ).alias("qvs")
             )
             .groupBy("feat_id")
             .agg(
                 F.map_from_entries(
-                    F.collect_list(F.struct(F.col("qk"), F.col("qv")))
+                    F.collect_list(F.struct(F.col("qk"), F.col("qvs")))
                 ).alias("qualifiers")
             )
         )
-        span = F.regexp_extract("location", r"(\d+)\.\.(\d+)", 1)
-        span_end = F.regexp_extract("location", r"(\d+)\.\.(\d+)", 2)
+        nums = F.regexp_extract_all(F.col("location"), F.lit(r"(\d+)"), 1)
         features = (
             locs.join(quals, "feat_id", "left")
             .select(
+                "feat_id",
                 "feature_key",
                 "location",
-                F.when(span != "", span).cast("long").alias("start"),
-                F.when(span_end != "", span_end).cast("long").alias("end"),
-                F.when(F.col("location").startswith("complement"), -1)
+                # span = min..max over every segment (join/complement forms)
+                F.element_at(nums, 1).cast("long").alias("start"),
+                F.element_at(nums, -1).cast("long").alias("end"),
+                F.when(F.col("location").contains("complement"), -1)
                 .otherwise(1)
                 .cast("int")
                 .alias("strand"),
