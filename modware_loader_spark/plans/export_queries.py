@@ -615,3 +615,106 @@ def s11_blast_report_gff3(spark: SparkSession, sf_dir: str) -> DataFrame:
         attr("Target").alias("target"),
         attr("Gap").alias("gap"),
     )
+
+
+# --- S5 GenBank → Chado load (golden-fixture oracle) -------------------------
+
+_GENBANK_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "fixtures",
+    "mini.genbank",
+)
+
+
+@query(
+    "s5_genbank_load_features",
+    """
+    SELECT * FROM (VALUES
+      ('SCF0001', 'SCF0001', 'supercontig', 360::BIGINT, NULL::BIGINT, NULL::BIGINT, NULL::INT),
+      ('DDB_G0001', 'abcA', 'gene', 270::BIGINT, 10::BIGINT, 280::BIGINT, 1),
+      ('DDB_G0001.t00', 'DDB_G0001.t00', 'mRNA', 220::BIGINT, 10::BIGINT, 280::BIGINT, 1),
+      ('DDB_G0002', 'DDB_G0002', 'gene', 40::BIGINT, 300::BIGINT, 340::BIGINT, -1),
+      ('DDB_G0002.t00', 'DDB_G0002.t00', 'tRNA', 40::BIGINT, 300::BIGINT, 340::BIGINT, -1),
+      ('DDB_G0001.t00.e0', NULL, 'exon', NULL::BIGINT, 10::BIGINT, 100::BIGINT, 1),
+      ('DDB_G0001.t00.e1', NULL, 'exon', NULL::BIGINT, 150::BIGINT, 280::BIGINT, 1),
+      ('DDB_G0001.p00', 'DDB_G0001.p00', 'polypeptide', 50::BIGINT, NULL::BIGINT, NULL::BIGINT, NULL::INT),
+      ('DDB_G0002.t00.e0', NULL, 'exon', NULL::BIGINT, 300::BIGINT, 340::BIGINT, -1)
+    ) AS t(uniquename, fname, ftype, seqlen, fmin, fmax, strand)
+    """,
+)
+def s5_genbank_load_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 end-to-end: GenBank fixture → gb2chado load → feature table with
+    resolved type names + interbase featureloc. Golden VALUES oracle, same
+    style as s11 (reference: ``lib/Modware/Loader/Genome/GenBank.pm:
+    384-780``; pipeline: ``plans/genbank_load.py``)."""
+    from modware_loader_spark.plans.genbank_load import GenBankChadoLoader
+
+    ldr = GenBankChadoLoader(spark)
+    ldr.load_file(_GENBANK_FIXTURE)
+    types = ldr.dims["cvterm"].select(
+        F.col("cvterm_id").alias("type_id"), F.col("name").alias("ftype")
+    )
+    locs = ldr.tables["featureloc"].select("feature_id", "fmin", "fmax", "strand")
+    return (
+        ldr.tables["feature"]
+        .join(F.broadcast(types), "type_id", "left")
+        .join(locs, "feature_id", "left")
+        .select(
+            "uniquename",
+            F.col("name").alias("fname"),
+            "ftype",
+            "seqlen",
+            "fmin",
+            "fmax",
+            "strand",
+        )
+    )
+
+
+# --- S13 bibtex2chado pub load (golden-fixture oracle) -----------------------
+
+_BIBTEX_FIXTURE = "/root/reference/t/test_data/literature/test.bib"
+
+
+@query(
+    "s13_bibtex2chado_pub",
+    """
+    SELECT * FROM (VALUES
+      ('20443635', 'journal_article', 'PubMed', '2010', '9', '3495-510', 4::BIGINT, 5::BIGINT),
+      ('20504816', 'journal_article', 'PubMed', '2010', '6', '800-2', 3::BIGINT, 5::BIGINT),
+      ('3187', 'unpublished', 'ENDNOTE', '2002', '43', '1477-1480', 7::BIGINT, 0::BIGINT),
+      ('11067', 'unpublished', 'CURATOR', NULL, NULL, NULL, 1::BIGINT, 1::BIGINT),
+      ('0000004', 'unpublished', 'GO_REF', '2000', NULL, NULL, 1::BIGINT, 1::BIGINT)
+    ) AS t(uniquename, pub_type, pubplace, pyear, volume, pages, n_authors, n_props)
+    """,
+)
+def s13_bibtex2chado_pub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 end-to-end: BibTeX fixture → pub/pubauthor/pubprop load →
+    per-pub summary. Golden VALUES oracle mirroring the reference's own
+    golden counts (``t/loader/bibtex2chado.t``: 5 pubs / 16 authors /
+    12 pubprops; pipeline ``plans/bibtex_load.py``)."""
+    from modware_loader_spark.plans.bibtex_load import load_bibtex_pubs
+
+    t = load_bibtex_pubs(spark, _BIBTEX_FIXTURE)
+    types = F.broadcast(
+        t["cvterm"].select(F.col("cvterm_id").alias("type_id"), F.col("name").alias("pub_type"))
+    )
+    n_auth = t["pubauthor"].groupBy("pub_id").agg(F.count(F.lit(1)).alias("n_authors"))
+    n_prop = t["pubprop"].groupBy("pub_id").agg(F.count(F.lit(1)).alias("n_props"))
+    return (
+        t["pub"]
+        .join(types, "type_id")
+        .join(n_auth, "pub_id", "left")
+        .join(n_prop, "pub_id", "left")
+        .select(
+            "uniquename",
+            "pub_type",
+            "pubplace",
+            "pyear",
+            "volume",
+            "pages",
+            F.coalesce("n_authors", F.lit(0)).alias("n_authors"),
+            F.coalesce("n_props", F.lit(0)).alias("n_props"),
+        )
+    )

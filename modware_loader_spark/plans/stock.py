@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from modware_loader_spark.sources.tsv_stock import parse_strains
+from modware_loader_spark.sources.tsv_stock import parse_plasmids, parse_strains
 
 PROP_COLUMNS = ["strain_id", "prop_type", "prop_value"]
 
@@ -84,4 +84,63 @@ def write_stock_tsv(df: DataFrame, path: str) -> None:
         .write.mode("overwrite")
         .option("sep", "\t")
         .csv(path)
+    )
+
+
+# --- dictyplasmid (reference ``lib/Modware/Dump/Command/dictyplasmid.pm``) ---
+
+PLASMID_PROP_COLUMNS = ["plasmid_id", "prop_type", "prop_value"]
+
+
+def load_plasmids(
+    spark: SparkSession, plasmid_path: str, props_path: str | None = None
+) -> dict[str, DataFrame]:
+    """→ {plasmids, props, invalid}: trimmed plasmid rows + typed props.
+
+    Mirrors ``dictyplasmid.pm:36-55``: DBP%07d ids (fixture rows carry
+    them pre-minted), name/description trimmed. The publications/
+    inventory/genbank sub-dumps need legacy tables absent from the
+    fixtures; props (depositor/keyword/synonym) stand in for them here."""
+    valid, invalid = parse_plasmids(spark, plasmid_path)
+    plasmids = valid.select(
+        "plasmid_id",
+        F.trim("plasmid_name").alias("plasmid_name"),
+        F.coalesce(F.trim("plasmid_descr"), F.lit("")).alias("plasmid_descr"),
+    )
+    if props_path:
+        raw = spark.read.option("sep", "\t").csv(props_path).toDF(*PLASMID_PROP_COLUMNS)
+        props = raw.filter(F.col("plasmid_id").rlike(r"^DBP[0-9]{7}"))
+    else:
+        props = spark.createDataFrame(
+            [], "plasmid_id string, prop_type string, prop_value string"
+        )
+    return {"plasmids": plasmids, "props": props, "invalid": invalid}
+
+
+def dump_plasmids(plasmids: DataFrame, props: DataFrame) -> DataFrame:
+    """dictyplasmid dump rows: DBP id, name, description, depositor,
+    pipe-joined keywords, pipe-joined synonyms (``dictyplasmid.pm:47-55``
+    plasmid file + the props sub-dump)."""
+
+    def agg_prop(ptype: str, out: str) -> DataFrame:
+        return (
+            props.filter(F.col("prop_type") == ptype)
+            .groupBy("plasmid_id")
+            .agg(
+                F.concat_ws("|", F.array_sort(F.collect_list("prop_value"))).alias(out)
+            )
+        )
+
+    return (
+        plasmids.join(F.broadcast(agg_prop("depositor", "depositor")), "plasmid_id", "left")
+        .join(F.broadcast(agg_prop("keyword", "keywords")), "plasmid_id", "left")
+        .join(F.broadcast(agg_prop("synonym", "synonyms")), "plasmid_id", "left")
+        .select(
+            "plasmid_id",
+            "plasmid_name",
+            "plasmid_descr",
+            F.coalesce("depositor", F.lit("")).alias("depositor"),
+            F.coalesce("keywords", F.lit("")).alias("keywords"),
+            F.coalesce("synonyms", F.lit("")).alias("synonyms"),
+        )
     )
