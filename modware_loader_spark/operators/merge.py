@@ -107,11 +107,21 @@ def except_insert(candidates: DataFrame, existing: DataFrame) -> DataFrame:
     """M6 — set-difference before insert (idempotent append).
 
     The reference uses set-semantics EXCEPT (``share/postgresql.lib:221-223``,
-    Oracle MINUS) — so ``.exceptAll`` would be wrong; this is ``.distinct``
-    + full-row anti-join, which Catalyst plans as a single left-anti
-    sort-merge (or broadcast) join.
+    Oracle MINUS) — so ``.exceptAll`` would be wrong. SQL EXCEPT also
+    treats NULLs as equal, which a plain anti-join's ``=`` does not —
+    candidate rows with a NULL column would be re-inserted on every run,
+    breaking idempotency — so the anti-join condition is built with
+    null-safe equality (Catalyst still plans a single left-anti join).
     """
-    return candidates.distinct().join(existing, list(candidates.columns), "left_anti")
+    cols = list(candidates.columns)
+    ex = existing.select(*cols)
+    for c in cols:
+        ex = ex.withColumnRenamed(c, f"__ex_{c}")
+    cond = None
+    for c in cols:
+        eq = candidates[c].eqNullSafe(ex[f"__ex_{c}"])
+        cond = eq if cond is None else cond & eq
+    return candidates.distinct().join(ex, cond, "left_anti")
 
 
 def closure_refresh_delete(live: DataFrame, staging_proj: DataFrame) -> DataFrame:

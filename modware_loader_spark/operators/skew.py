@@ -38,7 +38,17 @@ def salted_join(
 
     Use when the build side is too big to broadcast but small enough to
     replicate ``salt``× (dim tables with hot fact keys).
+
+    Only ``inner`` and ``left`` joins are row-identical to the plain
+    join: with right/full outer, every unmatched (replicated) build row
+    would be emitted ``salt`` times.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left only (got {how!r}): the build "
+            "side is replicated, so outer variants emit unmatched build "
+            "rows once per salt bucket"
+        )
     keys = list(keys)
     f = fact.withColumn("__salt", _fact_salt(fact, salt))
     b = build.withColumn(
