@@ -304,6 +304,35 @@ class ChadoOntologyLoader:
         counts["deleted_terms"] = term_delete.count()
         self.tables["cvterm"] = cvterm.join(term_delete.select("cvterm_id"), "cvterm_id", "left_anti")
         self.tables["dbxref"] = dbxref.join(term_delete.select("dbxref_id"), "dbxref_id", "left_anti")
+        # Chado declares ON DELETE CASCADE on every cvterm/dbxref FK — the
+        # reference's single DELETE implicitly removes dependents; emulate
+        # it or pruned terms leave dangling child rows.
+        del_ids = term_delete.select("cvterm_id")
+        self.tables["cvtermsynonym"] = self.tables["cvtermsynonym"].join(
+            del_ids, "cvterm_id", "left_anti"
+        )
+        self.tables["cvtermprop"] = self.tables["cvtermprop"].join(
+            del_ids, "cvterm_id", "left_anti"
+        )
+        rel = self.tables["cvterm_relationship"]
+        for fk in ("subject_id", "object_id", "type_id"):
+            rel = rel.join(
+                del_ids.withColumnRenamed("cvterm_id", fk), fk, "left_anti"
+            )
+        self.tables["cvterm_relationship"] = rel
+        self.tables["cvterm_dbxref"] = (
+            self.tables["cvterm_dbxref"]
+            .join(del_ids, "cvterm_id", "left_anti")
+            .join(term_delete.select("dbxref_id"), "dbxref_id", "left_anti")
+        )
+        if "cvtermpath" in self.tables:
+            path = self.tables["cvtermpath"]
+            for fk in ("subject_id", "object_id", "type_id"):
+                if fk in path.columns:
+                    path = path.join(
+                        del_ids.withColumnRenamed("cvterm_id", fk), fk, "left_anti"
+                    )
+            self.tables["cvtermpath"] = path
 
         # 2. existing terms (M2) + SCD-1 update (M8)
         keyed = self.tables["cvterm"].join(self.tables["dbxref"], "dbxref_id").select(
@@ -369,6 +398,12 @@ class ChadoOntologyLoader:
             upd_alt.select(F.col("alt_id").alias("accession"), F.col("alt_db_id").alias("db_id")),
             ["accession", "db_id"],
             "left_anti",
+        )
+        # cascade: drop link rows whose dbxref row was just deleted —
+        # without this, re-minted alt dbxref_ids leave the old links
+        # dangling and duplicate links accumulate on every reload
+        self.tables["cvterm_dbxref"] = self.tables["cvterm_dbxref"].join(
+            self.tables["dbxref"].select("dbxref_id"), "dbxref_id", "left_semi"
         )
         self._insert_dbxref_rows(
             upd_alt.select(F.col("alt_id").alias("accession"), F.col("alt_db_id").alias("db_id"))
@@ -531,3 +566,63 @@ class ChadoOntologyLoader:
             )
             out = out.join(typ, "type_id", "left_semi")
         return out.count()
+
+
+def drop_ontology(
+    loader: ChadoOntologyLoader, namespace: str, partial: bool = False
+) -> dict[str, int]:
+    """dropontofromchado equivalent: delete a whole cv namespace.
+
+    Reference: ``lib/Modware/Load/Command/dropontofromchado.pm`` +
+    ``Modware::Loader::Ontology::Manager::delete_ontology`` — look up the
+    cv by exact name (or prefix when ``partial``), delete its cvterms
+    (the RDBMS cascades to relationship/synonym/prop/dbxref-link rows —
+    emulated here with anti-joins) and then sweep dbxrefs no cvterm
+    references anymore (``delete_dbxrefs``). The cv row and its cvprop
+    metadata stay, exactly like the reference — reloading the same file
+    afterwards needs ``force=True`` past the version gate.
+    """
+    t = loader.tables
+    cv = t["cv"].filter(
+        F.col("name").startswith(namespace) if partial else F.col("name") == namespace
+    )
+    cv_ids = cv.select("cv_id")
+    if cv_ids.isEmpty():
+        return {"dropped_cvterms": 0, "dropped_dbxrefs": 0}
+
+    doomed = t["cvterm"].join(F.broadcast(cv_ids), "cv_id", "left_semi")
+    doomed_ids = doomed.select("cvterm_id").localCheckpoint()
+    n_terms = doomed_ids.count()
+
+    t["cvterm"] = t["cvterm"].join(doomed_ids, "cvterm_id", "left_anti").localCheckpoint()
+    for child, fks in (
+        ("cvtermsynonym", ["cvterm_id"]),
+        ("cvtermprop", ["cvterm_id"]),
+        ("cvterm_dbxref", ["cvterm_id"]),
+        ("cvterm_relationship", ["subject_id", "object_id", "type_id"]),
+    ):
+        out = t[child]
+        for fk in fks:
+            out = out.join(
+                doomed_ids.withColumnRenamed("cvterm_id", fk), fk, "left_anti"
+            )
+        t[child] = out.localCheckpoint()
+    if "cvtermpath" in t:
+        path = t["cvtermpath"]
+        for fk in ("subject_id", "object_id", "type_id"):
+            if fk in path.columns:
+                path = path.join(
+                    doomed_ids.withColumnRenamed("cvterm_id", fk), fk, "left_anti"
+                )
+        t["cvtermpath"] = path.localCheckpoint()
+
+    # delete_dbxrefs: sweep dbxrefs referenced by no remaining cvterm or
+    # cvterm_dbxref link
+    referenced = (
+        t["cvterm"].select("dbxref_id")
+        .unionByName(t["cvterm_dbxref"].select("dbxref_id"))
+        .distinct()
+    )
+    before = t["dbxref"].count()
+    t["dbxref"] = t["dbxref"].join(referenced, "dbxref_id", "left_semi").localCheckpoint()
+    return {"dropped_cvterms": n_terms, "dropped_dbxrefs": before - t["dbxref"].count()}

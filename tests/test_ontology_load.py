@@ -64,6 +64,36 @@ def test_eco_v2_then_v1_update(spark, obo_dir):
         ), acc
     assert counts["new_relationships"] > 0
 
+    # FK-cascade emulation (Chado ON DELETE CASCADE): no dangling child
+    # rows after prune/refresh, and a same-file reload must not grow any
+    # dependent table (idempotent alt-id refresh — no re-minted dup links)
+    def dangling(loader):
+        term_ids = loader.tables["cvterm"].select("cvterm_id")
+        dx_ids = loader.tables["dbxref"].select("dbxref_id")
+        n = 0
+        n += loader.tables["cvtermsynonym"].join(term_ids, "cvterm_id", "left_anti").count()
+        n += loader.tables["cvtermprop"].join(term_ids, "cvterm_id", "left_anti").count()
+        n += (
+            loader.tables["cvterm_dbxref"]
+            .join(term_ids, "cvterm_id", "left_anti")
+            .count()
+            + loader.tables["cvterm_dbxref"].join(dx_ids, "dbxref_id", "left_anti").count()
+        )
+        rel = loader.tables["cvterm_relationship"]
+        for fk in ("subject_id", "object_id", "type_id"):
+            n += rel.join(term_ids.withColumnRenamed("cvterm_id", fk), fk, "left_anti").count()
+        return n
+
+    assert dangling(loader) == 0
+    sizes = {
+        t: loader.tables[t].count()
+        for t in ("cvtermsynonym", "cvtermprop", "cvterm_dbxref", "dbxref")
+    }
+    loader.load_file(os.path.join(obo_dir, "eco.obo"), force=True)
+    assert dangling(loader) == 0
+    for t, before in sizes.items():
+        assert loader.tables[t].count() == before, t
+
 
 def test_version_gate_rejects_older_file(spark, obo_dir):
     loader = ChadoOntologyLoader(spark)
@@ -86,3 +116,50 @@ def test_metadata_stored_and_updated_in_cvprop(spark, obo_dir):
     eco_cv = loader.tables["cv"].filter(F.col("name") == "eco").first().cv_id
     n = loader.tables["cvprop"].filter(F.col("cv_id") == eco_cv).count()
     assert n <= 4
+
+
+def test_drop_ontology(spark, obo_dir):
+    """dropontofromchado: drops a whole cv namespace (cvterms + cascaded
+    children + orphan dbxrefs), leaves other namespaces and the cv/cvprop
+    metadata intact (``lib/Modware/Load/Command/dropontofromchado.pm``)."""
+    from modware_loader_spark.plans.ontology_load import drop_ontology
+
+    loader = ChadoOntologyLoader(spark)
+    loader.load_file(os.path.join(obo_dir, "eco.obo"))
+    assert loader.cvterm_count("eco") == 294
+    other_terms = (
+        loader.tables["cvterm"]
+        .join(
+            loader.tables["cv"].filter(F.col("name") == "eco").select("cv_id"),
+            "cv_id",
+            "left_anti",
+        )
+        .count()
+    )
+
+    counts = drop_ontology(loader, "eco")
+    assert counts["dropped_cvterms"] >= 294  # eco terms (+ typedefs in eco cv)
+    assert counts["dropped_dbxrefs"] > 0
+    assert loader.cvterm_count("eco") == 0
+    # other namespaces untouched, cv row + metadata remain
+    assert loader.tables["cvterm"].count() == other_terms
+    assert loader.tables["cv"].filter(F.col("name") == "eco").count() == 1
+    # no dangling children anywhere
+    term_ids = loader.tables["cvterm"].select("cvterm_id")
+    for child, fk in (
+        ("cvtermsynonym", "cvterm_id"),
+        ("cvtermprop", "cvterm_id"),
+        ("cvterm_dbxref", "cvterm_id"),
+        ("cvterm_relationship", "subject_id"),
+    ):
+        n = (
+            loader.tables[child]
+            .join(term_ids.withColumnRenamed("cvterm_id", fk), fk, "left_anti")
+            .count()
+        )
+        assert n == 0, child
+    # unknown namespace is a no-op
+    assert drop_ontology(loader, "nope") == {"dropped_cvterms": 0, "dropped_dbxrefs": 0}
+    # reload after drop works (force past the version gate, like the reference)
+    loader.load_file(os.path.join(obo_dir, "eco.obo"), force=True)
+    assert loader.cvterm_count("eco") == 294
