@@ -1,5 +1,7 @@
 from modware_loader_spark.functions.scalar import (
     dec_round,
+    gff3_escape,
+    gff3_unescape,
     hex64,
     md5_long,
     normalize_id,
@@ -11,6 +13,8 @@ from modware_loader_spark.functions.scalar import (
 
 __all__ = [
     "dec_round",
+    "gff3_escape",
+    "gff3_unescape",
     "hex64",
     "md5_long",
     "normalize_id",

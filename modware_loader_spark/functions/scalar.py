@@ -95,3 +95,35 @@ def wrap_fasta(col: Column, width: int = 60) -> Column:
     (``s/(\\S{1,60})/$1\\n/g``).
     """
     return F.regexp_replace(col, f"(.{{1,{width}}})", "$1\n")
+
+
+# GFF3 column-9 percent-escaping (Bio::GFF3::LowLevel semantics, used by
+# the reference at lib/Modware/Load/Command/gff3tochado.pm:10,208): the
+# spec's reserved set for attribute values. '+' is NEVER touched (GFF3 is
+# not form-encoding — url_decode would corrupt it). '%' decodes last /
+# encodes first so literal percents round-trip.
+_GFF3_CODES = [
+    ("%3B", ";"),
+    ("%3D", "="),
+    ("%26", "&"),
+    ("%2C", ","),
+    ("%09", "\t"),
+    ("%0A", "\n"),
+    ("%0D", "\r"),
+]
+
+
+def gff3_unescape(col: Column) -> Column:
+    """Decode %XX escapes in a GFF3 attribute value (case-insensitive)."""
+    out = col
+    for code, ch in _GFF3_CODES:
+        out = F.regexp_replace(out, "(?i)" + code, ch)
+    return F.regexp_replace(out, "(?i)%25", "%")
+
+
+def gff3_escape(col: Column) -> Column:
+    """Re-encode the reserved set for writing a GFF3 attribute value."""
+    out = F.replace(col, F.lit("%"), F.lit("%25"))
+    for code, ch in _GFF3_CODES:
+        out = F.replace(out, F.lit(ch), F.lit(code))
+    return out

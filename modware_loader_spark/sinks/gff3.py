@@ -23,11 +23,18 @@ GFF3_COLS = ["seq_id", "source", "type", "start", "end", "score", "strand", "pha
 
 def serialize_attributes(attr_map_col) -> F.Column:
     """map<string,array<string>> → ``k=v1,v2;k2=v`` (sorted keys for
-    deterministic output)."""
+    deterministic output; values re-percent-escaped so reserved
+    characters survive the round-trip — Bio::GFF3::LowLevel parity)."""
+    from modware_loader_spark.functions.scalar import gff3_escape
+
     entries = F.transform(
         F.array_sort(F.map_keys(attr_map_col)),
         lambda k: F.concat_ws(
-            "=", k, F.array_join(F.element_at(attr_map_col, k), ",")
+            "=",
+            k,
+            F.array_join(
+                F.transform(F.element_at(attr_map_col, k), gff3_escape), ","
+            ),
         ),
     )
     return F.array_join(entries, ";")

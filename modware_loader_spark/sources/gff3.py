@@ -11,9 +11,9 @@ Spark shape: one ``textFile`` scan with a global line index (zipWithIndex —
 deterministic per file), the FASTA boundary found with one tiny agg, then
 two branch DataFrames. Attributes parse as
 ``str_to_map(';', '=')`` + comma-split → ``map<string, array<string>>`` —
-all JVM-side. Percent-unescaping (%09 etc.) is not applied — none of the
-reference fixtures use it and GFF3 '+' must stay literal (Spark's
-url_decode would corrupt it).
+all JVM-side. Values are percent-decoded (%2C/%3B/%09 … —
+``Bio::GFF3::LowLevel`` semantics) with literal '+' untouched; the GFF3
+writer re-escapes, so reserved characters round-trip.
 
 Scale: the feature branch is embarrassingly parallel. The FASTA-tail
 grouping uses an unpartitioned window (header assignment needs the global
@@ -70,11 +70,15 @@ def parse_gff3(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     if fasta_start is not None:
         feat_lines = feat_lines.filter(F.col("idx") < fasta_start)
 
+    from modware_loader_spark.functions.scalar import gff3_unescape
+
     c = F.split("line", "\t")
     nullable = lambda col: F.when(col == ".", None).otherwise(col)  # noqa: E731
+    # split on raw ; = , FIRST (escaped separators are still %XX), then
+    # percent-decode each value — Bio::GFF3::LowLevel order (gff3tochado.pm:10)
     attr_map = F.transform_values(
         F.str_to_map(F.coalesce(c[8], F.lit("")), F.lit(";"), F.lit("=")),
-        lambda k, v: F.split(v, ","),
+        lambda k, v: F.transform(F.split(v, ","), gff3_unescape),
     )
     features = feat_lines.select(
         c[0].alias("seq_id"),
