@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "similarity_cosine_bucket_pairs",
     "similarity_lsh_bucket_topk",
     "similarity_ann_banded_topk",
+    "similarity_ivf_topk",
     "s11_blast_report_gff3",
     "text_langid",
     "text_token_stats",

@@ -15,7 +15,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from modware_loader_spark.operators import components as C
 from modware_loader_spark.operators import dedup as D
+from modware_loader_spark.operators import ivf as IVF
 from modware_loader_spark.operators import similarity as S
 from modware_loader_spark.operators import text as TX
 from modware_loader_spark.operators.multimodal import attach_binary_payload
@@ -146,6 +148,50 @@ def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 query("dedup_simhash_banded_pairs", ORACLES["dedup_simhash_near_pairs"])(
     dedup_simhash_near_pairs
 )
+
+
+@query(
+    "dedup_cluster_components",
+    f"""
+    WITH RECURSIVE d AS (SELECT doc_id, {_DDB_TOKENS} AS w FROM documents),
+    sh AS (SELECT doc_id, {_DDB_SHINGLES} AS s FROM d),
+    sig AS (SELECT doc_id, list_transform(generate_series(0, 15), h ->
+              list_min(list_transform(s, x -> {_DDB_H60.format(x="x || '#' || cast(h as varchar)")}))) AS sig
+            FROM sh),
+    bands AS (SELECT doc_id, u.b AS band_id,
+               {_DDB_H60.format(x="array_to_string(sig[u.b*4+1 : u.b*4+4], '_')")} AS band_hash
+              FROM sig, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) u),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                  AND a.doc_id < b.doc_id),
+    e AS (SELECT doc_a AS u, doc_b AS v FROM cand
+          UNION SELECT doc_b, doc_a FROM cand),
+    reach(u, v) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+    )
+    SELECT doc.doc_id,
+           least(doc.doc_id, coalesce(min(r.v), doc.doc_id)) AS cluster_id,
+           CASE WHEN least(doc.doc_id, coalesce(min(r.v), doc.doc_id)) = doc.doc_id
+                THEN 1 ELSE 0 END AS is_representative
+    FROM documents doc LEFT JOIN reach r ON r.u = doc.doc_id
+    GROUP BY doc.doc_id
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH candidate pairs → connected
+    components (alternating large-star/small-star — O(log² n) rounds of
+    bucket-local shuffles, no driver-side graph) → every doc labeled
+    with its cluster id; cluster representative = min doc id. This is
+    the "keep one per group" step a 100 TB dedup pipeline runs after
+    pair generation. Oracle: DuckDB recursive CTE computing min
+    reachable id (components = min-reachable fixpoint)."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    pairs = D.minhash_candidate_pairs(D.minhash_band_table(docs))
+    return C.dedup_clusters(pairs, docs)
 
 
 @query(
@@ -317,6 +363,68 @@ def similarity_ann_banded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t["embeddings"]
     return S.lsh_banded_topk(
         emb.filter(F.col("vec_id") < 100), emb, k=3, bands=12, bits=2, stride=5
+    )
+
+
+@query(
+    "similarity_ivf_topk",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS centroid
+           FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)),
+    d0 AS (SELECT v.vec_id, c0.cell,
+             round(list_sum(list_transform(generate_series(1, len(v.e)),
+               i -> (v.e[i] - c0.centroid[i]) * (v.e[i] - c0.centroid[i]))), 6) AS dist
+           FROM v CROSS JOIN c0),
+    a0 AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+             FROM d0) WHERE rn = 1),
+    dims AS (SELECT a0.cell, u.s.pos AS pos, u.s.val AS val
+             FROM a0 JOIN v USING (vec_id),
+                  LATERAL (SELECT unnest(list_transform(generate_series(1, len(v.e)),
+                            i -> {'pos': i, 'val': v.e[i]})) AS s) u),
+    m AS (SELECT cell, pos,
+                 round(sum(CAST(val AS DECIMAL(28,12)))::DOUBLE / count(*), 6) AS m
+          FROM dims GROUP BY cell, pos),
+    c1 AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM m GROUP BY cell),
+    d1 AS (SELECT v.vec_id, c1.cell,
+             round(list_sum(list_transform(generate_series(1, len(v.e)),
+               i -> (v.e[i] - c1.centroid[i]) * (v.e[i] - c1.centroid[i]))), 6) AS dist
+           FROM v CROSS JOIN c1),
+    cells AS (SELECT vec_id AS target_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+                FROM d1) WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cell FROM (
+                 SELECT vec_id, cell,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+                 FROM d1 WHERE vec_id < 20) WHERE rn <= 2),
+    scored AS (SELECT p.query_id, c.target_id,
+                 round(list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * t.e[i]))
+                   / (sqrt(list_sum(list_transform(q.e, z -> z * z)))
+                      * sqrt(list_sum(list_transform(t.e, z -> z * z)))), 6) AS cos
+               FROM probes p JOIN cells c USING (cell)
+               JOIN v q ON q.vec_id = p.query_id JOIN v t ON t.vec_id = c.target_id
+               WHERE p.query_id <> c.target_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, target_id) AS rank
+               FROM scored)
+    SELECT query_id, target_id, cos, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: 8 k-means cells (deterministic seeds + 1 exact-decimal
+    Lloyd step), 2-probe search, exact-cosine verify, top-5 for 20 query
+    vectors. The data-adaptive counterpart to the sign-LSH ANN paths —
+    at 100 TB the corpus is bucketed by ``cell`` and only nprobe/nlist of
+    it is scanned per query batch (see ``operators/ivf.py`` scale notes).
+    Recall vs brute force: ``tests/test_invariants.py::test_ivf_recall``."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return IVF.ivf_topk(
+        emb.filter(F.col("vec_id") < 20), emb,
+        k=5, nlist=8, nprobe=2, lloyd_iters=1,
     )
 
 

@@ -146,3 +146,31 @@ def test_ann_recall(spark, sf_dir):
     exact = {(r.query_id, r.target_id) for r in brute_force_topk(emb, emb, k=3).collect()}
     approx = {(r.query_id, r.target_id) for r in lsh_banded_topk(emb, k=3).collect()}
     assert len(exact & approx) / len(exact) >= 0.9
+
+
+def test_ivf_recall(spark, sf_dir):
+    """IVF ANN: recall@5 well above the scanned corpus fraction.
+
+    The synthetic embeddings are near-isotropic (worst case for
+    data-adaptive cells), so absolute recall is modest: measured 0.54 at
+    nprobe=2/nlist=8 (25% of corpus scanned) and 0.70 at nprobe=3 at
+    sf0.01 — i.e. >2x the recall of a random same-size scan. On clustered
+    real-world embeddings the gap widens; when recall must be high on
+    unclustered data, ``lsh_banded_topk`` is the better tool (0.999).
+    IVF results are always a subset of brute force restricted to probed
+    cells, verified-exact cosine, so precision is 1 by construction.
+    """
+    from modware_loader_spark.operators.ivf import ivf_topk
+    from modware_loader_spark.operators.similarity import brute_force_topk
+    from modware_loader_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = emb.filter("vec_id < 50")
+    exact = {(r.query_id, r.target_id) for r in brute_force_topk(q, emb, k=5).collect()}
+    approx = {
+        (r.query_id, r.target_id)
+        for r in ivf_topk(q, emb, k=5, nlist=8, nprobe=2).collect()
+    }
+    scan_fraction = 2 / 8
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 1.5 * scan_fraction
