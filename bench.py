@@ -61,8 +61,15 @@ def main() -> None:
     spark = get_spark("modware-bench")
     qs = entrymod.queries()
     timings: dict[str, float] = {}
-    # one warm-up action so JVM/codegen startup isn't billed to the first query
+    # Warm-up actions so one-time startup isn't billed to whichever query
+    # happens to run first: a JVM/codegen action, plus a 1-row-per-core
+    # mapInPandas no-op that forks the Python workers (daemon + per-core
+    # workers launch lazily on the first Python stage — ~6s on 32 cores
+    # that would otherwise be charged to the first mapInPandas query).
     qs["q1_pricing_summary"](spark, SF_DIR).count()
+    spark.range(spark.sparkContext.defaultParallelism).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, schema="id long").count()
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         qs[name](spark, SF_DIR).count()

@@ -224,8 +224,13 @@ def lsh_banded_topk(
     the target side streams, the query-side band table is broadcast-
     sized, and the shuffle key is (band_id, band_hash).
     """
+    # Broadcast the query side only in the query-batch shape (explicit
+    # targets): in the self-join shape the "queries" are the full corpus
+    # and must shuffle like any other big side.
+    self_join = targets is None
     if targets is None:
         targets = queries
+    hint = (lambda d: d) if self_join else F.broadcast
     par = targets.sparkSession.sparkContext.defaultParallelism
 
     def band_table(df: DataFrame, out_id: str) -> DataFrame:
@@ -235,10 +240,13 @@ def lsh_banded_topk(
         ).withColumnsRenamed({"pos": "band_id", "col": "band_hash"})
 
     # candidate generation carries bare ids only; vectors re-attach after
-    # the distinct (narrow band-join shuffle — see cosine_bucket_near_pairs)
+    # the distinct (narrow band-join shuffle — see cosine_bucket_near_pairs).
+    # The query side is a small batch by contract, so its band table and
+    # vector table are broadcast — the corpus-side band table and vectors
+    # never shuffle on the join key, they stream map-side.
     cands = (
-        band_table(queries, "query_id")
-        .join(band_table(targets, "target_id"), ["band_id", "band_hash"])
+        band_table(targets, "target_id")
+        .join(hint(band_table(queries, "query_id")), ["band_id", "band_hash"])
         .filter(F.col("query_id") != F.col("target_id"))
         .select("query_id", "target_id")
         .distinct()
@@ -247,7 +255,11 @@ def lsh_banded_topk(
     t_vecs = targets.select(F.col(id_col), F.col(vec_col))
     scored = (
         cands.join(
-            q_vecs.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+            hint(
+                q_vecs.select(
+                    F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+                )
+            ),
             "query_id",
         )
         .join(
