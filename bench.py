@@ -66,14 +66,24 @@ def main() -> None:
     # mapInPandas no-op that forks the Python workers (daemon + per-core
     # workers launch lazily on the first Python stage — ~6s on 32 cores
     # that would otherwise be charged to the first mapInPandas query).
-    qs["q1_pricing_summary"](spark, SF_DIR).count()
-    spark.range(spark.sparkContext.defaultParallelism).repartition(
-        spark.sparkContext.defaultParallelism
-    ).mapInPandas(lambda it: it, schema="id long").count()
+    try:
+        qs["q1_pricing_summary"](spark, SF_DIR).count()
+    except Exception as exc:  # degrade: a broken warm-up query must not zero the bench
+        print(f"warmup failed: {exc}", file=sys.stderr)
+    try:
+        spark.range(spark.sparkContext.defaultParallelism).repartition(
+            spark.sparkContext.defaultParallelism
+        ).mapInPandas(lambda it: it, schema="id long").count()
+    except Exception as exc:
+        print(f"python warmup failed: {exc}", file=sys.stderr)
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            qs[name](spark, SF_DIR).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # record the failure, keep timing the rest
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -86,6 +96,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 

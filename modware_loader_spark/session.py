@@ -79,9 +79,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     cached = _TABLE_CACHE.get(cache_key)
     if cached is not None:
         return cached
-    # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-    # read it as long nanos and rebuild a timestamp (micros, like DuckDB's
-    # own nanos→micros truncation, so the oracle sees identical values).
+    # events.ts has shipped as either parquet TIMESTAMP(NANOS) (older testdata
+    # generations) or TIMESTAMP(MICROS). Spark's reader rejects nanos unless
+    # nanosAsLong is set, in which case ts arrives as BIGINT nanos and we
+    # rebuild a micros timestamp (DuckDB truncates nanos→micros the same way,
+    # so the oracle sees identical values). Micros parquet arrives directly as
+    # a timestamp type — normalize to TIMESTAMP_NTZ and leave values alone.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {}
     for name in TABLES:
@@ -89,9 +92,14 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
         if os.path.exists(path):
             df = spark.read.parquet(path)
             if name == "events":
-                df = df.withColumn(
-                    "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-                )
+                ts_type = dict(df.dtypes).get("ts")
+                if ts_type in ("bigint", "long"):
+                    df = df.withColumn(
+                        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+                    )
+                elif ts_type == "timestamp":
+                    df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+                # timestamp_ntz already: leave as-is.
             df.createOrReplaceTempView(name)
             out[name] = df
     _TABLE_CACHE[cache_key] = out
