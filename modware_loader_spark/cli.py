@@ -17,6 +17,7 @@ contract per command.
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import sys
 
@@ -72,6 +73,36 @@ def cmd_obo2chado(args) -> dict:
     loader = ChadoOntologyLoader(spark)
     restore_loader_state(loader, catalog)
     counts = loader.load_file(args.input, force=args.force)
+    if not args.dry_run:
+        save_loader_state(loader, catalog)
+    return counts
+
+
+def cmd_gbassembly2chado(args) -> dict:
+    from modware_loader_spark.plans.genbank_assembly import load_assembly
+    from modware_loader_spark.plans.genbank_load import GenBankChadoLoader
+
+    spark = get_spark("gbassembly2chado")
+    catalog = ChadoCatalog(spark, args.catalog)
+    loader = GenBankChadoLoader(
+        spark, reference_type=args.reference_type, id_prefix=args.prefix
+    )
+    restore_loader_state(loader.gff3, catalog)
+    counts = load_assembly(loader, args.input, source=args.source, dbsource=args.dbsource)
+    if not args.dry_run:
+        save_loader_state(loader.gff3, catalog)
+    return counts
+
+
+def cmd_adhocobo2chado(args) -> dict:
+    from modware_loader_spark.plans.adhoc_ontology import adhoc_load
+    from modware_loader_spark.plans.ontology_load import ChadoOntologyLoader
+
+    spark = get_spark("adhocobo2chado")
+    catalog = ChadoCatalog(spark, args.catalog)
+    loader = ChadoOntologyLoader(spark)
+    restore_loader_state(loader, catalog)
+    counts = adhoc_load(loader, args.input, include_metadata=args.include_metadata)
     if not args.dry_run:
         save_loader_state(loader, catalog)
     return counts
@@ -188,6 +219,106 @@ def cmd_chado2fasta(args) -> dict:
     return {"sequences_exported": seqs.count()}
 
 
+def cmd_chado2dictygff3(args) -> dict:
+    """chado2dicty{canonical,noncanonical,noncoding,curated}gff3 variants
+    (reference chado2dicty*.pm), selected via --variant."""
+    from modware_loader_spark.plans import dicty_exports as de
+    from modware_loader_spark.sinks.gff3 import write_gff3
+
+    spark = get_spark("chado2dictygff3")
+    catalog = ChadoCatalog(spark, args.catalog)
+    loader = _gff3_loader(spark, catalog)
+    if args.variant == "canonical":
+        rows = de.dicty_canonical_rows(loader)
+    elif args.variant == "noncanonical":
+        rows = de.dicty_noncanonical_rows(
+            loader, source=args.source or "geneID reprediction"
+        )
+    elif args.variant == "noncoding":
+        rows = de.dicty_noncoding_rows(loader)
+    elif args.variant == "curated":
+        rows = de.dicty_curated_rows(loader, source=args.source or "dictyBase Curator")
+    else:
+        raise SystemExit(f"unknown variant {args.variant}")
+    write_gff3(rows, args.output)
+    return {"features_exported": rows.count()}
+
+
+def cmd_blast2gbrowsegff3(args) -> dict:
+    """blast2gbrowsegff3: raw BLAST report → GBrowse-style GFF3 with the
+    Tblastn filter options (reference blast2gbrowsegff3.pm)."""
+    from pyspark.sql import functions as F
+
+    from modware_loader_spark.plans.blast2gbrowse import blast_to_gbrowse_rows
+    from modware_loader_spark.sinks.gff3 import write_gff3
+    from modware_loader_spark.sources.blast import parse_blast_id, read_blast_report
+
+    spark = get_spark("blast2gbrowsegff3")
+    first = spark.read.text(args.input).head(1)
+    algorithm = first[0].value.split()[0].lower() if first else "blastn"
+    hsps = read_blast_report(spark, args.input, algorithm=algorithm)
+    for col, parser in (("hit_id", args.hit_id_parser), ("query_id", args.query_id_parser)):
+        if parser:
+            hsps = hsps.withColumn(col, parse_blast_id(F.col(col), parser))
+    rows = blast_to_gbrowse_rows(
+        hsps,
+        algorithm,
+        source=args.source,
+        merge_contained=args.merge_contained,
+        max_intron_length=args.max_intron_length,
+        orf_only=args.orf_only,
+        start_codon_only=args.start_codon_only,
+        remove_stop_codon=args.remove_stop_codon,
+    )
+    write_gff3(rows, args.output)
+    return {"features_written": rows.count()}
+
+
+def cmd_sumstatsongff3(args) -> dict:
+    """sumstatsongff3: intron summary statistics per GFF3 input
+    (reference sumstatsongff3.pm)."""
+    from modware_loader_spark.plans.sumstats import intron_stats
+    from modware_loader_spark.sources.gff3 import parse_gff3
+
+    spark = get_spark("sumstatsongff3")
+    out = {}
+    for path in args.input.split(","):
+        features, _ = parse_gff3(spark, path)
+        row = intron_stats(features, source=args.source, filename=os.path.basename(path)).first()
+        if row is None:
+            out[os.path.basename(path)] = None
+        else:
+            out[os.path.basename(path)] = {
+                "type": row.type, "avg_nt": row.avg_nt,
+                "max_nt": row.max_nt, "min_nt": row.min_nt,
+            }
+    return out
+
+
+def cmd_goaappend(args) -> dict:
+    """GOA dicty post-steps (reference AppendncRNA / AppendDuplicate roles):
+    append ncRNA annotations and duplicate-gene copies to a GAF export."""
+    from modware_loader_spark.plans.goa_append import (
+        append_duplicates,
+        append_ncrna,
+        load_chr2_dups,
+        load_ncrna_gaf,
+    )
+    from modware_loader_spark.sinks.gaf import write_gaf
+    from modware_loader_spark.sources.gaf import parse_gaf
+
+    spark = get_spark("goaappend")
+    gaf = parse_gaf(spark, args.input)
+    n_in = gaf.count()
+    if args.duplicates:
+        chr2 = load_chr2_dups(spark, args.chr2dups) if args.chr2dups else None
+        gaf = append_duplicates(gaf, chr2_map=chr2)
+    if args.ncrna:
+        gaf = append_ncrna(gaf, load_ncrna_gaf(spark, args.ncrna))
+    write_gaf(gaf, args.output)
+    return {"rows_in": n_in, "rows_out": gaf.count()}
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="modware-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -209,6 +340,15 @@ def main(argv=None) -> int:
            "--mitochondrial": {"action": "store_true"}})
     add("obo2chado", cmd_obo2chado,
         **{"--input": {"required": True}, "--force": {"action": "store_true"}})
+    add("gbassembly2chado", cmd_gbassembly2chado,
+        **{"--input": {"required": True},
+           "--prefix": {"default": "GB"},
+           "--source": {"default": "genbank:nucleotide"},
+           "--dbsource": {"default": "dictyBase"},
+           "--reference_type": {"default": "supercontig"}})
+    add("adhocobo2chado", cmd_adhocobo2chado,
+        **{"--input": {"required": True},
+           "--include_metadata": {"action": "store_true"}})
     add("oboclosure2chado", cmd_oboclosure2chado, **{"--input": {"required": True}})
     add("dropontofromchado", cmd_dropontofromchado,
         **{"--namespace": {"required": True,
@@ -229,6 +369,31 @@ def main(argv=None) -> int:
            "--match_part_distance": {"type": int, "required": True}})
     add("chado2fasta", cmd_chado2fasta,
         **{"--output": {"required": True}, "--feature_type": {"default": None}})
+    add("chado2dictygff3", cmd_chado2dictygff3,
+        **{"--output": {"required": True},
+           "--variant": {"required": True,
+                         "choices": ["canonical", "noncanonical", "noncoding", "curated"]},
+           "--source": {"default": None}})
+    add("sumstatsongff3", cmd_sumstatsongff3, catalog=False,
+        **{"--input": {"required": True, "help": "GFF3 file(s), comma-separated"},
+           "--source": {"default": None}})
+    add("blast2gbrowsegff3", cmd_blast2gbrowsegff3, catalog=False,
+        **{"--input": {"required": True},
+           "--output": {"required": True},
+           "--source": {"default": None},
+           "--merge_contained": {"action": "store_true"},
+           "--max_intron_length": {"type": int, "default": 0},
+           "--orf_only": {"action": "store_true"},
+           "--start_codon_only": {"action": "store_true"},
+           "--remove_stop_codon": {"action": "store_true"},
+           "--hit_id_parser": {"default": None},
+           "--query_id_parser": {"default": None}})
+    add("goaappend", cmd_goaappend, catalog=False,
+        **{"--input": {"required": True},
+           "--output": {"required": True},
+           "--ncrna": {"default": None, "help": "ncRNA GAF share file to append"},
+           "--duplicates": {"action": "store_true"},
+           "--chr2dups": {"default": None, "help": "chr2 duplicate TSV map"}})
 
     args = p.parse_args(argv)
     result = args.fn(args)

@@ -1,0 +1,340 @@
+"""dictyBase site-specific GFF3 export variants.
+
+Reference commands (``lib/Modware/Export/Command/chado2dicty*.pm``) and
+their reader/writer handler swaps:
+
+- **canonical** (`chado2dictycanonicalgff3`): per gene keep mRNA/pseudogene
+  transcripts whose GFF_source dbxref is ``dictyBase Curator``, falling
+  back to ``Sequencing Center`` when a gene has none
+  (``FeatureReader/Chado/Canonical/Dicty.pm:50-89``); pseudogene models are
+  re-typed SO-compliantly (gene→pseudogene, transcript→
+  pseudogenic_transcript, exon→pseudogenic_exon,
+  ``FeatureWriter/GFF3/Canonical/Dicty.pm:33-98``); the gene row inherits
+  its transcript's source (:71-74) and carries synonyms as Alias.
+- **noncanonical** (`chado2dictynoncanonicalgff3`): standalone transcripts
+  (no gene parent emitted) of one type/source — default mRNA /
+  ``geneID reprediction`` (``FeatureReader/Chado/NonCanonical/Dicty.pm``).
+- **noncoding** (`chado2dictynoncodinggff3`): gene models whose transcript
+  type is one of the ncRNA family (``FeatureReader/Chado/NonCoding/
+  Dicty.pm:20-27``), any source.
+- **curated** (`chado2dictycuratedgff3`): transcript type LIKE %RNA% or
+  pseudogene, source ``dictyBase Curator`` (``FeatureReader/Chado/Curated/
+  Dicty.pm:54-70``).
+
+Spark shape: the reference's per-gene fallback query pair (run once per
+gene row) becomes ONE ranked selection — join transcripts to their
+GFF_source, map source→priority, ``min(priority) over (partition by
+gene)``, keep ties. Everything downstream (gene emission only for genes
+with kept transcripts, retyping, exon/polypeptide descent) is joins over
+the same keys the canonical export already shuffles on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from modware_loader_spark.plans.gff3_load import ChadoGFF3Loader
+
+# FeatureReader/Chado/NonCoding/Dicty.pm:20-27
+NONCODING_TYPES = [
+    "snRNA", "class_I_RNA", "class_II_RNA", "C_D_box_snoRNA",
+    "H_ACA_box_snoRNA", "SRP_RNA", "RNase_P_RNA", "RNAase_MRP_RNA",
+    "snoRNA", "rRNA", "ncRNA", "tRNA", "antisense_RNA",
+]
+
+CANONICAL_PRIORITY = ("dictyBase Curator", "Sequencing Center")
+
+
+def _type_names(loader):
+    return F.broadcast(
+        loader.dims["cvterm"].select(
+            F.col("cvterm_id").alias("type_id"), F.col("name").alias("type_name")
+        )
+    )
+
+
+def _gff_sources(loader) -> DataFrame:
+    """(feature_id, gff_source): each feature's GFF_source dbxref accession
+    (the dicty convention for 'which pipeline predicted this')."""
+    db_gff = loader.dims["db"].filter(F.col("name") == "GFF_source").select("db_id")
+    links = (
+        loader.tables["feature_dbxref"]
+        .select("feature_id", "dbxref_id")
+        # the GFF3 loader stores a feature's column-2 source as the
+        # feature's OWN dbxref (gff3_load staging); the reference reads it
+        # via secondary feature_dbxrefs — accept both link shapes
+        .unionByName(
+            loader.tables["feature"]
+            .filter(F.col("dbxref_id").isNotNull())
+            .select("feature_id", "dbxref_id")
+        )
+    )
+    return (
+        links.join(loader.tables["dbxref"], "dbxref_id")
+        .join(F.broadcast(db_gff), "db_id", "left_semi")
+        .select("feature_id", F.col("accession").alias("gff_source"))
+        .distinct()
+    )
+
+
+def _located(loader) -> DataFrame:
+    """feature ⋈ rank-0 featureloc ⋈ srcfeature name."""
+    t = loader.tables
+    floc = t["featureloc"].filter(F.col("rank") == 0)
+    srcf = t["feature"].select(
+        F.col("feature_id").alias("srcfeature_id"),
+        F.col("uniquename").alias("seq_id"),
+    )
+    return (
+        t["feature"]
+        .join(floc, "feature_id")
+        .join(srcf, "srcfeature_id")
+        .join(_type_names(loader), "type_id", "left")
+    )
+
+
+def _rel_children(loader, rel_types: list[str]) -> DataFrame:
+    """(object_id, subject_id) pairs for the given relationship types."""
+    rel_ids = loader.dims["cvterm"].filter(F.col("name").isin(rel_types)).select(
+        F.col("cvterm_id").alias("type_id")
+    )
+    return loader.tables["feature_relationship"].join(
+        F.broadcast(rel_ids), "type_id", "left_semi"
+    )
+
+
+def _gff3_row(df: DataFrame, type_col, source_col, parent_col=None, extra=()) -> DataFrame:
+    entries = [
+        F.struct(F.lit("ID").alias("key"), F.array("uniquename").alias("value")),
+        F.struct(
+            F.lit("Name").alias("key"),
+            F.when(F.col("name").isNotNull(), F.array("name")).alias("value"),
+        ),
+    ]
+    if parent_col is not None:
+        entries.append(
+            F.struct(F.lit("Parent").alias("key"), F.array(parent_col).alias("value"))
+        )
+    entries.extend(extra)
+    attr = F.map_from_entries(F.filter(F.array(*entries), lambda s: s.value.isNotNull()))
+    return df.select(
+        "seq_id",
+        source_col.alias("source"),
+        type_col.alias("type"),
+        (F.col("fmin") + 1).alias("start"),
+        F.col("fmax").alias("end"),
+        F.lit(None).cast("double").alias("score"),
+        "strand",
+        F.lit(None).cast("int").alias("phase"),
+        attr.alias("attributes"),
+    )
+
+
+def _gene_models(
+    loader: ChadoGFF3Loader,
+    transcripts: DataFrame,
+    include_gene: bool = True,
+) -> DataFrame:
+    """transcripts (located rows + gene_id/gene_uniquename/gff_source) →
+    gene + transcript + exon + polypeptide GFF3 rows with dicty pseudogene
+    re-typing."""
+    located = _located(loader)
+    is_pseudo = F.col("type_name") == "pseudogene"
+
+    trans_rows = _gff3_row(
+        transcripts,
+        type_col=F.when(is_pseudo, "pseudogenic_transcript").otherwise(
+            F.col("type_name")
+        ),
+        source_col=F.col("gff_source"),
+        parent_col=F.col("gene_uniquename"),
+    )
+
+    out = trans_rows
+
+    if include_gene:
+        # Alias = gene synonyms (uniq'd), write_transcript:69-71
+        syns = (
+            loader.tables["feature_synonym"]
+            .join(
+                loader.tables["synonym"].select(
+                    "synonym_id", F.col("name").alias("syn")
+                ),
+                "synonym_id",
+            )
+            .groupBy("feature_id")
+            .agg(F.array_sort(F.array_distinct(F.collect_list("syn"))).alias("aliases"))
+        )
+        gene_w = Window.partitionBy("gene_id").orderBy("uniquename")
+        genes = (
+            transcripts.withColumn(
+                "__rn", F.row_number().over(gene_w)
+            )  # one gene row per gene, typed/sourced by its first transcript
+            .filter(F.col("__rn") == 1)
+            .select(
+                F.col("gene_id").alias("feature_id"),
+                F.when(is_pseudo, "pseudogene").otherwise(F.lit("gene")).alias(
+                    "__gtype"
+                ),
+                F.col("gff_source").alias("__gsource"),
+            )
+            .join(located.drop("type_name"), "feature_id")
+            .join(syns, "feature_id", "left")
+        )
+        gene_rows = _gff3_row(
+            genes,
+            type_col=F.col("__gtype"),
+            source_col=F.col("__gsource"),
+            extra=[
+                F.struct(F.lit("Alias").alias("key"), F.col("aliases").alias("value"))
+            ],
+        )
+        out = gene_rows.unionByName(out)
+
+    # exons (exon | pseudogenic_exon) of kept transcripts, re-typed under
+    # pseudogenes (write_exon:83-98)
+    exon_edges = _rel_children(loader, ["part_of"]).select(
+        F.col("object_id").alias("trans_id"), F.col("subject_id").alias("feature_id")
+    )
+    exons = (
+        located.filter(F.col("type_name").isin("exon", "pseudogenic_exon"))
+        .join(exon_edges, "feature_id")
+        .join(
+            transcripts.select(
+                F.col("feature_id").alias("trans_id"),
+                F.col("uniquename").alias("trans_uniquename"),
+                is_pseudo.alias("__parent_pseudo"),
+            ),
+            "trans_id",
+        )
+    )
+    exon_rows = _gff3_row(
+        exons,
+        type_col=F.when(F.col("__parent_pseudo"), "pseudogenic_exon").otherwise(
+            F.col("type_name")
+        ),
+        source_col=F.lit(None).cast("string"),
+        parent_col=F.col("trans_uniquename"),
+    )
+    out = out.unionByName(exon_rows)
+
+    # polypeptides derives_from kept transcripts
+    poly_edges = _rel_children(loader, ["derives_from", "derived_from"]).select(
+        F.col("object_id").alias("trans_id"), F.col("subject_id").alias("feature_id")
+    )
+    polys = (
+        located.filter(F.col("type_name") == "polypeptide")
+        .join(poly_edges, "feature_id")
+        .join(
+            transcripts.select(
+                F.col("feature_id").alias("trans_id"),
+                F.col("uniquename").alias("trans_uniquename"),
+            ),
+            "trans_id",
+        )
+    )
+    poly_rows = _gff3_row(
+        polys,
+        type_col=F.col("type_name"),
+        source_col=F.lit(None).cast("string"),
+        parent_col=F.col("trans_uniquename"),
+    )
+    return out.unionByName(poly_rows)
+
+
+def _transcripts_of_genes(loader, type_filter) -> DataFrame:
+    """located transcripts joined to their part_of gene parent + source."""
+    located = _located(loader)
+    genes = located.filter(F.col("type_name") == "gene").select(
+        F.col("feature_id").alias("gene_id"),
+        F.col("uniquename").alias("gene_uniquename"),
+    )
+    edges = _rel_children(loader, ["part_of"]).select(
+        F.col("object_id").alias("gene_id"), F.col("subject_id").alias("feature_id")
+    )
+    return (
+        located.filter(type_filter)
+        .join(edges, "feature_id")
+        .join(genes, "gene_id")
+        .join(_gff_sources(loader), "feature_id", "left")
+    )
+
+
+def dicty_canonical_rows(
+    loader: ChadoGFF3Loader,
+    priority: tuple[str, ...] = CANONICAL_PRIORITY,
+) -> DataFrame:
+    """chado2dictycanonicalgff3: ranked source fallback per gene."""
+    cand = _transcripts_of_genes(
+        loader, F.col("type_name").isin("mRNA", "pseudogene")
+    ).filter(F.col("gff_source").isin(list(priority)))
+    rank_map = F.create_map(
+        *[x for i, s in enumerate(priority) for x in (F.lit(s), F.lit(i))]
+    )
+    cand = cand.withColumn("__prio", F.element_at(rank_map, F.col("gff_source")))
+    best = Window.partitionBy("gene_id")
+    kept = (
+        cand.withColumn("__best", F.min("__prio").over(best))
+        .filter(F.col("__prio") == F.col("__best"))
+        .drop("__prio", "__best")
+    )
+    return _gene_models(loader, kept, include_gene=True)
+
+
+def dicty_noncanonical_rows(
+    loader: ChadoGFF3Loader,
+    source: str = "geneID reprediction",
+    feature_type: str = "mRNA",
+    subfeature_type: str = "exon",
+) -> DataFrame:
+    """chado2dictynoncanonicalgff3: standalone one-source transcripts +
+    their subfeatures, no gene rows."""
+    located = _located(loader)
+    trans = (
+        located.filter(F.col("type_name") == feature_type)
+        .join(_gff_sources(loader), "feature_id")
+        .filter(F.col("gff_source") == source)
+    )
+    trans_rows = _gff3_row(
+        trans, type_col=F.col("type_name"), source_col=F.col("gff_source")
+    )
+    edges = _rel_children(loader, ["part_of"]).select(
+        F.col("object_id").alias("trans_id"), F.col("subject_id").alias("feature_id")
+    )
+    subs = (
+        located.filter(F.col("type_name") == subfeature_type)
+        .join(edges, "feature_id")
+        .join(
+            trans.select(
+                F.col("feature_id").alias("trans_id"),
+                F.col("uniquename").alias("trans_uniquename"),
+            ),
+            "trans_id",
+        )
+    )
+    sub_rows = _gff3_row(
+        subs,
+        type_col=F.col("type_name"),
+        source_col=F.lit(None).cast("string"),
+        parent_col=F.col("trans_uniquename"),
+    )
+    return trans_rows.unionByName(sub_rows)
+
+
+def dicty_noncoding_rows(loader: ChadoGFF3Loader) -> DataFrame:
+    """chado2dictynoncodinggff3: ncRNA-family gene models, any source."""
+    kept = _transcripts_of_genes(loader, F.col("type_name").isin(NONCODING_TYPES))
+    return _gene_models(loader, kept, include_gene=True)
+
+
+def dicty_curated_rows(
+    loader: ChadoGFF3Loader, source: str = "dictyBase Curator"
+) -> DataFrame:
+    """chado2dictycuratedgff3: %RNA%-or-pseudogene transcripts of one
+    curated source."""
+    kept = _transcripts_of_genes(
+        loader,
+        F.col("type_name").like("%RNA%") | (F.col("type_name") == "pseudogene"),
+    ).filter(F.col("gff_source") == source)
+    return _gene_models(loader, kept, include_gene=True)

@@ -617,6 +617,57 @@ def s11_blast_report_gff3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- T6 blast2gbrowsegff3 + Tblastn filters (golden-fixture oracle) ----------
+
+_GBROWSE_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "fixtures",
+    "tblastn_gbrowse.txt",
+)
+
+
+@query(
+    "t6_blast_gbrowse_gff3",
+    """
+    SELECT * FROM (VALUES
+      ('s1', 'protein_match', 100::BIGINT, 190::BIGINT, '1e-20', 1,
+       's1-p1-p1.0', NULL, NULL, NULL),
+      ('s1', 'match_part', 100::BIGINT, 190::BIGINT, '1e-20', 1,
+       NULL, 's1-p1-p1.0', 'p1 1 30', '30M')
+    ) AS t(seq_id, type, start, "end", score, strand, id, parent, target, gap)
+    """,
+)
+def t6_blast_gbrowse_gff3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 end-to-end: tblastn report fixture → frame-context split +
+    orf_only codon filters + max-intron split + containment merge →
+    GBrowse GFF3 rows (``plans/blast2gbrowse.py``; reference
+    ``blast2gbrowsegff3.pm`` + ``Role/Tblastn/Filter.pm``). Golden VALUES
+    oracle: of five HSPs only the frame-p1 chunk 0 group survives (stop
+    codon kills p2, M/X start kills m1, the 4.8 kb intron chunk starts at
+    query 40, and the contained HSP is merged away)."""
+    from modware_loader_spark.plans.blast2gbrowse import blast_to_gbrowse_rows
+    from modware_loader_spark.sources.blast import read_blast_report
+
+    hsps = read_blast_report(spark, _GBROWSE_FIXTURE)
+    rows = blast_to_gbrowse_rows(
+        hsps, "tblastn", orf_only=True, max_intron_length=4000, merge_contained=True
+    )
+    attr = lambda k: F.element_at(F.col("attributes"), k).getItem(0)  # noqa: E731
+    return rows.select(
+        "seq_id",
+        "type",
+        "start",
+        "end",
+        "score",
+        "strand",
+        attr("ID").alias("id"),
+        attr("Parent").alias("parent"),
+        attr("Target").alias("target"),
+        attr("Gap").alias("gap"),
+    )
+
+
 # --- S5 GenBank → Chado load (golden-fixture oracle) -------------------------
 
 _GENBANK_FIXTURE = os.path.join(

@@ -31,7 +31,14 @@ HSP_SCHEMA = (
     "hit_id string, hit_desc string, hit_len int, hit_rank int, hsp_rank int, "
     "bits double, evalue double, identities int, align_len int, "
     "query_strand int, strand int, "
-    "query_start long, query_end long, hit_start long, hit_end long, gap string"
+    "query_start long, query_end long, hit_start long, hit_end long, gap string, "
+    # frame-context + alignment-derived columns for the Tblastn filters
+    # (lib/Modware/Role/Tblastn/Filter.pm): BLAST-reported signed frames,
+    # first aligned residue of each row, and stop-codon presence — kept as
+    # tiny derived columns so the (large) alignment strings never leave the
+    # parser task.
+    "query_frame int, hit_frame int, "
+    "aln_q_first string, aln_h_first string, hsp_has_stop boolean"
 )
 
 _RE_BITS = re.compile(r"Score\s*=\s*([\d.eE+]+)\s*bits")
@@ -87,6 +94,8 @@ def _parse_hsp_chunk(chunk: str, algorithm: str) -> dict | None:
         "align_len": None,
         "query_strand": 1,
         "strand": 1,
+        "query_frame": 0,
+        "hit_frame": 0,
     }
     m = _RE_IDENT.search(chunk)
     if m:
@@ -102,10 +111,14 @@ def _parse_hsp_chunk(chunk: str, algorithm: str) -> dict | None:
             if m.group(2):  # tblastx: query / hit frames
                 out["query_strand"] = first
                 out["strand"] = 1 if m.group(2).startswith("+") else -1
+                out["query_frame"] = int(m.group(1))
+                out["hit_frame"] = int(m.group(2))
             elif algorithm == "blastx":  # query frame only
                 out["query_strand"] = first
+                out["query_frame"] = int(m.group(1))
             else:  # tblastn: hit frame only
                 out["strand"] = first
+                out["hit_frame"] = int(m.group(1))
     q_coords: list[int] = []
     s_coords: list[int] = []
     q_seq: list[str] = []
@@ -125,7 +138,11 @@ def _parse_hsp_chunk(chunk: str, algorithm: str) -> dict | None:
         return None
     out["query_start"], out["query_end"] = min(q_coords), max(q_coords)
     out["hit_start"], out["hit_end"] = min(s_coords), max(s_coords)
-    out["gap"] = _cigarish("".join(q_seq), "".join(s_seq))
+    q_str, s_str = "".join(q_seq), "".join(s_seq)
+    out["gap"] = _cigarish(q_str, s_str)
+    out["aln_q_first"] = q_str[:1]
+    out["aln_h_first"] = s_str[:1]
+    out["hsp_has_stop"] = "*" in s_str
     return out
 
 

@@ -36,12 +36,13 @@ MULTI_VALUED = {"db_ref", "with_from", "db_object_synonym"}
 
 def parse_gaf(spark: SparkSession, path: str) -> DataFrame:
     """GAF 2.0 → DataFrame; multi-valued columns become string arrays."""
-    raw = (
-        spark.read.option("sep", "\t")
-        .option("comment", "!")
-        .csv(path)
-        .toDF(*GAF_COLUMNS)
-    )
+    raw = spark.read.option("sep", "\t").option("comment", "!").csv(path)
+    # real-world GAF files drop empty trailing columns (the shared
+    # dicty_ncRNA.gaf has 16); pad to the full 2.0 layout
+    ncols = len(raw.columns)
+    raw = raw.toDF(*GAF_COLUMNS[:ncols])
+    for col in GAF_COLUMNS[ncols:]:
+        raw = raw.withColumn(col, F.lit(None).cast("string"))
     out = raw
     for col in MULTI_VALUED:
         out = out.withColumn(col, F.split(F.coalesce(F.col(col), F.lit("")), r"\|"))

@@ -92,6 +92,7 @@ def parse_obo(spark: SparkSession, path: str) -> dict:
             all_of("is_a").alias("raw_is_a"),
             all_of("relationship").alias("raw_rel"),
             all_of("alt_id").alias("raw_alt_ids"),
+            all_of("xref").alias("raw_xrefs"),
         )
         .filter(F.col("raw_id").isNotNull())
         .persist()
@@ -126,6 +127,7 @@ def parse_obo(spark: SparkSession, path: str) -> dict:
         F.col("raw_is_a"),
         F.col("raw_rel"),
         F.col("raw_alt_ids"),
+        F.col("raw_xrefs"),
     ).persist()
 
     subj = _normalize(F.col("raw_id"))
@@ -176,10 +178,18 @@ def parse_obo(spark: SparkSession, path: str) -> dict:
         "db", "accession", F.explode("raw_alt_ids").alias("e")
     ).select("db", "accession", alt["db"].alias("alt_db"), alt["accession"].alias("alt_id"))
 
+    # xref tags (used by the adhoc loader's include_metadata path; quoted
+    # descriptions after the id are dropped like ONTO-PERL does)
+    xr = _normalize(_strip_trailing_comment(F.element_at(F.split(F.col("e.value"), r'\s+"'), 1)))
+    xrefs = terms.select(
+        "db", "accession", F.explode("raw_xrefs").alias("e")
+    ).select("db", "accession", xr["db"].alias("xref_db"), xr["accession"].alias("xref_id"))
+
     return {
         "header": header,
-        "terms": terms.drop("raw_synonyms", "raw_is_a", "raw_rel", "raw_alt_ids", "raw_id"),
+        "terms": terms.drop("raw_synonyms", "raw_is_a", "raw_rel", "raw_alt_ids", "raw_xrefs"),
         "relationships": relationships,
         "synonyms": synonyms,
         "alt_ids": alt_ids,
+        "xrefs": xrefs,
     }

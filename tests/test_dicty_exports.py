@@ -1,0 +1,85 @@
+"""dictyBase GFF3 export variants (reference chado2dicty*gff3 commands;
+FeatureReader/Chado/{Canonical,NonCanonical,NonCoding,Curated}/Dicty.pm +
+FeatureWriter/GFF3/Canonical/Dicty.pm).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from modware_loader_spark.plans.dicty_exports import (
+    dicty_canonical_rows,
+    dicty_curated_rows,
+    dicty_noncanonical_rows,
+    dicty_noncoding_rows,
+)
+from modware_loader_spark.plans.gff3_load import ChadoGFF3Loader
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.fixture(scope="module")
+def dicty_loader(spark):
+    ldr = ChadoGFF3Loader(spark)
+    ldr.load_file(os.path.join(FIX, "dicty_models.gff3"))
+    return ldr
+
+
+def _ids(rows, type_names):
+    return sorted(
+        r.attributes["ID"][0] for r in rows if r.type in type_names
+    )
+
+
+def test_canonical_source_fallback(dicty_loader):
+    rows = dicty_canonical_rows(dicty_loader).collect()
+    # G1 keeps only the Curator transcript; G2 falls back to Sequencing
+    # Center; G3 is the pseudogene model; G4 (tRNA) is out of scope
+    assert _ids(rows, {"mRNA"}) == ["DDB_G1.t1", "DDB_G2.t1"]
+    assert _ids(rows, {"pseudogenic_transcript"}) == ["DDB_G3.t1"]
+    assert _ids(rows, {"gene"}) == ["DDB_G1", "DDB_G2"]
+    assert _ids(rows, {"pseudogene"}) == ["DDB_G3"]
+
+    by_id = {r.attributes["ID"][0]: r for r in rows}
+    # gene source inherited from its kept transcript (writer :69-74)
+    assert by_id["DDB_G1"].source == "dictyBase Curator"
+    assert by_id["DDB_G2"].source == "Sequencing Center"
+    # synonyms ride as Alias
+    assert by_id["DDB_G1"].attributes["Alias"] == ["abc1"]
+    # exon of the dropped t2 is gone; pseudogenic exon re-typed
+    assert _ids(rows, {"exon"}) == ["DDB_G1.t1.e1", "DDB_G1.t1.e2", "DDB_G2.t1.e1"]
+    assert _ids(rows, {"pseudogenic_exon"}) == ["DDB_G3.t1.e1"]
+    # polypeptide follows its transcript
+    assert _ids(rows, {"polypeptide"}) == ["DDB_P1"]
+    assert by_id["DDB_P1"].attributes["Parent"] == ["DDB_G1.t1"]
+    # 1-based coordinates round-trip
+    assert (by_id["DDB_G1"].start, by_id["DDB_G1"].end) == (1000, 2000)
+
+
+def test_noncanonical_standalone(dicty_loader):
+    rows = dicty_noncanonical_rows(dicty_loader).collect()
+    assert _ids(rows, {"mRNA"}) == ["DDB_R1"]
+    assert _ids(rows, {"exon"}) == ["DDB_R1.e1"]
+    assert all(r.type in ("mRNA", "exon") for r in rows)  # no gene rows
+    by_id = {r.attributes["ID"][0]: r for r in rows}
+    assert by_id["DDB_R1"].source == "geneID reprediction"
+
+
+def test_noncoding_models(dicty_loader):
+    rows = dicty_noncoding_rows(dicty_loader).collect()
+    assert _ids(rows, {"tRNA"}) == ["DDB_G4.t1"]
+    assert _ids(rows, {"gene"}) == ["DDB_G4"]
+    assert _ids(rows, {"exon"}) == ["DDB_G4.t1.e1"]
+
+
+def test_curated_models(dicty_loader):
+    rows = dicty_curated_rows(dicty_loader).collect()
+    # %RNA% or pseudogene with Curator source — and LIKE '%RNA%' matches
+    # mRNA too (it does in the reference's SQL), so G1's curated mRNA is in
+    assert _ids(rows, {"mRNA"}) == ["DDB_G1.t1"]
+    assert _ids(rows, {"tRNA"}) == ["DDB_G4.t1"]
+    assert _ids(rows, {"pseudogenic_transcript"}) == ["DDB_G3.t1"]
+    assert _ids(rows, {"gene"}) == ["DDB_G1", "DDB_G4"]
+    assert _ids(rows, {"pseudogene"}) == ["DDB_G3"]
