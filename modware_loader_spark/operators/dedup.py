@@ -235,10 +235,22 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.3,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """n-gram Jaccard near-dup: inverted-index join on hashed shingles,
     |∩| from the pair join, |∪| = |A|+|B|-|∩|; single double division,
-    rounded, thresholded."""
+    rounded, thresholded.
+
+    ``prefix_filter`` (AllPairs/PPJoin, lossless): order each doc's
+    shingles by ascending document frequency and join only on the first
+    ``n - ceil(t*n) + 1`` of them — any pair with Jaccard ≥ t must share a
+    prefix shingle under a common global order, so no pair is lost, but
+    hot (stop-word-like) shingles fall out of the index join. This is
+    what keeps the inverted index viable at 100 TB: without it one
+    ubiquitous shingle produces a quadratic candidate blow-up; with it
+    frequency outliers only appear in the (short) prefixes of the few
+    docs where they are among the rarest shingles.
+    """
     par = df.sparkSession.sparkContext.defaultParallelism
     sh = (
         df.repartition(par, id_col)
@@ -250,13 +262,40 @@ def ngram_jaccard_pairs(
         .localCheckpoint(eager=True)  # see minhash_candidate_pairs note
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        sh.select(F.col(id_col).alias("doc_a"), "sh")
-        .join(sh.select(F.col(id_col).alias("doc_b"), "sh"), "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
+    if prefix_filter:
+        dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        w = Window.partitionBy(id_col).orderBy("df", "sh")
+        ranked = (
+            sh.join(dfreq, "sh")
+            .join(sizes, id_col)
+            .withColumn("pos", F.row_number().over(w))
+            .withColumn(
+                "prefix_len", F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+            )
+        )
+        prefix = ranked.filter(F.col("pos") <= F.col("prefix_len")).select(id_col, "sh")
+        cand = (
+            prefix.select(F.col(id_col).alias("doc_a"), "sh")
+            .join(prefix.select(F.col(id_col).alias("doc_b"), "sh"), "sh")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        # exact |∩| for the surviving candidates only
+        inter = (
+            cand.join(sh.select(F.col(id_col).alias("doc_a"), "sh"), "doc_a")
+            .join(sh.select(F.col(id_col).alias("doc_b"), "sh"), ["doc_b", "sh"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+    else:
+        inter = (
+            sh.select(F.col(id_col).alias("doc_a"), "sh")
+            .join(sh.select(F.col(id_col).alias("doc_b"), "sh"), "sh")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
     return (
         inter.join(sizes.withColumnsRenamed({id_col: "doc_a", "n": "na"}), "doc_a")
         .join(sizes.withColumnsRenamed({id_col: "doc_b", "n": "nb"}), "doc_b")
