@@ -219,6 +219,61 @@ def cmd_chado2fasta(args) -> dict:
     return {"sequences_exported": seqs.count()}
 
 
+def cmd_gaf2chado(args) -> dict:
+    """dictygaf2chado: GAF annotation load against the catalog's feature +
+    ontology state, with the dicty appender roles as flags (reference
+    dictygaf2chado.pm:21-68 — prune/ncrna/dupes/limit)."""
+    from pyspark.sql import functions as F
+
+    from modware_loader_spark.plans.gaf_load import GAFLoader
+    from modware_loader_spark.plans.goa_append import (
+        append_duplicates,
+        append_ncrna,
+        load_chr2_dups,
+        load_ncrna_gaf,
+    )
+    from modware_loader_spark.sources.gaf import parse_gaf
+
+    spark = get_spark("gaf2chado")
+    catalog = ChadoCatalog(spark, args.catalog)
+    got = catalog.load(["feature", "cvterm", "dbxref", "cvtermsynonym", "pub"])
+    features = got.get("feature")
+    cvterm, dbxref = got.get("cvterm"), got.get("dbxref")
+    if features is None or cvterm is None or dbxref is None:
+        raise SystemExit("catalog must hold feature + ontology state first")
+    cvterms = cvterm.join(dbxref, "dbxref_id").select("cvterm_id", "accession")
+    pubs = got.get("pub")
+    if pubs is None:
+        pubs = spark.createDataFrame([], "pub_id long, uniquename string")
+    syn = got.get("cvtermsynonym")
+    evidence = (
+        syn.join(cvterm.select("cvterm_id"), "cvterm_id", "left_semi").select(
+            "cvterm_id", F.col("synonym")
+        )
+        if syn is not None
+        else spark.createDataFrame([], "cvterm_id long, synonym string")
+    )
+    loader = GAFLoader(spark, features=features, cvterms=cvterms, pubs=pubs,
+                       evidence=evidence)
+    gaf = parse_gaf(spark, args.input)
+    if args.dupes:
+        chr2 = load_chr2_dups(spark, args.chr2dups) if args.chr2dups else None
+        gaf = append_duplicates(gaf, chr2_map=chr2)
+    if args.ncrna:
+        gaf = append_ncrna(gaf, load_ncrna_gaf(spark, args.ncrna))
+    if args.limit:
+        gaf = gaf.limit(args.limit)
+    if args.prune:
+        loader.prune()
+    counts = loader.load(gaf)
+    if not args.dry_run:
+        catalog.save(
+            {"feature_cvterm": loader.feature_cvterm,
+             "feature_cvtermprop": loader.feature_cvtermprop}
+        )
+    return counts
+
+
 def cmd_chado2dictygff3(args) -> dict:
     """chado2dicty{canonical,noncanonical,noncoding,curated}gff3 variants
     (reference chado2dicty*.pm), selected via --variant."""
@@ -369,6 +424,13 @@ def main(argv=None) -> int:
            "--match_part_distance": {"type": int, "required": True}})
     add("chado2fasta", cmd_chado2fasta,
         **{"--output": {"required": True}, "--feature_type": {"default": None}})
+    add("gaf2chado", cmd_gaf2chado,
+        **{"--input": {"required": True},
+           "--prune": {"action": "store_true"},
+           "--limit": {"type": int, "default": 0},
+           "--ncrna": {"default": None},
+           "--dupes": {"action": "store_true"},
+           "--chr2dups": {"default": None}})
     add("chado2dictygff3", cmd_chado2dictygff3,
         **{"--output": {"required": True},
            "--variant": {"required": True,

@@ -60,3 +60,49 @@ def test_pair_generation_never_cartesian(spark, sf_dir, name):
     plan = _plan(spark, name, sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_prefix_filter_no_cartesian(spark, sf_dir):
+    """The prefix-filtered inverted index must stay an equi-join on the
+    shingle hash — no cartesian anywhere in candidate generation."""
+    plan = _plan(spark, "dedup_ngram_jaccard", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dicty_canonical_plan_shape(spark):
+    """Dicty canonical export: dims broadcast, no nested-loop joins."""
+    import os
+
+    from modware_loader_spark.plans.dicty_exports import dicty_canonical_rows
+    from modware_loader_spark.plans.gff3_load import ChadoGFF3Loader
+
+    ldr = ChadoGFF3Loader(spark)
+    ldr.load_file(
+        os.path.join(os.path.dirname(__file__), "fixtures", "dicty_models.gff3")
+    )
+    plan = (
+        dicty_canonical_rows(ldr)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_goa_append_map_side_only(spark):
+    """Duplicate expansion must broadcast the tiny map tables — the big
+    GAF side never shuffles."""
+    from modware_loader_spark.plans.goa_append import (
+        append_duplicates,
+        load_chr2_dups,
+    )
+    from modware_loader_spark.sources.gaf import parse_gaf
+
+    gaf = parse_gaf(spark, "/root/reference/t/test_data/testdicty.gaf2")
+    chr2 = load_chr2_dups(spark, "/root/reference/share/chr2dups.txt")
+    plan = (
+        append_duplicates(gaf, chr2_map=chr2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
