@@ -42,6 +42,81 @@ def dictybib_update(entries: DataFrame, pub: DataFrame) -> DataFrame:
     )
 
 
+def nonpub2bib_rows(
+    pub: DataFrame,
+    pubprop: DataFrame,
+    pubauthor: DataFrame,
+    cvterm: DataFrame,
+    timestamp: bool = True,
+) -> DataFrame:
+    """dictynonpub2bib (``lib/Modware/Export/Command/dictynonpub2bib.pm:
+    34-109``): every non-PUBMED pub rendered as a BibTeX article keyed
+    ``lc(pubplace) + uniquename``, with journal/title/volume/year/pages
+    present-only fields, the abstract pubprop, rank-ordered
+    ``surname, givennames`` authors joined with ' and ', and an optional
+    created_at timestamp line.
+
+    Spark shape: the reference runs one query per pubplace then N author/
+    abstract lookups per pub; here it is one filter + two grouped joins +
+    a concat projection. Returns (citekey, text).
+    """
+    base = pub.filter(
+        F.col("pubplace").isNotNull() & (F.upper("pubplace") != "PUBMED")
+    )
+    abstract_type = cvterm.filter(F.col("name") == "abstract").select(
+        F.col("cvterm_id").alias("type_id")
+    )
+    abstracts = (
+        pubprop.join(F.broadcast(abstract_type), "type_id")
+        .groupBy("pub_id")
+        .agg(F.min("value").alias("abstract"))  # rows => 1
+    )
+    authors = pubauthor.groupBy("pub_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rank", "surname", "givennames"))
+                ),
+                lambda s: F.concat_ws(", ", s.surname, s.givennames),
+            ),
+            " and ",
+        ).alias("author")
+    )
+    joined = base.join(abstracts, "pub_id", "left").join(authors, "pub_id", "left")
+
+    def opt(name, col):
+        return F.when(
+            col.isNotNull(), F.format_string("%s = {%s},", F.lit(name), col)
+        )
+
+    parts = [
+        F.format_string(
+            "@article{%s,", F.concat(F.lower("pubplace"), F.col("uniquename"))
+        ),
+        F.format_string("id = {%s},", F.col("uniquename")),
+        opt("journal", F.col("series_name")),
+        opt("title", F.col("title")),
+        opt("volume", F.col("volume")),
+        opt("year", F.col("pyear")),
+        opt("pages", F.col("pages")),
+        opt("abstract", F.col("abstract")),
+        opt("author", F.col("author")),
+    ]
+    if timestamp and "created_at" in pub.columns:
+        parts.append(
+            F.format_string(
+                "timestamp = {%s}",
+                F.date_format(F.col("created_at").cast("date"), "yyyy.M.d"),
+            )
+        )
+    parts.append(F.lit("}"))
+    body = F.array_join(F.filter(F.array(*parts), lambda p: p.isNotNull()), "\n")
+    return joined.select(
+        F.concat(F.lower("pubplace"), F.col("uniquename")).alias("citekey"),
+        body.alias("text"),
+    )
+
+
 def render_bibtex(stamped: DataFrame) -> DataFrame:
     """→ one ``text`` column per entry, byte-shaped like dictybib.pm:64-81
     (@article header, required fields, present optional fields, author,

@@ -11,8 +11,10 @@ their reader/writer handler swaps:
   pseudogenic_transcript, exon→pseudogenic_exon,
   ``FeatureWriter/GFF3/Canonical/Dicty.pm:33-98``); the gene row inherits
   its transcript's source (:71-74) and carries synonyms as Alias.
-- **noncanonical** (`chado2dictynoncanonicalgff3`): standalone transcripts
-  (no gene parent emitted) of one type/source — default mRNA /
+- **noncanonical** (`chado2dictynoncanonicalgff3` and its v2,
+  `chado2dictynoncanonicalv2gff3` — same NonCanonical::Dicty read
+  semantics, only the writer's attribute formatting differs): standalone
+  transcripts (no gene parent emitted) of one type/source — default mRNA /
   ``geneID reprediction`` (``FeatureReader/Chado/NonCanonical/Dicty.pm``).
 - **noncoding** (`chado2dictynoncodinggff3`): gene models whose transcript
   type is one of the ncRNA family (``FeatureReader/Chado/NonCoding/

@@ -60,3 +60,37 @@ def test_render_bibtex_field_order(spark):
     assert lines[8] == "author = {A One and B Two},"
     assert lines[9] == "timestamp = {2010.5.10}"
     assert lines[10] == "}"
+
+
+def test_nonpub2bib_rows(spark):
+    from modware_loader_spark.plans.bibtex_update import nonpub2bib_rows
+
+    pub = spark.createDataFrame(
+        [(1, "3187", "ENDNOTE", "Tetrahedron Lett", "Novel derivatives", "43",
+          "2002", "1477-1480", "2003-02-01"),
+         (2, "12345", "PUBMED", "J2", "skip me", None, None, None, None)],
+        "pub_id long, uniquename string, pubplace string, series_name string, "
+        "title string, volume string, pyear string, pages string, created_at string",
+    )
+    cvterm = spark.createDataFrame(
+        [(1, "abstract"), (2, "status")], "cvterm_id long, name string"
+    )
+    pubprop = spark.createDataFrame(
+        [(1, 1, "An abstract."), (1, 2, "ppublish")],
+        "pub_id long, type_id long, value string",
+    )
+    pubauthor = spark.createDataFrame(
+        [(1, 1, "Kikuchi", "H."), (1, 2, "Oshima", "Y.")],
+        "pub_id long, rank int, surname string, givennames string",
+    )
+    out = nonpub2bib_rows(pub, pubprop, pubauthor, cvterm).collect()
+    assert len(out) == 1  # PUBMED pub excluded
+    text = out[0].text
+    lines = text.splitlines()
+    assert lines[0] == "@article{endnote3187,"
+    assert lines[1] == "id = {3187},"
+    assert "journal = {Tetrahedron Lett}," in lines
+    assert "author = {Kikuchi, H. and Oshima, Y.}," in lines
+    assert "abstract = {An abstract.}," in lines
+    assert lines[-2] == "timestamp = {2003.2.1}"
+    assert lines[-1] == "}"
