@@ -350,6 +350,38 @@ def cmd_sumstatsongff3(args) -> dict:
     return out
 
 
+def cmd_modidingoa(args) -> dict:
+    """modidingoa: keep GOA rows whose object maps to a MOD gene id via a
+    gp2protein resource, rewriting the id columns (reference
+    modidingoa.pm + Convert/Resource/gp2protein.pm)."""
+    from modware_loader_spark.plans.goa_filter import load_gp2protein, mod_id_in_goa
+    from modware_loader_spark.sinks.gaf import write_gaf
+    from modware_loader_spark.sources.gaf import parse_gaf
+
+    spark = get_spark("modidingoa")
+    gaf = parse_gaf(spark, args.input)
+    id_map = load_gp2protein(spark, args.resource)
+    out = mod_id_in_goa(gaf, id_map, mod_db=args.db)
+    write_gaf(out, args.output)
+    return {"rows_in": gaf.count(), "rows_out": out.count()}
+
+
+def cmd_modrefingoa(args) -> dict:
+    """modrefingoa: rewrite the first db_ref to the MOD publication id via
+    a GO.references resource (reference modrefingoa.pm +
+    Convert/Resource/goref.pm)."""
+    from modware_loader_spark.plans.goa_filter import load_goref, mod_ref_in_goa
+    from modware_loader_spark.sinks.gaf import write_gaf
+    from modware_loader_spark.sources.gaf import parse_gaf
+
+    spark = get_spark("modrefingoa")
+    gaf = parse_gaf(spark, args.input)
+    pub_map = load_goref(spark, args.resource, db=args.db)
+    out = mod_ref_in_goa(gaf, pub_map)
+    write_gaf(out, args.output)
+    return {"rows": out.count()}
+
+
 def cmd_goaappend(args) -> dict:
     """GOA dicty post-steps (reference AppendncRNA / AppendDuplicate roles):
     append ncRNA annotations and duplicate-gene copies to a GAF export."""
@@ -450,6 +482,16 @@ def main(argv=None) -> int:
            "--remove_stop_codon": {"action": "store_true"},
            "--hit_id_parser": {"default": None},
            "--query_id_parser": {"default": None}})
+    add("modidingoa", cmd_modidingoa, catalog=False,
+        **{"--input": {"required": True},
+           "--output": {"required": True},
+           "--resource": {"required": True, "help": "gp2protein file"},
+           "--db": {"default": "dictyBase"}})
+    add("modrefingoa", cmd_modrefingoa, catalog=False,
+        **{"--input": {"required": True},
+           "--output": {"required": True},
+           "--resource": {"required": True, "help": "GO.references file"},
+           "--db": {"default": "dictyBase_REF"}})
     add("goaappend", cmd_goaappend, catalog=False,
         **{"--input": {"required": True},
            "--output": {"required": True},

@@ -5,8 +5,52 @@ rewriting the id columns — a broadcast join + withColumn, no UDFs."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def load_gp2protein(spark: SparkSession, path: str) -> DataFrame:
+    """gp2protein id-map resource feeding ``modidingoa`` (reference
+    ``lib/Modware/Role/Command/Convert/Resource/gp2protein.pm:27-45``):
+    ``MOD:id<TAB>DB:acc(;DB:acc)*`` lines, ``!`` comments skipped —
+    → (goa_id, mod_id), one row per semicolon-separated mapping. The
+    reference slurps the file into a driver hash (croaks over 250 MB);
+    this is a distributed scan with no size limit."""
+    raw = (
+        spark.read.option("sep", "\t")
+        .option("comment", "!")
+        .csv(path)
+        .toDF("mod", "map")
+        .where(F.col("map").isNotNull())
+    )
+    return raw.select(
+        F.substring_index("mod", ":", -1).alias("mod_id"),
+        F.explode(F.split("map", ";")).alias("other"),
+    ).select(
+        F.substring_index(F.trim("other"), ":", -1).alias("goa_id"), "mod_id"
+    )
+
+
+def load_goref(spark: SparkSession, path: str, db: str = "dictyBase_REF") -> DataFrame:
+    """GO_REF metadata resource feeding ``modrefingoa`` (reference
+    ``…/Resource/goref.pm:50-87``): blank-line-separated stanzas with
+    ``go_ref_id:`` and repeated ``external_accession: DB:id`` lines →
+    (goa_ref, mod_ref) for the requested MOD db prefix."""
+    stanzas = spark.read.text(path, lineSep="\n\n").where(
+        ~F.col("value").startswith("!")
+    )
+    goref = F.regexp_extract("value", r"(?m)^go_ref_id: (\S+)$", 1)
+    externals = F.regexp_extract_all(
+        F.col("value"), F.lit(r"(?m)^external_accession: (\S+)$"), 1
+    )
+    return (
+        stanzas.select(goref.alias("goa_ref"), F.explode(externals).alias("xref"))
+        .where(
+            (F.col("goa_ref") != "")
+            & F.col("xref").startswith(db + ":")
+        )
+        .select("goa_ref", F.col("xref").alias("mod_ref"))
+    )
 
 
 def mod_id_in_goa(gaf: DataFrame, id_map: DataFrame, mod_db: str = "dictyBase") -> DataFrame:

@@ -109,3 +109,28 @@ def test_goa_filters(spark, data_dir):
     assert reffed.count() == gaf.count()  # rewrite, never drop
     rewritten = reffed.filter(F.element_at("db_ref", 1) == "DDB_REF:123").count()
     assert rewritten == 2  # the two piaA PMID rows
+
+
+def test_resource_loaders(spark):
+    """gp2protein / goref resource scans (reference Convert/Resource/
+    {gp2protein,goref}.pm) feeding the T4 filters."""
+    import os
+
+    from modware_loader_spark.plans.goa_filter import load_goref, load_gp2protein
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+    idmap = load_gp2protein(spark, os.path.join(fix, "gp2protein.dicty"))
+    rows = sorted((r.goa_id, r.mod_id) for r in idmap.collect())
+    assert rows == [
+        ("P08799", "DDB_G0286355"),
+        ("P54632", "DDB_G0277399"),
+        ("P54651", "DDB_G0277399"),
+    ]
+
+    refs = load_goref(spark, os.path.join(fix, "GO.references"))
+    got = sorted((r.goa_ref, r.mod_ref) for r in refs.collect())
+    # only the dictyBase_REF xrefs; GO_REF:0000033 has none → absent
+    assert got == [
+        ("GO_REF:0000002", "dictyBase_REF:10157"),
+        ("GO_REF:0000037", "dictyBase_REF:9851"),
+    ]
