@@ -1,0 +1,167 @@
+"""Seeded randomized invariants for the round-4 operators:
+
+- tblastn intron chaining: within each produced hit group, consecutive
+  HSPs (by hit start) never gap wider than max_intron_length; across a
+  chunk boundary they always do;
+- merge_contained: the kept set per group is exactly the strictly
+  end-increasing prefix scan (no survivor is contained in an earlier
+  survivor; every dropped HSP is contained in some survivor's span);
+- assembly coordinate walk: element lengths are conserved (fmax - fmin ==
+  declared length) and elements tile contiguously after the anchor;
+- n-gram Jaccard prefix filter: lossless vs the exhaustive index on
+  random token soup.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from modware_loader_spark.operators.dedup import ngram_jaccard_pairs
+from modware_loader_spark.plans.blast2gbrowse import (
+    merge_contained_hsps,
+    tblastn_hit_groups,
+)
+
+SEED = 20260813
+
+
+def _random_hsps(spark, n=400):
+    rnd = random.Random(SEED)
+    rows = []
+    for i in range(n):
+        start = rnd.randrange(1, 500_000)
+        rows.append(
+            (
+                f"q{rnd.randrange(4)}",
+                f"s{rnd.randrange(3)}",
+                rnd.choice([1, -1]),
+                rnd.choice([1, 2, 3]),
+                start,
+                start + rnd.randrange(30, 5000),
+                rnd.randrange(1, 300),
+                rnd.randrange(300, 600),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "query_id string, hit_id string, strand int, hit_frame int, "
+        "hit_start long, hit_end long, query_start long, query_end long",
+    )
+
+
+def test_intron_chaining_gap_invariant(spark):
+    L = 2000
+    hsps = _random_hsps(spark)
+    grouped = tblastn_hit_groups(hsps, by_frame=True, max_intron_length=L)
+    w = Window.partitionBy("query_id", "hit_name").orderBy("hit_start", "hit_end")
+    gaps = grouped.withColumn("prev_end", F.lag("hit_end").over(w)).filter(
+        F.col("prev_end").isNotNull()
+    )
+    # inside one chunked group: never a gap > L
+    assert gaps.filter(F.col("hit_start") - F.col("prev_end") > L).count() == 0
+    # chunk ordinals within a (query, hit, ctx) family are consecutive
+    fam = F.regexp_replace("hit_name", r"\.\d+$", "")
+    chunks = (
+        grouped.withColumn("fam", fam)
+        .withColumn("chunk", F.regexp_extract("hit_name", r"\.(\d+)$", 1).cast("int"))
+        .groupBy("query_id", "fam")
+        .agg(F.max("chunk").alias("mx"), F.count_distinct("chunk").alias("n"))
+    )
+    assert chunks.filter(F.col("mx") + 1 != F.col("n")).count() == 0
+
+
+def test_merge_contained_invariants(spark):
+    hsps = tblastn_hit_groups(_random_hsps(spark), by_frame=False)
+    kept = merge_contained_hsps(hsps)
+    w = Window.partitionBy("query_id", "hit_name").orderBy("hit_start", F.desc("hit_end"))
+    # survivors are strictly end-increasing in start order → none contained
+    bad = (
+        kept.withColumn("prev_max", F.max("hit_end").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ))
+        .filter(F.col("prev_max").isNotNull() & (F.col("hit_end") <= F.col("prev_max")))
+        .count()
+    )
+    assert bad == 0
+    # every dropped HSP is contained in some survivor's running span
+    dropped = hsps.select("query_id", "hit_name", "hit_start", "hit_end").exceptAll(
+        kept.select("query_id", "hit_name", "hit_start", "hit_end")
+    )
+    spans = kept.groupBy("query_id", "hit_name").agg(
+        F.min("hit_start").alias("lo"), F.max("hit_end").alias("hi")
+    )
+    uncovered = (
+        dropped.join(spans, ["query_id", "hit_name"])
+        .filter((F.col("hit_start") < F.col("lo")) | (F.col("hit_end") > F.col("hi")))
+        .count()
+    )
+    assert uncovered == 0
+
+
+def test_assembly_walk_conservation(spark):
+    from modware_loader_spark.plans.genbank_assembly import (
+        assembly_to_gff3_rows,
+    )
+    from modware_loader_spark.plans.genbank_load import GenBankChadoLoader
+
+    rnd = random.Random(SEED)
+    elements, pos = [], 0
+    cursor = rnd.randrange(1, 100)
+    first_start = None
+    for i in range(40):
+        if i % 2 == 0:
+            length = rnd.randrange(50, 3000)
+            start = cursor if i else rnd.randrange(1, 50)
+            if first_start is None:
+                first_start = start
+            elements.append(("SCF", pos, f"CTG{i:04d}.1:{start}..{start + length - 1}"))
+        else:
+            elements.append(("SCF", pos, f"gap({rnd.randrange(10, 500)})"))
+        pos += 1
+    el = spark.createDataFrame(elements, "locus string, pos int, element string")
+    ldr = GenBankChadoLoader(spark)
+    features, _ = assembly_to_gff3_rows(ldr, el)
+    rows = features.orderBy("line_idx").collect()
+    # contiguity: each element starts where the previous ended (interbase)
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.start - 1 == prev.end
+    # anchor: first element starts at its declared start - 1
+    assert rows[0].start - 1 == first_start - 1
+    # length conservation for gaps and contigs alike
+    import re
+
+    for row, (_, _, elem) in zip(rows, elements):
+        m = re.match(r"^gap\((?:unk)?(\d+)\)$", elem)
+        declared = (
+            int(m.group(1))
+            if m
+            else int(elem.split(":")[1].split("..")[1])
+            - int(elem.split(":")[1].split("..")[0])
+            + 1
+        )
+        assert row.end - (row.start - 1) == declared
+
+
+def test_prefix_filter_lossless_random(spark):
+    rnd = random.Random(SEED)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = [
+        (f"d{i}", " ".join(rnd.choice(vocab) for _ in range(rnd.randrange(20, 60))))
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    for t in (0.2, 0.5, 0.8):
+        a = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        b = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in ngram_jaccard_pairs(
+                docs, threshold=t, prefix_filter=False
+            ).collect()
+        }
+        assert a == b, f"threshold {t}"
