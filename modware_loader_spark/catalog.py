@@ -61,6 +61,42 @@ class ChadoCatalog:
             if os.path.isdir(old):
                 shutil.rmtree(old)
 
+    # -- metastore-backed bucketed persistence ---------------------------
+    # Repeated loads re-join the big fact tables on the same keys every
+    # time (feature ⋈ featureloc on feature_id, cvterm ⋈ dbxref on
+    # dbxref_id). Bucketing both sides on the join key removes that
+    # shuffle for every future merge: the scan is already hash-partitioned
+    # on disk. This needs a metastore table (saveAsTable), so it is an
+    # OPT-IN second persistence mode next to the plain parquet dirs — the
+    # natural cluster shape for 100 TB facts where the shuffle is the
+    # bottleneck, overkill for dims.
+    def _table_name(self, table: str) -> str:
+        base = os.path.basename(os.path.normpath(self.root))
+        safe = "".join(c if c.isalnum() else "_" for c in base)
+        return f"{safe}__{table}"
+
+    def save_bucketed(
+        self, tables: dict[str, DataFrame], bucket_by: dict[str, tuple[list[str], int]]
+    ) -> None:
+        """``bucket_by``: table → (bucket columns, bucket count). Tables
+        not listed write unbucketed. Bucket count: size so each bucket's
+        biggest partition fits in executor memory at the target SF."""
+        for name, df in tables.items():
+            writer = df.write.mode("overwrite").format("parquet")
+            spec = bucket_by.get(name)
+            if spec:
+                cols, n = spec
+                writer = writer.bucketBy(n, *cols).sortBy(*cols)
+            writer.saveAsTable(self._table_name(name))
+
+    def load_bucketed(self, names: list[str]) -> dict[str, DataFrame]:
+        out = {}
+        for name in names:
+            tname = self._table_name(name)
+            if self.spark.catalog.tableExists(tname):
+                out[name] = self.spark.table(tname)
+        return out
+
     def load(self, names: list[str]) -> dict[str, DataFrame]:
         out = {}
         for name in names:

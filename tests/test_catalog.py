@@ -53,3 +53,29 @@ def test_resave_of_restored_tables_keeps_data(spark, tmp_path):
     derived = catalog.load(["t"])["t"].filter("k < 50")
     catalog.save({"t": derived})
     assert catalog.load(["t"])["t"].count() == 50
+
+
+def test_bucketed_catalog_join_colocated(spark, tmp_path):
+    """save_bucketed: both fact tables bucketed on the join key → the
+    re-loaded join plan has no Exchange on that key (the 100 TB payoff:
+    every future merge skips the fact-table shuffle)."""
+    import pyspark.sql.functions as F
+
+    from modware_loader_spark.catalog import ChadoCatalog
+
+    cat = ChadoCatalog(spark, str(tmp_path / "bcat"))
+    feature = spark.range(5000).select(
+        F.col("id").alias("feature_id"), F.concat(F.lit("F"), F.col("id")).alias("uniquename")
+    )
+    floc = spark.range(5000).select(
+        F.col("id").alias("feature_id"), (F.col("id") % 97).alias("fmin")
+    )
+    cat.save_bucketed(
+        {"feature": feature, "featureloc": floc},
+        {"feature": (["feature_id"], 8), "featureloc": (["feature_id"], 8)},
+    )
+    got = cat.load_bucketed(["feature", "featureloc"])
+    joined = got["feature"].hint("merge").join(got["featureloc"], "feature_id")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert joined.count() == 5000

@@ -83,3 +83,26 @@ def test_curated_models(dicty_loader):
     assert _ids(rows, {"pseudogenic_transcript"}) == ["DDB_G3.t1"]
     assert _ids(rows, {"gene"}) == ["DDB_G1", "DDB_G4"]
     assert _ids(rows, {"pseudogene"}) == ["DDB_G3"]
+
+
+def test_canonical_roundtrip_through_sink(spark, dicty_loader, tmp_path):
+    """Export → write_gff3 → re-parse: IDs, types, coordinates, and
+    attributes survive serialization (percent-escaping included)."""
+    from modware_loader_spark.sinks.gff3 import write_gff3
+    from modware_loader_spark.sources.gff3 import parse_gff3
+
+    rows = dicty_canonical_rows(dicty_loader)
+    out = str(tmp_path / "dicty.gff3")
+    write_gff3(rows, out)
+    feats, _ = parse_gff3(spark, out)
+    back = {
+        r.attributes["ID"][0]: r
+        for r in feats.collect()
+    }
+    orig = {r.attributes["ID"][0]: r for r in rows.collect()}
+    assert set(back) == set(orig)
+    for k, o in orig.items():
+        b = back[k]
+        assert (b.type, b.start, b.end) == (o.type, o.start, o.end)
+    assert back["DDB_G1"].attributes["Alias"] == ["abc1"]
+    assert back["DDB_G3.t1.e1"].type == "pseudogenic_exon"
