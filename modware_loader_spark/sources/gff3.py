@@ -53,6 +53,41 @@ def _lines_with_index(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(rdd, LINES_SCHEMA)
 
 
+def parse_fasta(spark: SparkSession, path: str) -> DataFrame:
+    """Standalone FASTA scan (reference S6 — ``Bio::SeqIO -format fasta``):
+    → (seq_id, sequence), wrap-joined. Same grouping as the GFF3
+    ``##FASTA`` tail."""
+    lines = _lines_with_index(spark, path)
+    w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    tagged = lines.withColumn(
+        "seq_id",
+        F.last(
+            F.when(
+                F.col("line").startswith(">"),
+                F.regexp_extract("line", r">(\S+)", 1),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        tagged.filter(
+            ~F.col("line").startswith(">")
+            & (F.trim("line") != "")
+            & F.col("seq_id").isNotNull()
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("idx"), F.col("line")))),
+                    lambda s: F.trim(s.line),
+                ),
+                "",
+            ).alias("sequence")
+        )
+    )
+
+
 def parse_gff3(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     """Returns (features, sequences).
 
