@@ -57,3 +57,39 @@ def test_gaf_round_trip_through_chado(spark, tmp_path):
 
     reparsed = parse_gaf(spark, glob.glob(os.path.join(out, "part-*"))[0])
     assert reparsed.count() == exported.count()
+
+
+def test_gaf_writer_format_validation(spark, tmp_path):
+    """validate_gaf.t parity: every written line has exactly 17 tab
+    columns and column 16 (annotation_extension) is empty when unset —
+    checked on both our writer's output and the reference's own
+    dicty_validate.gaf2 through the same assertion."""
+    import os
+
+    from modware_loader_spark.sinks.gaf import write_gaf
+    from modware_loader_spark.sources.gaf import parse_gaf
+
+    src = "/root/reference/t/test_data/dicty_validate.gaf2"
+
+    def check(path_glob):
+        import glob
+
+        n, col16 = 0, 0
+        for p in glob.glob(path_glob):
+            for line in open(p):
+                if line.startswith("!") or not line.strip("\n"):
+                    continue
+                cols = line.rstrip("\n").split("\t")
+                assert len(cols) == 17, cols
+                n += 1
+                col16 += len(cols[15])
+        return n, col16
+
+    n_ref, ext_ref = check(src)
+    assert n_ref > 0 and ext_ref == 0
+
+    out = str(tmp_path / "rt")
+    write_gaf(parse_gaf(spark, src), out)
+    n_out, ext_out = check(os.path.join(out, "part-*.txt"))
+    assert n_out == n_ref
+    assert ext_out == 0
