@@ -82,12 +82,23 @@ class ChadoCatalog:
         not listed write unbucketed. Bucket count: size so each bucket's
         biggest partition fits in executor memory at the target SF."""
         for name, df in tables.items():
+            tname = self._table_name(name)
+            # an in-memory metastore forgets tables across sessions but the
+            # managed LOCATION on disk survives → LOCATION_ALREADY_EXISTS on
+            # the next save. Drop the table AND clear a stale location.
+            self.spark.sql(f"DROP TABLE IF EXISTS {tname}")
+            wh = self.spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).removeprefix("file:")
+            stale = os.path.join(wh, tname.lower())
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
             writer = df.write.mode("overwrite").format("parquet")
             spec = bucket_by.get(name)
             if spec:
                 cols, n = spec
                 writer = writer.bucketBy(n, *cols).sortBy(*cols)
-            writer.saveAsTable(self._table_name(name))
+            writer.saveAsTable(tname)
 
     def load_bucketed(self, names: list[str]) -> dict[str, DataFrame]:
         out = {}
