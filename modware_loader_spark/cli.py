@@ -1,12 +1,20 @@
 """Command-line surface mirroring the reference's app suite
-(``bin/modware-load`` / ``modware-export`` verbs): each subcommand is one
-of the plans over a persistent parquet Chado catalog.
+(``bin/modware-load`` / ``modware-export`` / ``modware-transform`` verbs):
+each subcommand is one of the plans over a persistent parquet Chado
+catalog.
+
+Loads:      gff3tochado, gb2chado, gbassembly2chado, obo2chado,
+            adhocobo2chado, oboclosure2chado, gaf2chado,
+            dropontofromchado
+Exports:    chado2gff3, chado2alignmentgff3, chado2fasta,
+            chado2dictygff3 --variant {canonical,noncanonical,
+            noncoding,curated}
+Transforms: blast2gbrowsegff3, gff3alignment, goaappend,
+            modidingoa, modrefingoa
+Reports:    sumstatsongff3
 
     python -m modware_loader_spark.cli gff3tochado  --input f.gff3 --catalog DIR
-    python -m modware_loader_spark.cli obo2chado    --input f.obo  --catalog DIR
-    python -m modware_loader_spark.cli oboclosure2chado --input f.inf --catalog DIR
     python -m modware_loader_spark.cli chado2gff3   --catalog DIR --output out/
-    python -m modware_loader_spark.cli chado2fasta  --catalog DIR --output out/
 
 The reference wraps each command in one DB transaction
 (``gff3tochado.pm:251,272-277``); here a load mutates the catalog only
