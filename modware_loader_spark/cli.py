@@ -282,6 +282,20 @@ def cmd_gaf2chado(args) -> dict:
     return counts
 
 
+def cmd_chado2canonicalgff3(args) -> dict:
+    """chado2canonicalgff3: generic canonical gene models (%RNA
+    transcripts of any source, reference chado2canonicalgff3.pm)."""
+    from modware_loader_spark.plans.dicty_exports import canonical_rows
+    from modware_loader_spark.sinks.gff3 import write_gff3
+
+    spark = get_spark("chado2canonicalgff3")
+    catalog = ChadoCatalog(spark, args.catalog)
+    loader = _gff3_loader(spark, catalog)
+    rows = canonical_rows(loader)
+    write_gff3(rows, args.output)
+    return {"features_exported": rows.count()}
+
+
 def cmd_chado2dictygff3(args) -> dict:
     """chado2dicty{canonical,noncanonical,noncoding,curated}gff3 variants
     (reference chado2dicty*.pm), selected via --variant."""
@@ -471,6 +485,8 @@ def main(argv=None) -> int:
            "--ncrna": {"default": None},
            "--dupes": {"action": "store_true"},
            "--chr2dups": {"default": None}})
+    add("chado2canonicalgff3", cmd_chado2canonicalgff3,
+        **{"--output": {"required": True}})
     add("chado2dictygff3", cmd_chado2dictygff3,
         **{"--output": {"required": True},
            "--variant": {"required": True,

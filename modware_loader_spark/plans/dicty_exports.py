@@ -263,6 +263,17 @@ def _transcripts_of_genes(loader, type_filter) -> DataFrame:
     )
 
 
+def canonical_rows(loader: ChadoGFF3Loader) -> DataFrame:
+    """chado2canonicalgff3 — the GENERIC canonical walk
+    (``lib/Modware/Export/Command/chado2canonicalgff3.pm`` +
+    ``FeatureReader/Chado/Canonical.pm:24-48``): gene models whose
+    transcripts match ``%RNA`` (suffix — pseudogenes are NOT included
+    here, unlike the dicty variant), any source, exons via part_of and
+    polypeptides via derives_from."""
+    kept = _transcripts_of_genes(loader, F.col("type_name").like("%RNA"))
+    return _gene_models(loader, kept, include_gene=True)
+
+
 def dicty_canonical_rows(
     loader: ChadoGFF3Loader,
     priority: tuple[str, ...] = CANONICAL_PRIORITY,

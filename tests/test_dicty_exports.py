@@ -106,3 +106,17 @@ def test_canonical_roundtrip_through_sink(spark, dicty_loader, tmp_path):
         assert (b.type, b.start, b.end) == (o.type, o.start, o.end)
     assert back["DDB_G1"].attributes["Alias"] == ["abc1"]
     assert back["DDB_G3.t1.e1"].type == "pseudogenic_exon"
+
+
+def test_generic_canonical(spark, dicty_loader):
+    """chado2canonicalgff3 (generic): every %RNA transcript of every
+    source, no pseudogenes, no standalone (gene-less) transcripts."""
+    from modware_loader_spark.plans.dicty_exports import canonical_rows
+
+    rows = canonical_rows(dicty_loader).collect()
+    assert _ids(rows, {"mRNA"}) == ["DDB_G1.t1", "DDB_G1.t2", "DDB_G2.t1"]
+    assert _ids(rows, {"tRNA"}) == ["DDB_G4.t1"]
+    assert _ids(rows, {"pseudogenic_transcript", "pseudogene"}) == []
+    assert _ids(rows, {"gene"}) == ["DDB_G1", "DDB_G2", "DDB_G4"]
+    # the standalone repredicted mRNA has no gene parent → excluded
+    assert "DDB_R1" not in {r.attributes["ID"][0] for r in rows}
