@@ -35,6 +35,30 @@ from modware_loader_spark.plans.gff3_load import ChadoGFF3Loader
 from modware_loader_spark.sources.genbank import parse_genbank
 
 
+# MOD registry db aliases (lib/Modware/MOD/Registry.pm:10-16 via
+# GenBank.pm:855-885): qualifier db prefixes normalize before the dbxref
+# find-or-create. The reference's canonical names carry a literal 'DB:'
+# prefix that its own GFF3 writers strip on export
+# (FeatureWriter/GFF3/Canonical/Dicty.pm:139-141); we store the stripped
+# form directly.
+DB_ALIASES = {"GI": "NCBI_gi", "DB:GI": "NCBI_gi", "protein_id": "NCBI_GP"}
+
+
+def _normalize_xrefs(col: F.Column) -> F.Column:
+    """array<'db:acc'> → alias-normalized array (null-safe)."""
+    import re
+
+    def _sub(pat: str, repl: str):
+        # factory keeps the lambda unary — pyspark maps every declared
+        # parameter (defaults included) to a higher-order-function slot
+        return lambda x: F.regexp_replace(x, pat, repl)
+
+    out = col
+    for src, dst in DB_ALIASES.items():
+        out = F.transform(out, _sub(f"^{re.escape(src)}:", dst + ":"))
+    return out
+
+
 def _revcomp(col):
     return F.translate(F.reverse(col), "ACGTacgt", "TGCAtgca")
 
@@ -141,7 +165,7 @@ def genbank_to_gff3_rows(
             ID=arr(F.col("gene_uq")),
             Name=arr(F.col("gene_name")),
             Parent=arr(F.lit(locus)),
-            Dbxref=F.element_at(q, "db_xref"),
+            Dbxref=_normalize_xrefs(F.element_at(q, "db_xref")),
             note=F.element_at(q, "note"),
         ).alias("attributes"),
         F.col("feat_id").alias("line_idx"),
@@ -179,7 +203,7 @@ def genbank_to_gff3_rows(
             ID=arr(F.col("tr_uq")),
             Name=arr(F.col("tr_uq")),
             Parent=arr(F.col("gene_uq")),
-            Dbxref=F.element_at(q, "db_xref"),
+            Dbxref=_normalize_xrefs(F.element_at(q, "db_xref")),
             note=F.element_at(q, "note"),
             product=F.element_at(q, "product"),
         ).alias("attributes"),
@@ -261,7 +285,7 @@ def genbank_to_gff3_rows(
             ID=arr(F.col("pp_uq")),
             Name=arr(F.col("pp_uq")),
             Derives_from=arr(F.coalesce(F.col("tr_uq"), F.col("gene_uq"))),
-            Dbxref=F.element_at(q, "db_xref"),
+            Dbxref=_normalize_xrefs(F.element_at(q, "db_xref")),
             product=F.element_at(q, "product"),
             protein_id=F.element_at(q, "protein_id"),
         ).alias("attributes"),

@@ -111,3 +111,18 @@ def test_gb2chado_plasmid_scaffold_only(spark):
     assert counts["new_feature"] == 1
     row = ldr.tables["feature"].first()
     assert row.uniquename == "AF269237" and row.seqlen == 11166
+
+
+def test_db_xref_alias_normalization(spark):
+    """MOD registry aliases (Registry.pm:10-16): GI / protein_id db_xref
+    prefixes normalize to NCBI_gi / NCBI_GP on load."""
+    from modware_loader_spark.plans.genbank_load import _normalize_xrefs
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(["GI:12345", "protein_id:AAB123.1", "taxon:44689"],)],
+        "xs array<string>",
+    )
+    got = df.select(_normalize_xrefs(F.col("xs")).alias("n")).first().n
+    assert got == ["NCBI_gi:12345", "NCBI_GP:AAB123.1", "taxon:44689"]
