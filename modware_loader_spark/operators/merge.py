@@ -225,18 +225,50 @@ def generate_ids(
 
     The reference pulls ``nextval('feature_feature_id_seq')`` per row
     (``lib/Modware/Loader/GFF3/Staging/Postgresql.pm:28-56``); non-contiguous,
-    order-dependent. Here ids are ``row_number`` over a canonical order —
-    deterministic and reproducible, which the oracle can replicate. A global
-    row_number is a single-partition window, so for 100 TB use
-    ``monotonically_increasing_id`` when determinism across runs is not
-    required; this deterministic variant is for merge provenance where the
-    input has a natural total order.
+    order-dependent. Here ids equal ``row_number`` over a canonical total
+    order — deterministic and reproducible, which the oracle can replicate.
+
+    Scale shape: a bare ``Window.orderBy`` would sort the whole input through
+    ONE task. Instead we range-repartition on the canonical order (so
+    partition p holds strictly smaller keys than partition p+1), rank locally
+    inside each partition (a *partitioned* window — parallel), and add
+    per-partition cumulative offsets computed from a tiny count-per-partition
+    aggregate (the zipWithIndex pattern). Output ids are identical to the
+    global ``row_number`` whenever ``order_by`` is a total order (ties are
+    ambiguous under any engine). The ranked frame is pinned with
+    ``localCheckpoint`` so the sampled range bounds cannot shift between the
+    offset computation and the final projection.
     """
-    w = Window.orderBy(*order_by)
-    idc = F.row_number().over(w) + F.lit(start - 1)
+    sess = df.sparkSession
+    try:
+        npart = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    except ValueError:
+        npart = 32
+    ranked = (
+        df.repartitionByRange(npart, *order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("__pid").orderBy(*order_by)),
+        )
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        (r["__pid"], r["__cnt"])
+        for r in ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    offs = sess.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    idc = F.col("__off") + F.col("__rn") + F.lit(start - 1)
+    out = ranked.join(F.broadcast(offs), "__pid", "left")
     if prefix:
-        return df.withColumn(id_col, F.concat(F.lit(prefix), idc.cast("string")))
-    return df.withColumn(id_col, idc.cast("long"))
+        out = out.withColumn(id_col, F.concat(F.lit(prefix), idc.cast("string")))
+    else:
+        out = out.withColumn(id_col, idc.cast("long"))
+    return out.drop("__pid", "__rn", "__off")
 
 
 def upsert(

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from modware_loader_spark.operators.merge import generate_ids
 from modware_loader_spark.sources.gaf import parse_gaf
 
 FEATURE_CVTERM_SCHEMA = (
@@ -126,10 +127,14 @@ class GAFLoader:
             )
         )
         base_id = live.agg(F.max("feature_cvterm_id").alias("m")).first().m or 0
-        w_id = Window.orderBy("feature_id", "cvterm_id", "pub_id", "rank")
-        keyed = ranked.withColumn(
-            "feature_cvterm_id", F.row_number().over(w_id) + base_id
-        ).localCheckpoint()
+        # surrogate ids over the natural-key order — partition-offset
+        # row_number (scale-safe M13), not a global window
+        keyed = generate_ids(
+            ranked,
+            ["feature_id", "cvterm_id", "pub_id", "rank"],
+            id_col="feature_cvterm_id",
+            start=base_id + 1,
+        )
         fresh = keyed.select(
             "feature_cvterm_id", "feature_id", "cvterm_id", "pub_id", "rank", "is_not"
         )

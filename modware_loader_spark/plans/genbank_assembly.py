@@ -24,8 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from modware_loader_spark.operators.merge import generate_ids
 from modware_loader_spark.plans.genbank_load import GenBankChadoLoader
 from modware_loader_spark.sources.gff3 import _lines_with_index
+from modware_loader_spark.sources.stitch import running_stitch
 
 # Assembly.pm:161-177
 CONTIG_RGX = r"^(\w+)\.(\d{1,2}):(\d+)\.\.(\d+)$"
@@ -37,26 +39,21 @@ def parse_contig_joins(spark, path: str) -> DataFrame:
     (locus, pos, element). Handles multi-record files and wrapped CONTIG
     continuation lines."""
     lines = _lines_with_index(spark, path)
-    w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
     is_locus = F.col("line").startswith("LOCUS")
     # the current top-level keyword (column-0 word) carried forward over
-    # continuation lines
-    keyword = F.last(
-        F.when(F.col("line").rlike(r"^\S"), F.regexp_extract("line", r"^(\S+)", 1)),
-        ignorenulls=True,
-    ).over(w)
-    tagged = (
-        lines.withColumn("rec", F.sum(is_locus.cast("int")).over(w))
-        .withColumn("kw", keyword)
-        .withColumn(
-            "locus",
-            F.last(
-                F.when(is_locus, F.regexp_extract("line", r"^LOCUS\s+(\S+)", 1)),
-                ignorenulls=True,
-            ).over(w),
-        )
-        .filter((F.col("kw") == "CONTIG") & (F.col("rec") > 0))
-    )
+    # continuation lines — chunked two-phase stitch, no global window
+    tagged = running_stitch(
+        lines,
+        counts={"rec": is_locus},
+        lasts={
+            "kw": F.when(
+                F.col("line").rlike(r"^\S"), F.regexp_extract("line", r"^(\S+)", 1)
+            ),
+            "locus": F.when(
+                is_locus, F.regexp_extract("line", r"^LOCUS\s+(\S+)", 1)
+            ),
+        },
+    ).filter((F.col("kw") == "CONTIG") & (F.col("rec") > 0))
     joined = tagged.groupBy("rec", "locus").agg(
         F.array_join(
             F.transform(
@@ -109,17 +106,12 @@ def assembly_to_gff3_rows(
         el.withColumn("base", F.first("c_start").over(w) - 1)
         .withColumn("running_end", F.col("base") + F.sum("length").over(wcum))
         .withColumn("running_start", F.col("running_end") - F.col("length"))
-        # prefix+counter accession (next_feature_id), deterministic by
-        # (locus, pos) ordinal
-        .withColumn(
-            "acc",
-            F.concat(
-                F.lit(loader.id_prefix),
-                F.row_number().over(Window.orderBy("locus", "pos")).cast("string"),
-            ),
-        )
-        .localCheckpoint()
     )
+    # prefix+counter accession (next_feature_id), deterministic by
+    # (locus, pos) ordinal — partition-offset ids, no global window
+    el = generate_ids(
+        el, ["locus", "pos"], id_col="acc", prefix=loader.id_prefix
+    ).localCheckpoint()
 
     ident = F.when(F.col("is_gap"), F.col("acc")).otherwise(F.col("c_name"))
     features = el.select(

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from modware_loader_spark.plans.gff3_load import ChadoGFF3Loader
 from modware_loader_spark.sources.genbank import parse_genbank
+from modware_loader_spark.sources.stitch import running_stitch
 
 
 # MOD registry db aliases (lib/Modware/MOD/Registry.pm:10-16 via
@@ -117,34 +118,29 @@ def genbank_to_gff3_rows(
         F.lit(0).cast("long").alias("line_idx"),
     )
 
-    # --- the FeatureStack as window functions -----------------------------
+    # --- the FeatureStack as running carries ------------------------------
+    # (chunked two-phase stitch over the feat_id order — no
+    # single-partition window even for a scaffold-sized FEATURES table)
     q = F.col("qualifiers")
     first_q = lambda key: F.element_at(q, key).getItem(0)  # noqa: E731
-    w_doc = Window.orderBy("feat_id").rowsBetween(Window.unboundedPreceding, 0)
     is_gene = F.col("feature_key") == "gene"
     is_rna = F.col("feature_key").rlike("RNA$")
     is_cds = F.col("feature_key") == "CDS"
 
     body = (
-        feats.filter(is_gene | is_rna | is_cds)
-        .withColumn(
-            # gene uniquename: locus_tag else gene tag (load_gene :535-549)
-            "gene_uq",
-            F.last(
-                F.when(is_gene, F.coalesce(first_q("locus_tag"), first_q("gene"))),
-                ignorenulls=True,
-            ).over(w_doc),
-        )
-        .withColumn(
-            "gene_name",
-            F.last(
-                F.when(is_gene, F.coalesce(first_q("gene"), first_q("locus_tag"))),
-                ignorenulls=True,
-            ).over(w_doc),
-        )
-        .withColumn(
-            "gene_strand",
-            F.last(F.when(is_gene, F.col("strand")), ignorenulls=True).over(w_doc),
+        running_stitch(
+            feats.filter(is_gene | is_rna | is_cds),
+            lasts={
+                # gene uniquename: locus_tag else gene tag (load_gene :535-549)
+                "gene_uq": F.when(
+                    is_gene, F.coalesce(first_q("locus_tag"), first_q("gene"))
+                ),
+                "gene_name": F.when(
+                    is_gene, F.coalesce(first_q("gene"), first_q("locus_tag"))
+                ),
+                "gene_strand": F.when(is_gene, F.col("strand")),
+            },
+            idx_col="feat_id",
         )
         .filter(F.col("gene_uq").isNotNull())
         .localCheckpoint()

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from modware_loader_spark.operators.merge import generate_ids, new_keys
 from modware_loader_spark.sources.gff3 import parse_gff3
+from modware_loader_spark.sources.stitch import running_stitch
 
 EMPTY_SCHEMAS = {
     "feature": (
@@ -108,23 +109,15 @@ class ChadoGFF3Loader:
     def _build_staging(self, features: DataFrame, sequences: DataFrame) -> dict[str, DataFrame]:
         attrs = F.col("attributes")
         has_id = attrs["ID"].isNotNull()
-        w_auto = Window.orderBy("line_idx")
+        # dense auto-numbering of ID-less rows in line order, via the
+        # chunked two-phase running count (no single-partition window —
+        # same machinery as the record parsers, sources/stitch.py)
         feats = (
-            features.withColumn(
-                "__auto_rn",
-                F.when(~has_id, F.row_number().over(Window.orderBy("line_idx"))).otherwise(None),
+            running_stitch(
+                features, counts={"__auto_cnt": ~has_id}, idx_col="line_idx"
             )
-            # row_number over the full set then re-ranked on the ID-less
-            # subset keeps numbering dense in line order
-            .withColumn(
-                "__auto_rn",
-                F.when(
-                    ~has_id,
-                    F.count(F.when(~has_id, 1)).over(
-                        w_auto.rowsBetween(Window.unboundedPreceding, 0)
-                    ),
-                ),
-            )
+            .withColumn("__auto_rn", F.when(~has_id, F.col("__auto_cnt")))
+            .drop("__auto_cnt")
             .withColumn(
                 "fid",
                 F.when(has_id, attrs["ID"][0]).otherwise(

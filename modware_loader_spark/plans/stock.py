@@ -14,9 +14,10 @@ TSV (K6).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from modware_loader_spark.operators.merge import generate_ids
 from modware_loader_spark.sources.tsv_stock import parse_plasmids, parse_strains
 
 PROP_COLUMNS = ["strain_id", "prop_type", "prop_value"]
@@ -44,12 +45,15 @@ def load_strains(
 def dump_strains(strains: DataFrame, props: DataFrame) -> DataFrame:
     """dictystrain dump rows: DBS id, minted DSC_G id, name, species,
     description, pipe-joined synonyms, mutagenesis method."""
-    w = Window.orderBy("strain_id")
-    with_dsc = strains.withColumn(
-        "dscg_id",
-        F.concat(
-            F.lit("DSC_G"), F.lpad(F.row_number().over(w).cast("string"), 7, "0")
-        ),
+    # sequential DSC_G minting via partition-offset ids (scale-safe M13),
+    # zero-padded to the reference's %07d
+    with_dsc = (
+        generate_ids(strains, ["strain_id"], id_col="__seq")
+        .withColumn(
+            "dscg_id",
+            F.concat(F.lit("DSC_G"), F.lpad(F.col("__seq").cast("string"), 7, "0")),
+        )
+        .drop("__seq")
     )
     syn = (
         props.filter(F.col("prop_type") == "synonym")

@@ -10,35 +10,29 @@ would need a real grammar — documented limitation).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from modware_loader_spark.sources.gff3 import _lines_with_index
+from modware_loader_spark.sources.stitch import running_stitch
 
 
 def parse_bibtex(spark: SparkSession, path: str) -> DataFrame:
     """→ (entry_type, citekey, fields map<string,string>)."""
     lines = _lines_with_index(spark, path)
-    w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
     is_entry = F.col("line").rlike(r"^@\w+\{")
-    tagged = (
-        lines.withColumn("entry_id", F.sum(is_entry.cast("int")).over(w))
-        .filter(F.col("entry_id") > 0)
-        .withColumn(
-            "entry_type",
-            F.last(
-                F.when(is_entry, F.regexp_extract("line", r"^@(\w+)\{", 1)),
-                ignorenulls=True,
-            ).over(w),
-        )
-        .withColumn(
-            "citekey",
-            F.last(
-                F.when(is_entry, F.regexp_extract("line", r"^@\w+\{([^,]+),", 1)),
-                ignorenulls=True,
-            ).over(w),
-        )
-    )
+    tagged = running_stitch(
+        lines,
+        counts={"entry_id": is_entry},
+        lasts={
+            "entry_type": F.when(
+                is_entry, F.regexp_extract("line", r"^@(\w+)\{", 1)
+            ),
+            "citekey": F.when(
+                is_entry, F.regexp_extract("line", r"^@\w+\{([^,]+),", 1)
+            ),
+        },
+    ).filter(F.col("entry_id") > 0)
     fields = tagged.withColumn(
         "fname", F.lower(F.regexp_extract("line", r"^\s*([\w-]+)\s*=", 1))
     ).withColumn(

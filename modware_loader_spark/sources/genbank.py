@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modware_loader_spark.sources.gff3 import _lines_with_index
+from modware_loader_spark.sources.stitch import running_stitch
 
 
 def parse_genbank(spark: SparkSession, path: str) -> dict:
@@ -47,17 +48,17 @@ def parse_genbank(spark: SparkSession, path: str) -> dict:
         fl = lines.filter((F.col("idx") > bounds.f) & (F.col("idx") < bounds.o))
         is_feat = F.col("line").rlike(r"^ {5}\S")
         is_qual = F.col("line").rlike(r"^ {21}/[\w-]+")
-        w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
         tagged = (
-            fl.withColumn("feat_id", F.sum(is_feat.cast("int")).over(w))
-            .filter(F.col("feat_id") > 0)
-            .withColumn(
-                "feature_key",
-                F.last(
-                    F.when(is_feat, F.regexp_extract("line", r"^ {5}(\S+)", 1)),
-                    ignorenulls=True,
-                ).over(w),
+            running_stitch(
+                fl,
+                counts={"feat_id": is_feat},
+                lasts={
+                    "feature_key": F.when(
+                        is_feat, F.regexp_extract("line", r"^ {5}(\S+)", 1)
+                    )
+                },
             )
+            .filter(F.col("feat_id") > 0)
             # qual_id 0 = the location (key line + its continuations);
             # each /qualifier starts a new group and may wrap onto
             # continuation lines (translation= spans many)

@@ -16,16 +16,18 @@ all JVM-side. Values are percent-decoded (%2C/%3B/%09 … —
 writer re-escapes, so reserved characters round-trip.
 
 Scale: the feature branch is embarrassingly parallel. The FASTA-tail
-grouping uses an unpartitioned window (header assignment needs the global
-order); genome FASTA tails are dim-sized next to the feature table — for
-a FASTA-only 100 TB corpus use a dedicated chunked reader instead.
+``>``-header assignment needs the global line order; it runs through the
+chunked two-phase prefix stitch (``sources/stitch.py``), so a genome-sized
+tail never funnels through a single-partition window.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from modware_loader_spark.sources.stitch import running_stitch
 
 LINES_SCHEMA = T.StructType(
     [
@@ -58,16 +60,14 @@ def parse_fasta(spark: SparkSession, path: str) -> DataFrame:
     → (seq_id, sequence), wrap-joined. Same grouping as the GFF3
     ``##FASTA`` tail."""
     lines = _lines_with_index(spark, path)
-    w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
-    tagged = lines.withColumn(
-        "seq_id",
-        F.last(
-            F.when(
+    tagged = running_stitch(
+        lines,
+        lasts={
+            "seq_id": F.when(
                 F.col("line").startswith(">"),
                 F.regexp_extract("line", r">(\S+)", 1),
-            ),
-            ignorenulls=True,
-        ).over(w),
+            )
+        },
     )
     return (
         tagged.filter(
@@ -134,16 +134,14 @@ def parse_gff3(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
         )
     else:
         tail = lines.filter(F.col("idx") > fasta_start)
-        w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
-        tagged = tail.withColumn(
-            "seq_id",
-            F.last(
-                F.when(
+        tagged = running_stitch(
+            tail,
+            lasts={
+                "seq_id": F.when(
                     F.col("line").startswith(">"),
                     F.regexp_extract("line", r">(\S+)", 1),
-                ),
-                ignorenulls=True,
-            ).over(w),
+                )
+            },
         )
         sequences = (
             tagged.filter(~F.col("line").startswith(">") & (F.col("line") != ""))

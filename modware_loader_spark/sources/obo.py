@@ -13,18 +13,18 @@ obo2chado.pm:44-45``) and shapes staging rows in
 - synonyms carry their scope (EXACT/BROAD/NARROW/RELATED),
 - is_a + relationship tags → (subject, object, type) edge rows.
 
-Spark shape: line scan → stanza ids via a running count of stanza headers
-→ per-stanza pivot aggregation. The stanza-assignment window is global
-(ontologies are dim-sized — MBs, not TBs); everything after the groupBy is
-parallel.
+Spark shape: line scan → stanza ids via a chunked two-phase running count
+of stanza headers (``sources/stitch.py`` — no single-partition window) →
+per-stanza pivot aggregation; everything is partition-parallel.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from modware_loader_spark.sources.gff3 import _lines_with_index
+from modware_loader_spark.sources.stitch import running_stitch
 
 MULTI_KEYS = ("synonym", "is_a", "relationship", "alt_id", "subset", "xref")
 SINGLE_KEYS = ("id", "name", "namespace", "def", "comment", "is_obsolete")
@@ -47,13 +47,12 @@ def _normalize(col):
 def parse_obo(spark: SparkSession, path: str) -> dict:
     """Returns {header: dict, terms, relationships, synonyms, alt_ids}."""
     lines = _lines_with_index(spark, path)
-    w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
     is_header = F.col("line").isin("[Term]", "[Typedef]")
     tagged = (
-        lines.withColumn("stanza_id", F.sum(is_header.cast("int")).over(w))
-        .withColumn(
-            "stanza_type",
-            F.last(F.when(is_header, F.col("line")), ignorenulls=True).over(w),
+        running_stitch(
+            lines,
+            counts={"stanza_id": is_header},
+            lasts={"stanza_type": F.when(is_header, F.col("line"))},
         )
         .filter(~is_header & (F.trim("line") != ""))
         .withColumn("key", F.regexp_extract("line", r"^([\w-]+):", 1))
