@@ -5,12 +5,19 @@ catalog.
 
 Loads:      gff3tochado, gb2chado, gbassembly2chado, obo2chado,
             adhocobo2chado, oboclosure2chado, gaf2chado,
-            dropontofromchado
-Exports:    chado2gff3, chado2alignmentgff3, chado2fasta,
+            dropontofromchado, bibtex2chado, organism2chado,
+            dictystrain2chado, dictyplasmid2chado
+Exports:    chado2gff3, chado2canonicalgff3, chado2alignmentgff3,
+            chado2fasta, chado2gaf, chado2genesummary,
+            dictynonpub2bib, legacydump --which {colleague,
+            colleague2gene,curatornotes,dictypub,dictypubannotation,
+            dscorders-strain,dscorders-plasmid},
             chado2dictygff3 --variant {canonical,noncanonical,
             noncoding,curated}
-Transforms: blast2gbrowsegff3, gff3alignment, goaappend,
-            modidingoa, modrefingoa
+Dumps:      dictystrain, dictyplasmid
+Updates:    dictybib
+Transforms: blast2chadogff3, blast2gbrowsegff3, gff3alignment,
+            goaappend, modidingoa, modrefingoa
 Reports:    sumstatsongff3
 
     python -m modware_loader_spark.cli gff3tochado  --input f.gff3 --catalog DIR
@@ -428,6 +435,322 @@ def cmd_goaappend(args) -> dict:
     return {"rows_in": n_in, "rows_out": gaf.count()}
 
 
+def cmd_blast2chadogff3(args) -> dict:
+    """blast2chadogff3: raw BLAST report → Chado-style GFF3 (parent match +
+    match_part children, Target/Gap attrs — reference blast2chadogff3.pm)."""
+    from modware_loader_spark.plans.blast2gff3 import blast_report_to_gff3_rows
+    from modware_loader_spark.sinks.gff3 import write_gff3
+
+    spark = get_spark("blast2chadogff3")
+    rows = blast_report_to_gff3_rows(
+        spark,
+        args.input,
+        evalue_cutoff=args.evalue_cutoff,
+        num_hit=args.num_hit or None,
+        source=args.source,
+        primary_tag=args.primary_tag,
+        hit_id_parser=args.hit_id_parser,
+        query_id_parser=args.query_id_parser,
+    )
+    write_gff3(rows, args.output)
+    return {"features": rows.count()}
+
+
+def cmd_bibtex2chado(args) -> dict:
+    """bibtex2chado: BibTeX entries → pub module tables in the catalog
+    (reference bibtex2chado.pm via BibTeX::Parser)."""
+    from modware_loader_spark.plans.bibtex_load import load_bibtex_pubs
+
+    spark = get_spark("bibtex2chado")
+    catalog = ChadoCatalog(spark, args.catalog)
+    got = load_bibtex_pubs(spark, args.input)
+    counts = {name: df.count() for name, df in got.items()}
+    if not args.dry_run:
+        catalog.save(
+            {
+                "pub": got["pub"],
+                "pubauthor": got["pubauthor"],
+                "pubprop": got["pubprop"],
+                "pub_type_cvterm": got["cvterm"],
+            }
+        )
+    return counts
+
+
+def cmd_dictybib(args) -> dict:
+    """dictybib: stamp unstamped BibTeX entries with the pub table's
+    created_at and re-emit them (reference Update/Command/dictybib.pm)."""
+    from modware_loader_spark.plans.bibtex_update import dictybib_update, render_bibtex
+    from modware_loader_spark.sources.bibtex import parse_bibtex
+
+    spark = get_spark("dictybib")
+    catalog = ChadoCatalog(spark, args.catalog)
+    pub = catalog.load(["pub"]).get("pub")
+    if pub is None:
+        raise SystemExit("catalog must hold a pub table (run bibtex2chado first)")
+    entries = parse_bibtex(spark, args.input)
+    rendered = render_bibtex(dictybib_update(entries, pub))
+    rows = rendered.orderBy("citekey").collect()  # pub-sized output
+    with open(args.output, "w") as fh:
+        fh.write("\n\n".join(r.text for r in rows) + ("\n" if rows else ""))
+    return {"entries": len(rows)}
+
+
+def cmd_dictynonpub2bib(args) -> dict:
+    """dictynonpub2bib: non-PubMed pubs rendered as BibTeX articles
+    (reference Export/Command/dictynonpub2bib.pm)."""
+    from modware_loader_spark.plans.bibtex_update import nonpub2bib_rows
+
+    spark = get_spark("dictynonpub2bib")
+    catalog = ChadoCatalog(spark, args.catalog)
+    got = catalog.load(["pub", "pubprop", "pubauthor", "pub_type_cvterm"])
+    for need in ("pub", "pubprop", "pubauthor", "pub_type_cvterm"):
+        if need not in got:
+            raise SystemExit(f"catalog must hold {need} (run bibtex2chado first)")
+    rows = nonpub2bib_rows(
+        got["pub"], got["pubprop"], got["pubauthor"], got["pub_type_cvterm"],
+        timestamp=not args.no_timestamp,
+    ).orderBy("citekey").collect()
+    with open(args.output, "w") as fh:
+        fh.write("\n\n".join(r.text for r in rows) + ("\n" if rows else ""))
+    return {"entries": len(rows)}
+
+
+def cmd_chado2genesummary(args) -> dict:
+    """chado2genesummary: paragraph featureprops ⋈ legacy paragraphs →
+    (gene accession, author, MediaWiki text) TSV (reference
+    chado2genesummary.pm + WithMediaWikiFormatter)."""
+    from modware_loader_spark.plans.gene_summary import gene_summaries
+
+    spark = get_spark("chado2genesummary")
+    catalog = ChadoCatalog(spark, args.catalog)
+    loader = _gff3_loader(spark, catalog)
+    paragraphs = (
+        spark.read.option("sep", "\t")
+        .csv(args.paragraphs)
+        .toDF("paragraph_no", "written_by", "paragraph_text")
+    )
+    pmid_map = None
+    if args.pmid_map:
+        pmid_map = (
+            spark.read.option("sep", "\t")
+            .csv(args.pmid_map)
+            .toDF("reference_no", "pmid")
+        )
+    rows = gene_summaries(loader, paragraphs, pmid_map=pmid_map)
+    rows.orderBy(rows.columns[0]).write.mode("overwrite").option(
+        "sep", "\t"
+    ).csv(args.output)
+    return {"summaries": rows.count()}
+
+
+def cmd_organism2chado(args) -> dict:
+    """organism2chado: organism TSV → organism table (reference
+    organism2chado.pm; ships its own share/organism.txt when no input)."""
+    from modware_loader_spark.plans.organism_load import load_organisms
+
+    spark = get_spark("organism2chado")
+    catalog = ChadoCatalog(spark, args.catalog)
+    organisms = load_organisms(spark, args.input)
+    if not args.dry_run:
+        catalog.save({"organism": organisms})
+    return {"organisms": organisms.count()}
+
+
+def cmd_dictystrain(args) -> dict:
+    """dictystrain: strain dump TSV with minted DSC_G ids (reference
+    Dump/Command/dictystrain.pm)."""
+    from modware_loader_spark.plans.stock import dump_strains, load_strains, write_stock_tsv
+
+    spark = get_spark("dictystrain")
+    got = load_strains(spark, args.input, args.props)
+    rows = dump_strains(got["strains"], got["props"])
+    write_stock_tsv(rows, args.output)
+    return {"strains": rows.count(), "invalid": got["invalid"].count()}
+
+
+def cmd_dictyplasmid(args) -> dict:
+    """dictyplasmid: plasmid dump TSV (reference Dump/Command/dictyplasmid.pm)."""
+    from modware_loader_spark.plans.stock import dump_plasmids, load_plasmids, write_stock_tsv
+
+    spark = get_spark("dictyplasmid")
+    got = load_plasmids(spark, args.input, args.props)
+    rows = dump_plasmids(got["plasmids"], got["props"])
+    write_stock_tsv(rows, args.output)
+    return {"plasmids": rows.count(), "invalid": got["invalid"].count()}
+
+
+def _save_stock_importer(imp, catalog) -> None:
+    catalog.save({f"stock_{name}": df for name, df in imp.tables.items()})
+
+
+def cmd_dictystrain2chado(args) -> dict:
+    """dictystrain2chado: strain TSV (+ props) → stock module tables
+    (reference Import/Command/dictystrain2chado.pm + StrainImporter)."""
+    from modware_loader_spark.plans.stock_import import StockImporter
+    from modware_loader_spark.sources.tsv_stock import parse_strains
+    from pyspark.sql import functions as F
+
+    spark = get_spark("dictystrain2chado")
+    catalog = ChadoCatalog(spark, args.catalog)
+    imp = StockImporter(spark)
+    strains, invalid = parse_strains(spark, args.input)
+    counts = {"invalid": invalid.count(), **imp.import_stock(strains)}
+    if args.props:
+        props = (
+            spark.read.option("sep", "\t")
+            .csv(args.props)
+            .toDF("strain_id", "prop_type", "value")
+            .withColumn("line_idx", F.monotonically_increasing_id())
+        )
+        counts.update(imp.import_props(props, "dicty_stockcenter_props"))
+    if not args.dry_run:
+        _save_stock_importer(imp, catalog)
+    return counts
+
+
+def cmd_dictyplasmid2chado(args) -> dict:
+    """dictyplasmid2chado: plasmid TSV (+ props) → stock module tables
+    (reference Import/Command/dictyplasmid2chado.pm + PlasmidImporter)."""
+    from modware_loader_spark.plans.stock_import import StockImporter
+    from modware_loader_spark.sources.tsv_stock import parse_plasmids
+    from pyspark.sql import functions as F
+
+    spark = get_spark("dictyplasmid2chado")
+    catalog = ChadoCatalog(spark, args.catalog)
+    imp = StockImporter(spark)
+    plasmids, invalid = parse_plasmids(spark, args.input)
+    counts = {
+        "invalid": invalid.count(),
+        **imp.import_stock(
+            plasmids,
+            stock_type="plasmid",
+            id_col="plasmid_id",
+            name_col="plasmid_name",
+            species_col=None,
+            descr_col="plasmid_descr",
+        ),
+    }
+    if args.props:
+        props = (
+            spark.read.option("sep", "\t")
+            .csv(args.props)
+            .toDF("strain_id", "prop_type", "value")
+            .withColumn("line_idx", F.monotonically_increasing_id())
+        )
+        counts.update(imp.import_props(props, "dicty_stockcenter_props"))
+    if not args.dry_run:
+        _save_stock_importer(imp, catalog)
+    return counts
+
+
+def cmd_chado2gaf(args) -> dict:
+    """dictygaf: GAF 2.0 export of the catalog's feature_cvterm state
+    (reference Export dictygaf / Export::GAF base)."""
+    from pyspark.sql import functions as F
+
+    from modware_loader_spark.plans.gaf_export import chado2gaf_rows
+    from modware_loader_spark.plans.gaf_load import GAFLoader
+    from modware_loader_spark.sinks.gaf import write_gaf
+
+    spark = get_spark("chado2gaf")
+    catalog = ChadoCatalog(spark, args.catalog)
+    got = catalog.load(
+        ["feature", "cvterm", "dbxref", "pub", "feature_cvterm", "feature_cvtermprop"]
+    )
+    for need in ("feature", "cvterm", "dbxref", "feature_cvterm"):
+        if need not in got:
+            raise SystemExit(f"catalog must hold {need} (run gaf2chado first)")
+    cvterms = got["cvterm"].join(got["dbxref"], "dbxref_id").select(
+        "cvterm_id", "accession"
+    )
+    pubs = got.get("pub")
+    if pubs is None:
+        pubs = spark.createDataFrame([], "pub_id long, uniquename string")
+    loader = GAFLoader(
+        spark,
+        features=got["feature"],
+        cvterms=cvterms,
+        pubs=pubs,
+        evidence=spark.createDataFrame([], "cvterm_id long, synonym string"),
+    )
+    loader.feature_cvterm = got["feature_cvterm"]
+    if "feature_cvtermprop" in got:
+        loader.feature_cvtermprop = got["feature_cvtermprop"]
+    rows = chado2gaf_rows(loader, db=args.db, taxon=args.taxon)
+    write_gaf(rows, args.output)
+    return {"annotations": rows.count()}
+
+
+def cmd_legacydump(args) -> dict:
+    """Legacy-schema exports (reference colleague / colleague2gene /
+    curatornotes / dictypub / dictypubannotation / dscorders commands) over
+    a parquet catalog of the legacy tables."""
+    from modware_loader_spark.plans import legacy_exports as le
+
+    spark = get_spark("legacydump")
+    catalog = ChadoCatalog(spark, args.catalog)
+
+    def need(*names):
+        got = catalog.load(list(names))
+        missing = [n for n in names if n not in got]
+        if missing:
+            raise SystemExit(f"legacy catalog missing tables: {missing}")
+        return got
+
+    which = args.which
+    if which == "colleague":
+        t = need("colleague", "coll_email", "email")
+        opt = catalog.load(["coll_phone", "phone", "colleague_remark"])
+        rows = le.colleague_rows(
+            t["colleague"], t["coll_email"], t["email"],
+            coll_phone=opt.get("coll_phone"), phone=opt.get("phone"),
+            colleague_remark=opt.get("colleague_remark"),
+        )
+    elif which == "colleague2gene":
+        t = need("email", "coll_email", "coll_locus", "feature")
+        rows = le.colleague_genes(t["email"], t["coll_email"], t["coll_locus"], t["feature"])
+    elif which == "curatornotes":
+        t = need("featureprop", "feature", "cvterm", "dbxref")
+        rows = le.curator_notes(
+            t["featureprop"], t["feature"], t["cvterm"], t["dbxref"],
+            note_type=args.note_type,
+        )
+    elif which == "dictypub":
+        t = need("feature_pub", "feature", "pub", "dbxref", "cvterm")
+        rows = le.dicty_publinks(
+            t["feature_pub"], t["feature"], t["pub"], t["dbxref"], t["cvterm"]
+        )
+    elif which == "dictypubannotation":
+        t = need("feature_pub", "feature", "pub", "dbxref", "feature_pubprop", "cvterm")
+        opt = catalog.load(["curator_feature_pubprop", "curator"])
+        rows = le.pub_annotations(
+            t["feature_pub"], t["feature"], t["pub"], t["dbxref"],
+            t["feature_pubprop"], t["cvterm"],
+            curator_feature_pubprop=opt.get("curator_feature_pubprop"),
+            curator=opt.get("curator"),
+        )
+    elif which == "dscorders-plasmid":
+        t = need("plasmid", "stock_item_order", "stock_order", "colleague",
+                 "coll_email", "email")
+        rows = le.dsc_plasmid_orders(
+            t["plasmid"], t["stock_item_order"], t["stock_order"],
+            t["colleague"], t["coll_email"], t["email"],
+        )
+    elif which == "dscorders-strain":
+        t = need("stock_center", "plasmid", "stock_item_order", "stock_order",
+                 "colleague", "coll_email", "email", "dbxref")
+        rows = le.dsc_strain_orders(
+            t["stock_center"], t["plasmid"], t["stock_item_order"],
+            t["stock_order"], t["colleague"], t["coll_email"], t["email"],
+            t["dbxref"],
+        )
+    else:  # pragma: no cover — argparse choices guard
+        raise SystemExit(f"unknown export: {which}")
+    rows.write.mode("overwrite").option("sep", "\t").csv(args.output)
+    return {"rows": rows.count()}
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="modware-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -522,6 +845,51 @@ def main(argv=None) -> int:
            "--ncrna": {"default": None, "help": "ncRNA GAF share file to append"},
            "--duplicates": {"action": "store_true"},
            "--chr2dups": {"default": None, "help": "chr2 duplicate TSV map"}})
+    add("blast2chadogff3", cmd_blast2chadogff3, catalog=False,
+        **{"--input": {"required": True},
+           "--output": {"required": True},
+           "--evalue_cutoff": {"type": float, "default": None},
+           "--num_hit": {"type": int, "default": 0},
+           "--source": {"default": None},
+           "--primary_tag": {"default": None},
+           "--hit_id_parser": {"default": None},
+           "--query_id_parser": {"default": None}})
+    add("bibtex2chado", cmd_bibtex2chado, **{"--input": {"required": True}})
+    add("dictybib", cmd_dictybib,
+        **{"--input": {"required": True}, "--output": {"required": True}})
+    add("dictynonpub2bib", cmd_dictynonpub2bib,
+        **{"--output": {"required": True},
+           "--no_timestamp": {"action": "store_true"}})
+    add("chado2genesummary", cmd_chado2genesummary,
+        **{"--paragraphs": {"required": True,
+                            "help": "legacy paragraph TSV (no, author, text)"},
+           "--pmid_map": {"default": None,
+                          "help": "reference_no→pmid TSV for <reference> tags"},
+           "--output": {"required": True}})
+    add("organism2chado", cmd_organism2chado, **{"--input": {"required": True}})
+    add("dictystrain", cmd_dictystrain, catalog=False,
+        **{"--input": {"required": True},
+           "--props": {"default": None},
+           "--output": {"required": True}})
+    add("dictyplasmid", cmd_dictyplasmid, catalog=False,
+        **{"--input": {"required": True},
+           "--props": {"default": None},
+           "--output": {"required": True}})
+    add("dictystrain2chado", cmd_dictystrain2chado,
+        **{"--input": {"required": True}, "--props": {"default": None}})
+    add("dictyplasmid2chado", cmd_dictyplasmid2chado,
+        **{"--input": {"required": True}, "--props": {"default": None}})
+    add("chado2gaf", cmd_chado2gaf,
+        **{"--output": {"required": True},
+           "--db": {"default": "dictyBase"},
+           "--taxon": {"default": "taxon:44689"}})
+    add("legacydump", cmd_legacydump,
+        **{"--which": {"required": True,
+                       "choices": ["colleague", "colleague2gene", "curatornotes",
+                                   "dictypub", "dictypubannotation",
+                                   "dscorders-strain", "dscorders-plasmid"]},
+           "--note_type": {"default": "public"},
+           "--output": {"required": True}})
 
     args = p.parse_args(argv)
     result = args.fn(args)

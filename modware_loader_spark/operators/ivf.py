@@ -88,8 +88,11 @@ def ivf_train(
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
         )
     )
-    # cell ids 0..nlist-1 in seed-id order
-    w = Window.orderBy(F.asc("seed_id"))
+    # cell ids 0..nlist-1 in seed-id order. partitionBy(lit(0)) is a
+    # deliberate single-partition window: `seeds` is nlist rows (k
+    # centroids) by construction, and the literal key suppresses the
+    # WindowExec warning that would otherwise look like a scale bug.
+    w = Window.partitionBy(F.lit(0)).orderBy(F.asc("seed_id"))
     centroids = seeds.withColumn("cell", F.row_number().over(w) - 1).select(
         "cell", "centroid"
     )
