@@ -106,3 +106,20 @@ def test_goa_append_map_side_only(spark):
         .toString()
     )
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_no_single_partition_exchange_anywhere(spark, sf_dir):
+    """Round-4 guard: no registered query funnels data through an
+    Exchange SinglePartition (the physical footprint of an unpartitioned
+    sort/window — the shape that serialized id generation and record
+    stitching before the partition-offset rework). Deliberate tiny-frame
+    single-partition windows use partitionBy(lit(0)), which hashes, so
+    they do not trip this."""
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n = plan.count("Exchange SinglePartition")
+        if n:
+            offenders[name] = n
+    assert not offenders, offenders
