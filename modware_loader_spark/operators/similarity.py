@@ -244,9 +244,16 @@ def lsh_banded_topk(
     # The query side is a small batch by contract, so its band table and
     # vector table are broadcast — the corpus-side band table and vectors
     # never shuffle on the join key, they stream map-side.
+    if self_join:
+        # one banding pass, pinned, joined with itself — the hash subtree
+        # (bands×bits hyperplane dots per vector) would otherwise run twice
+        bt = band_table(targets, "target_id").localCheckpoint()
+        qt = bt.withColumnsRenamed({"target_id": "query_id"})
+    else:
+        bt = band_table(targets, "target_id")
+        qt = band_table(queries, "query_id")
     cands = (
-        band_table(targets, "target_id")
-        .join(hint(band_table(queries, "query_id")), ["band_id", "band_hash"])
+        bt.join(hint(qt), ["band_id", "band_hash"])
         .filter(F.col("query_id") != F.col("target_id"))
         .select("query_id", "target_id")
         .distinct()
