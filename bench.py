@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "s11_blast_report_gff3",
     "text_langid",
     "text_token_stats",
+    "text_winnow_fingerprints",
     "agg_rollup_priority_status",
     "agg_cube_returnflag_linestatus",
     "window_running_total",

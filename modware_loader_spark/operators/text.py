@@ -75,6 +75,30 @@ def fingerprint(text_col: Column) -> Column:
     """Document fingerprint: md5 hex of the normalized text (exact-dup key).
 
     The rolling-hash variant for shingle-level fingerprints is
-    ``dedup.shingles`` + ``token_hash``.
+    ``dedup.shingles`` + ``token_hash``; the winnowed local variant is
+    ``winnow_fingerprints``.
     """
     return F.md5(F.trim(text_col))
+
+
+def winnow_fingerprints(col_name: str, k: int = 8, w: int = 4) -> Column:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS): hash
+    every char ``k``-gram, slide a window of ``w`` consecutive hashes,
+    keep each window's minimum — guarantees any match of length
+    ``k + w - 1`` shares a fingerprint, at ~2/(w+1) sample density.
+
+    Returns a sorted distinct ``array<string>`` of the selected hashes
+    (8-hex-char md5 prefixes — string min is portable to the DuckDB
+    oracle, unlike struct ordering). Pure array expressions: no explode,
+    no shuffle — the whole computation is one map stage per document, so
+    it pipelines into whatever groupBy/join consumes the fingerprints.
+    """
+    # windows = len - (k+w-2); each window hashes its own w grams rather
+    # than referencing a shared gram array twice (Catalyst would inline
+    # the array subtree per reference — see SCALE.md CollapseProject note)
+    return F.expr(
+        f"array_sort(array_distinct(transform("
+        f"sequence(1, greatest(length({col_name}) - {k + w - 2}, 0)), "
+        f"p -> array_min(transform(sequence(p, p + {w - 1}), "
+        f"i -> substring(md5(substring({col_name}, i, {k})), 1, 8))))))"
+    )

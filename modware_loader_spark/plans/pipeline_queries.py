@@ -527,6 +527,33 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_winnow_fingerprints",
+    """
+    WITH g AS (
+      SELECT doc_id, u.p AS p,
+             (SELECT min(substr(md5(substr(d.text, q.i, 8)), 1, 8))
+              FROM (SELECT unnest(generate_series(u.p, u.p + 3)) AS i) q) AS fp
+      FROM documents d,
+           LATERAL (SELECT unnest(generate_series(1, greatest(len(d.text) - 10, 0))) AS p) u
+    )
+    SELECT DISTINCT doc_id, fp FROM g
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed rolling-hash fingerprints (MOSS): per-doc char-8-gram
+    hashes → window-of-4 minima → distinct. One map stage (array
+    expressions, no explode/shuffle) until the final per-doc explode;
+    repartition at entry so a single-file scan doesn't serialize the
+    hash-heavy map (SCALE.md local-mode caveat)."""
+    t = load_tables(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    return t["documents"].repartition(par).select(
+        "doc_id",
+        F.explode(TX.winnow_fingerprints("text", k=8, w=4)).alias("fp"),
+    )
+
+
+@query(
     "multimodal_binary_meta",
     """
     SELECT doc_id, 'image/fake' AS media_type,

@@ -165,3 +165,40 @@ def test_prefix_filter_lossless_random(spark):
             ).collect()
         }
         assert a == b, f"threshold {t}"
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing guarantee (MOSS): two documents sharing a substring of
+    length >= k + w - 1 (= 11 here) always share a fingerprint; and each
+    doc's fingerprints are a subset of its k-gram hashes."""
+    from modware_loader_spark.operators.text import winnow_fingerprints
+
+    import hashlib
+    import random
+
+    rng = random.Random(42)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    common = "".join(rng.choice(alpha) for _ in range(20))
+    docs = []
+    for i in range(10):
+        pre = "".join(rng.choice(alpha) for _ in range(rng.randrange(5, 40)))
+        suf = "".join(rng.choice(alpha) for _ in range(rng.randrange(5, 40)))
+        docs.append((i, pre + common + suf))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: set(r.fps)
+        for r in df.select(
+            "doc_id", winnow_fingerprints("text", k=8, w=4).alias("fps")
+        ).collect()
+    }
+    # pairwise shared fingerprint through the planted common substring
+    for i in range(10):
+        for j in range(i + 1, 10):
+            assert got[i] & got[j], (i, j)
+    # fingerprints ⊆ gram hashes, and selection is non-empty
+    for i, text in docs:
+        grams = {
+            hashlib.md5(text[p : p + 8].encode()).hexdigest()[:8]
+            for p in range(len(text) - 7)
+        }
+        assert got[i] and got[i] <= grams
