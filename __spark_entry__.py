@@ -44,6 +44,7 @@ _DEPRIORITIZED = [
     "m13_deterministic_id_generation",  # exercised by every merge query
     "t2_t3_cutoff_and_regex_extract",  # trivial filter + regexp
     "e12_sample_limit",             # trivial limit
+    "text_token_stats",             # token-count family gated via text_bpe_token_count
 ]
 
 

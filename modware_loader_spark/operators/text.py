@@ -39,6 +39,20 @@ def token_hash(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+# GPT-2-style pretokenizer, restricted to constructs shared by Java regex
+# (Spark) and RE2 (DuckDB): no lookahead, explicit contraction alternates,
+# space-prefixed letter/digit/punct runs, whitespace runs. The branch set is
+# prefix-disjoint, so leftmost-first (Java) and leftmost-longest (RE2) agree.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """BPE-ish pretokenization (the GPT-2 regex shape): the token-count
+    estimate real data pipelines budget with — ~1 token per word piece,
+    digits and punctuation runs separate, leading space attached."""
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)
+
+
 def stopword_count(tokens_col: Column, words: list[str]) -> Column:
     """Count of tokens that are in ``words`` (with multiplicity)."""
     lit_words = [F.lit(w) for w in words]

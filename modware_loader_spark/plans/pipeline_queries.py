@@ -527,6 +527,27 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bpe_token_count",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{TX.BPE_ISH_PATTERN.replace("'", "''")}')) AS n_bpe_tokens,
+           len(string_split(trim(text), ' ')) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both estimators: whitespace words and the GPT-2
+    BPE-ish pretokenizer regex (the budget number LLM pipelines track).
+    Pure map stage."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        F.size(TX.bpe_ish_tokens(F.col("text"))).alias("n_bpe_tokens"),
+        F.size(TX.tokens(F.col("text"))).alias("n_ws_tokens"),
+    )
+
+
+@query(
     "text_winnow_fingerprints",
     """
     WITH g AS (
