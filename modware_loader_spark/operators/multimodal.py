@@ -101,3 +101,89 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(batches, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta_width", T.IntegerType(), True),
+        T.StructField("meta_height", T.IntegerType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """Arrow-batched resize: payload → payload at (width, height).
+
+    Real resizing needs PIL — ``fake=False`` raises from the executors.
+    The fake path is deterministic (byte stream truncated/right-padded to
+    ``width*height`` so round-trips are checkable) while the Spark-side
+    contract — same row count, binary in/binary out, metadata rewritten —
+    is exactly the production shape.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "media resize requires PIL; pass fake=True for the stub"
+                )
+            payload = pdf["payload"].map(
+                lambda p: (p or b"")[:target].ljust(target, b"\0")
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": payload,
+                    "meta_width": width,
+                    "meta_height": height,
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, n_frames: int, fake: bool = False) -> DataFrame:
+    """Arrow-batched frame sampling: one video row → ``n_frames`` frame
+    rows (uniform stride). The 1→N row expansion inside ``mapInPandas``
+    is the shape real ffmpeg-backed samplers use; ``fake=True`` splits
+    the payload bytes into ``n_frames`` even chunks deterministically.
+
+    Scale: output partitioning follows the input (no shuffle); frames of
+    one video stay in one partition, so a per-video downstream groupBy
+    keys on ``media_id`` with map-side combine.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "frame sampling requires ffmpeg; pass fake=True for the stub"
+                )
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = p or b""
+                step = max(len(p) // n_frames, 1)
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(p[i * step : (i + 1) * step])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_index": idxs, "payload": frames}
+            )
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)

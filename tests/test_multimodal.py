@@ -36,3 +36,43 @@ def test_decode_media_real_path_raises(spark, sf_dir):
     media = attach_binary_payload(docs)
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         decode_media(media, fake=False).collect()
+
+
+def test_resize_media_fake(spark, sf_dir):
+    from modware_loader_spark.operators.multimodal import RESIZED_SCHEMA, resize_media
+
+    docs = load_tables(spark, sf_dir)["documents"].limit(10)
+    media = attach_binary_payload(docs)
+    resized = resize_media(media, 16, 8, fake=True)
+    assert resized.schema == RESIZED_SCHEMA
+    rows = resized.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert len(r.payload) == 16 * 8
+        assert (r.meta_width, r.meta_height) == (16, 8)
+
+
+def test_sample_frames_fake_expands_rows(spark, sf_dir):
+    from modware_loader_spark.operators.multimodal import FRAME_SCHEMA, sample_frames
+
+    docs = load_tables(spark, sf_dir)["documents"].limit(5)
+    media = attach_binary_payload(docs)
+    frames = sample_frames(media, 4, fake=True)
+    assert frames.schema == FRAME_SCHEMA
+    rows = frames.collect()
+    assert len(rows) == 5 * 4
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r.frame_index)
+    assert all(sorted(v) == [0, 1, 2, 3] for v in by_id.values())
+
+
+def test_resize_and_frames_real_path_raise(spark, sf_dir):
+    from modware_loader_spark.operators.multimodal import resize_media, sample_frames
+
+    docs = load_tables(spark, sf_dir)["documents"].limit(2)
+    media = attach_binary_payload(docs)
+    with pytest.raises(Exception, match="NotImplementedError|PIL|ffmpeg"):
+        resize_media(media, 4, 4, fake=False).collect()
+    with pytest.raises(Exception, match="NotImplementedError|PIL|ffmpeg"):
+        sample_frames(media, 2, fake=False).collect()
