@@ -28,6 +28,21 @@ def read_event_stream(spark, path: str, schema) -> DataFrame:
     return spark.readStream.schema(schema).parquet(path)
 
 
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence per key within the
+    watermark horizon (``dropDuplicatesWithinWatermark``) — the streaming
+    twin of the batch ``dedup_exact_fingerprint`` operator. State holds
+    one entry per distinct key seen inside the horizon and is evicted as
+    the watermark advances, so memory is bounded by (key cardinality per
+    horizon), not by stream length."""
+    keys = keys or ["user_id", "event_type"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """1-hour tumbling windows per event_type with a late-data watermark."""
     return (

@@ -119,3 +119,18 @@ def test_stateful_profiles_carry_state_across_microbatches(spark, sf_dir, tmp_pa
     }
     got_final = {u: latest[u] for u in truth}
     assert got_final == truth
+
+
+def test_stream_dedup_first_per_key(spark, events_feed):
+    from modware_loader_spark.streaming.events import stream_dedup
+
+    path, batch_df = events_feed
+    stream = read_event_stream(spark, path, batch_df.schema)
+    result = _run_stream(
+        spark, stream_dedup(stream, ["user_id", "event_type"]), "dedup_t", "append"
+    )
+    got = result.groupBy("user_id", "event_type").count().collect()
+    # within one bounded feed every key survives exactly once…
+    assert got and all(r["count"] == 1 for r in got)
+    # …and the key set matches the batch distinct
+    assert result.count() == batch_df.select("user_id", "event_type").distinct().count()
