@@ -80,21 +80,22 @@ def ivf_train(
     decimal arithmetic, rounded to 6dp — order-independent, so the
     trained index is reproducible across engines and partitionings.
     """
-    seeds = (
+    # cell ids 0..nlist-1 in seed-id order. Seeds are k rows that get
+    # broadcast to every executor anyway, so the driver-side collect +
+    # renumber is the honest shape (same class as dim/header fetches) and
+    # avoids a degenerate one-partition window.
+    seed_rows = (
         df.orderBy(F.asc(id_col))
         .limit(nlist)
         .select(
             F.col(id_col).alias("seed_id"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
         )
+        .collect()
     )
-    # cell ids 0..nlist-1 in seed-id order. partitionBy(lit(0)) is a
-    # deliberate single-partition window: `seeds` is nlist rows (k
-    # centroids) by construction, and the literal key suppresses the
-    # WindowExec warning that would otherwise look like a scale bug.
-    w = Window.partitionBy(F.lit(0)).orderBy(F.asc("seed_id"))
-    centroids = seeds.withColumn("cell", F.row_number().over(w) - 1).select(
-        "cell", "centroid"
+    centroids = df.sparkSession.createDataFrame(
+        [(i, r.centroid) for i, r in enumerate(sorted(seed_rows, key=lambda r: r.seed_id))],
+        "cell int, centroid array<double>",
     )
     vectors = df.select(id_col, vec_col)
     for _ in range(lloyd_iters):

@@ -20,19 +20,20 @@ result with the classic two-phase chunked prefix pattern:
 2. per-chunk *local* running values via a window partitioned by chunk —
    fully parallel;
 3. per-chunk totals/finals aggregated into a tiny summary frame
-   (``n_lines / chunk_size`` rows) where the exclusive prefix
-   (offset / carry-in) is computed — the only ordered window left, over
-   the summary rows, not the data;
+   (``n_lines / chunk_size`` rows) whose exclusive prefix
+   (offset / carry-in) is folded driver-side — a dim-sized collect, the
+   same class as header fetches; no window anywhere;
 4. broadcast-join the carry-ins back and combine map-side.
 
-At 10⁹ input lines the summary frame is ~2.4×10⁵ rows — trivially
-window-able — while every full-data operator stays partition-parallel.
+At 10⁹ input lines the summary frame is ~2.4×10⁵ rows (a few MB on the
+driver) while every full-data operator stays partition-parallel.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 DEFAULT_CHUNK = 4096
 
@@ -83,26 +84,32 @@ def running_stitch(
         )
     summary = chunked.groupBy("__chunk").agg(*aggs)
 
-    # Phase 3 — exclusive prefix over the tiny summary (the only ordered
-    # window, bounded at rows ≈ n/chunk_size). partitionBy(lit(0)) is a
-    # deliberate single-partition window over the SUMMARY frame — its size
-    # is bounded by construction, so the WindowExec "no partition" warning
-    # would be noise; the literal key states the intent.
-    wp = (
-        Window.partitionBy(F.lit(0))
-        .orderBy("__chunk")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # Phase 3 — exclusive prefix over the summary, computed driver-side:
+    # the summary is bounded at rows ≈ n_lines/chunk_size (~2.4×10⁵ for
+    # 10⁹ lines, a few MB), the same dim-sized class as header fetches
+    # and generate_ids' offset collect. A window here would be the one
+    # remaining single-partition WindowExec in the engine; a linear fold
+    # over collected rows is cheaper and warning-free.
+    fin_types = {f.name: f.dataType for f in summary.schema.fields}
+    offs = {n: 0 for n in counts}
+    lastv: dict[str, object] = {n: None for n in lasts}
+    carry_rows = []
+    for r in sorted(summary.collect(), key=lambda r: r["__chunk"]):
+        row = [r["__chunk"]]
+        for n in counts:
+            row.append(offs[n])
+            offs[n] += r[f"__tot_{n}"] or 0
+        for n in lasts:
+            row.append(lastv[n])
+            if r[f"__fin_{n}"] is not None:
+                lastv[n] = r[f"__fin_{n}"]
+        carry_rows.append(tuple(row))
+    carry_schema = T.StructType(
+        [T.StructField("__chunk", T.LongType(), False)]
+        + [T.StructField(f"__off_{n}", T.LongType(), False) for n in counts]
+        + [T.StructField(f"__in_{n}", fin_types[f"__fin_{n}"], True) for n in lasts]
     )
-    carry_cols = [F.col("__chunk")]
-    for name in counts:
-        carry_cols.append(
-            F.coalesce(F.sum(f"__tot_{name}").over(wp), F.lit(0)).alias(f"__off_{name}")
-        )
-    for name in lasts:
-        carry_cols.append(
-            F.last(f"__fin_{name}", ignorenulls=True).over(wp).alias(f"__in_{name}")
-        )
-    carries = summary.select(*carry_cols)
+    carries = lines.sparkSession.createDataFrame(carry_rows, carry_schema)
 
     # Phase 4 — broadcast the carries back; combine map-side.
     out = local.join(F.broadcast(carries), "__chunk", "left")
