@@ -60,17 +60,28 @@ def brute_force_topk(
     """Exact cosine top-k: for each query vector the k nearest targets
     (self-matches excluded), deterministic tie-break on target id."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
     t = targets.select(
-        F.col(id_col).alias("target_id"), F.col(vec_col).alias("t_vec")
+        F.col(id_col).alias("target_id"),
+        F.col(vec_col).alias("t_vec"),
+        norm(F.col(vec_col)).alias("t_norm"),
     )
     par = targets.sparkSession.sparkContext.defaultParallelism
     scored = (
         t.repartition(par)
         .crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("target_id"))
-        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("t_vec")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("q_vec"), F.col("t_vec"))
+                / (F.col("q_norm") * F.col("t_norm")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("target_id"))
     return (
@@ -258,22 +269,29 @@ def lsh_banded_topk(
         .select("query_id", "target_id")
         .distinct()
     )
-    q_vecs = queries.select(F.col(id_col), F.col(vec_col))
-    t_vecs = targets.select(F.col(id_col), F.col(vec_col))
+    # norms attach once per vector, not per pair — the verify fold then
+    # does one dot product per candidate instead of dot + two norms
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    t_vecs = targets.select(
+        F.col(id_col).alias("target_id"),
+        F.col(vec_col).alias("t_vec"),
+        norm(F.col(vec_col)).alias("t_norm"),
+    )
     scored = (
-        cands.join(
-            hint(
-                q_vecs.select(
-                    F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-                )
+        cands.join(hint(q_vecs), "query_id")
+        .join(t_vecs, "target_id")
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("q_vec"), F.col("t_vec"))
+                / (F.col("q_norm") * F.col("t_norm")),
+                6,
             ),
-            "query_id",
         )
-        .join(
-            t_vecs.select(F.col(id_col).alias("target_id"), F.col(vec_col).alias("t_vec")),
-            "target_id",
-        )
-        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("t_vec")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("target_id"))
     return (
@@ -299,18 +317,30 @@ def lsh_bucket_topk(
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     bucketed = df.repartition(par).select(
-        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), bits).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+        norm(F.col(vec_col)).alias("__norm"),
     )
     a = bucketed.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        "bucket", F.col("__norm").alias("q_norm"),
     )
     b = bucketed.select(
-        F.col(id_col).alias("target_id"), F.col(vec_col).alias("t_vec"), "bucket"
+        F.col(id_col).alias("target_id"), F.col(vec_col).alias("t_vec"),
+        "bucket", F.col("__norm").alias("t_norm"),
     )
     scored = (
         a.join(b, "bucket")
         .filter(F.col("query_id") != F.col("target_id"))
-        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("t_vec")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("q_vec"), F.col("t_vec"))
+                / (F.col("q_norm") * F.col("t_norm")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("target_id"))
     return (
