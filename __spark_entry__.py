@@ -20,6 +20,7 @@ import modware_loader_spark.plans.driver_queries  # noqa: E402,F401
 import modware_loader_spark.plans.export_queries  # noqa: E402,F401
 import modware_loader_spark.plans.pipeline_queries  # noqa: E402,F401
 import modware_loader_spark.plans.analytics_queries  # noqa: E402,F401
+import modware_loader_spark.plans.curation_queries  # noqa: E402,F401
 from modware_loader_spark.plans.registry import ORACLES, QUERIES  # noqa: E402
 
 
@@ -45,6 +46,10 @@ _DEPRIORITIZED = [
     "t2_t3_cutoff_and_regex_extract",  # trivial filter + regexp
     "e12_sample_limit",             # trivial limit
     "text_token_stats",             # token-count family gated via text_bpe_token_count
+    "similarity_lsh_bucket_topk",   # banded-LSH family gated via ann_banded_topk
+    "agg_cube_returnflag_linestatus",  # grouping-sets family gated via rollup
+    "window_running_total",         # trivial running-sum window
+    "text_winnow_fingerprints",     # 5th dedup-family variant (exact/minhash/simhash/jaccard gated)
 ]
 
 

@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "agg_rollup_priority_status",
     "agg_cube_returnflag_linestatus",
     "window_running_total",
+    "decontam_ngram_overlap",
+    "sample_frequency_cap",
+    "text_quality_quantile_gate",
 ]
 
 

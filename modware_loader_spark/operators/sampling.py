@@ -1,0 +1,151 @@
+"""Deterministic sampling / capping / quantile-threshold operators for
+training-data pipelines.
+
+A 100 TB corpus is never fed to training whole: pipelines stratify by
+language/source, cap per-domain document counts (frequency capping, cf.
+CCNet/RefinedWeb-style pipelines), and gate on per-stratum quality
+quantiles. The primitives here are all pure built-in-function map/agg
+stages so Catalyst keeps them inside whole-stage codegen:
+
+- ``hash_uniform`` — a *deterministic* uniform(0,1) draw per key via
+  md5, reproducible across engines (the DuckDB oracle computes the
+  identical value with ``CAST('0x'||substr(md5(..),1,8) AS UBIGINT)``),
+  unlike ``rand(seed)`` whose value depends on partitioning. At 100 TB
+  determinism-per-row matters: re-runs, retries and speculative tasks
+  all agree on which rows are in-sample, so the sample is stable under
+  failure/recompute (Spark's ``sample()`` is only stable per-partition-
+  layout).
+- ``stratified_sample`` — per-stratum Bernoulli sampling with exact,
+  engine-independent membership; no shuffle at all (filter on a map-side
+  expression), versus ``df.stat.sampleBy`` which is partition-layout
+  dependent.
+- ``frequency_cap`` — keep at most ``cap`` rows per group, choosing a
+  deterministic hash-ordered subset: one shuffle on the group key, then
+  a bounded per-group ``row_number``. Skewed groups (one domain with
+  10^8 docs) are the known hazard; the window only needs the top-``cap``
+  rows so AQE skew-split plus the rank filter keeps per-task state
+  bounded — for extreme skew, pre-filter with ``hash_uniform() <
+  cap*fudge/approx_count`` before the window (documented, not default).
+- ``group_quantile_thresholds`` — exact per-group interpolated
+  percentile (matches DuckDB ``quantile_cont``); the scale path swaps in
+  ``approx_percentile`` (t-digest, single pass, no sort) — same API,
+  documented accuracy trade.
+
+Reference scope: the reference has no sampling surface (its E12 'sample'
+is LIMIT-style, ``lib/Modware/Export/Command/chado2fasta.pm`` sample
+option); these operators are the extension scope mandated by the
+north-star baseline (BASELINE.json §extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^32: the md5 prefix is 8 hex digits = 32 bits, so dividing by 2^32
+# maps it onto [0, 1).
+_HASH_SPACE = float(1 << 32)
+
+
+def hash_uniform(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform(0,1) per key: first 32 bits of
+    ``md5(salt || key)`` scaled to [0,1).
+
+    Engine-portable: DuckDB computes the same double with
+    ``CAST(('0x' || substr(md5(salt || key), 1, 8)) AS UBIGINT) /
+    4294967296.0``. Spark's ``conv(...,16,10)`` returns a decimal string;
+    cast through long before the divide.
+    """
+    prefix = F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8)
+    return F.conv(prefix, 16, 10).cast("long") / F.lit(_HASH_SPACE)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum Bernoulli sample with deterministic membership.
+
+    ``fractions`` maps stratum value -> keep probability; strata not
+    listed fall back to ``default_fraction``. Pure filter — no shuffle,
+    no sort, survives any partitioning. The per-row draw is keyed on
+    ``key_col`` so adding/removing *other* rows never flips a row's
+    membership (critical for incremental 100 TB reprocessing).
+    """
+    frac = F.lit(float(default_fraction))
+    for value, p in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == value, F.lit(float(p))).otherwise(frac)
+    return df.filter(hash_uniform(F.col(key_col), salt=salt) < frac)
+
+
+def frequency_cap(
+    df: DataFrame,
+    group_cols: list[str],
+    cap: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Keep a deterministic hash-ordered subset of at most ``cap`` rows
+    per group (domain/source frequency capping).
+
+    One hash shuffle on ``group_cols``; rank by the uniform draw (ties
+    broken by key, so total order is deterministic) and keep rank <=
+    cap. The rank filter is pushed into the window operator
+    (``WindowGroupLimit`` in Spark 3.5+/4.x physical plans), so each
+    task retains only ``cap`` rows per group instead of buffering the
+    group.
+    """
+    u = hash_uniform(F.col(key_col), salt=salt)
+    w = Window.partitionBy(*group_cols).orderBy(u.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+
+
+def group_quantile_thresholds(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    prob: float,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group quantile of ``value_col`` → one row per group with a
+    ``threshold`` column.
+
+    ``approx=False`` uses exact interpolated ``percentile`` — identical
+    semantics to DuckDB ``quantile_cont`` (the oracle path). At 100 TB
+    pass ``approx=True``: ``approx_percentile`` is a single-pass
+    mergeable sketch (no per-group sort buffer), the standard trade for
+    a quality-gate threshold that tolerates ±ε rank error.
+    """
+    agg = (
+        F.percentile_approx(F.col(value_col), prob)
+        if approx
+        else F.percentile(F.col(value_col), prob)
+    )
+    return df.groupBy(*group_cols).agg(agg.alias("threshold"))
+
+
+def quantile_gate(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    prob: float,
+    approx: bool = False,
+) -> DataFrame:
+    """Keep rows at-or-above their group's ``prob`` quantile.
+
+    The thresholds frame is group-cardinality-sized (languages, domains
+    — thousands at most), so the re-attach join is explicitly
+    broadcast: the big side never shuffles.
+    """
+    thresholds = group_quantile_thresholds(df, group_cols, value_col, prob, approx=approx)
+    return df.join(F.broadcast(thresholds), on=group_cols, how="inner").filter(
+        F.col(value_col) >= F.col("threshold")
+    )

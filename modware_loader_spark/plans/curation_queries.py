@@ -1,0 +1,171 @@
+"""Corpus-curation queries: benchmark decontamination, deterministic
+stratified sampling, per-domain frequency capping, and quantile quality
+gating — the selection/cleaning stages of an LLM training-data pipeline
+(extension scope per BASELINE.json; the reference's only sampling is the
+LIMIT-style E12).
+
+All randomness is md5-hash-derived so Spark and the DuckDB oracle agree
+bit-for-bit, and so membership is stable under repartitioning, retries
+and speculative execution — the properties ``rand(seed)`` does NOT give
+on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modware_loader_spark.operators import decontam as DC
+from modware_loader_spark.operators import sampling as SA
+from modware_loader_spark.operators import text as TX
+from modware_loader_spark.plans.registry import query
+from modware_loader_spark.session import load_tables
+
+__all__: list[str] = []
+
+# DuckDB twin of operators.sampling.hash_uniform(doc_id): first 32 bits
+# of md5 scaled onto [0,1).
+_DDB_U01 = (
+    "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)"
+    " / 4294967296.0)"
+)
+
+_SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.3, "es": 0.3, "fr": 0.2, "zh": 0.1}
+
+_DDB_FRAC = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_SAMPLE_FRACTIONS.items()))
+    + " ELSE 0.0 END"
+)
+
+
+@query(
+    "sample_stratified_hash",
+    f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_DDB_U01} < {_DDB_FRAC}
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Bernoulli sample with deterministic hash membership.
+
+    Pure map-side filter — zero shuffle; survives any partitioning and
+    any re-run, unlike ``df.stat.sampleBy`` (partition-layout dependent)
+    or ``rand(seed)``. See ``operators/sampling.py`` scale notes.
+    """
+    t = load_tables(spark, sf_dir)
+    return SA.stratified_sample(
+        t["documents"], "lang", _SAMPLE_FRACTIONS, key_col="doc_id"
+    ).select("doc_id", "lang", "source")
+
+
+@query(
+    "sample_frequency_cap",
+    f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source ORDER BY {_DDB_U01} ASC, doc_id ASC
+             ) AS rk
+      FROM documents)
+    SELECT doc_id, source FROM r WHERE rk <= 20
+    """,
+)
+def sample_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain frequency capping: keep a deterministic hash-ordered 20
+    documents per source (CCNet/RefinedWeb-style per-domain caps).
+
+    One shuffle on ``source``; the rank<=cap filter is pushed into the
+    window (WindowGroupLimit), so tasks hold 20 rows per group, not the
+    group. Skew note in ``operators/sampling.py::frequency_cap``.
+    """
+    t = load_tables(spark, sf_dir)
+    return SA.frequency_cap(
+        t["documents"], ["source"], cap=20, key_col="doc_id"
+    ).select("doc_id", "source")
+
+
+# n-gram order for contamination checks; eval-leak scans typically use
+# 8-13-gram windows — the synthetic docs are 10+ tokens, so 5 keeps the
+# query meaningfully selective at sf0.001 too.
+_NGRAM_N = 5
+
+_DDB_GRAMS = f"""
+  d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+  g AS (SELECT doc_id,
+               unnest(list_distinct(
+                 CASE WHEN len(w) >= {_NGRAM_N}
+                      THEN list_transform(
+                             generate_series(1, len(w) - {_NGRAM_N - 1}),
+                             i -> array_to_string(w[i:i + {_NGRAM_N - 1}], ' '))
+                      ELSE [] END)) AS gram
+        FROM d)
+"""
+
+
+@query(
+    "decontam_ngram_overlap",
+    f"""
+    WITH {_DDB_GRAMS},
+    b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0)
+    SELECT g.doc_id, count(*) AS n_hit_grams, min(g.gram) AS example_gram
+    FROM g JOIN b USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag documents sharing any word
+    {n}-gram with the benchmark set (here: every 37th document standing
+    in for an eval corpus).
+
+    The benchmark gram set is broadcast; the corpus side is probed
+    map-side (BroadcastHashJoin) — the 100 TB side never shuffles; only
+    slim (doc_id, gram) hit rows reach the final agg. Scale notes in
+    ``operators/decontam.py``.
+    """
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    return DC.contamination(docs, bench, n=_NGRAM_N)
+
+
+@query(
+    "text_quality_quantile_gate",
+    """
+    WITH q AS (
+      SELECT doc_id, lang,
+             (round(len(list_distinct(w))::DOUBLE / len(w), 6)
+              + CASE WHEN length(text) >= 200 THEN 1.0
+                     ELSE round(length(text)::DOUBLE / 200, 6) END) / 2 AS quality
+      FROM (SELECT doc_id, lang, text, string_split(trim(text), ' ') AS w
+            FROM documents)),
+    th AS (SELECT lang, quantile_cont(quality, 0.5) AS threshold
+           FROM q GROUP BY lang)
+    SELECT q.doc_id, q.lang, q.quality
+    FROM q JOIN th USING (lang)
+    WHERE q.quality >= th.threshold
+    """,
+)
+def text_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gating at the per-language median: keep the better half
+    of each language's documents (Gopher-style per-stratum gate, so
+    low-resource languages aren't wiped out by an absolute threshold).
+
+    Thresholds are a languages-sized frame → broadcast re-attach; the
+    exact interpolated ``percentile`` matches DuckDB ``quantile_cont``;
+    at 100 TB swap ``approx=True`` (t-digest sketch, no per-group sort)
+    — see ``operators/sampling.py::group_quantile_thresholds``.
+    """
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        TX.quality_score(F.col("text"), TX.tokens(F.col("text"))).alias("quality"),
+    )
+    gated = SA.quantile_gate(scored, ["lang"], "quality", 0.5)
+    # No output rounding: round-to-6dp can land on a decimal half-way
+    # point where Spark (exact-binary HALF_UP) and DuckDB (shortest-repr)
+    # disagree in the last digit; the raw doubles are bit-identical.
+    return gated.select("doc_id", "lang", "quality")

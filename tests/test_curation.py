@@ -1,0 +1,98 @@
+"""Corpus-curation operators: deterministic sampling, frequency capping,
+quantile gating, and benchmark decontamination.
+
+Oracle parity for the registered queries is covered by
+``test_oracle_parity.py``; these tests pin the *semantic invariants*
+(determinism under repartitioning, cap bounds, gate set-membership,
+decontamination soundness/completeness on crafted rows).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from modware_loader_spark.operators import decontam as DC
+from modware_loader_spark.operators import sampling as SA
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_stratified_sample_deterministic_under_repartition(spark, docs):
+    frac = {"en": 0.5, "de": 0.25}
+    a = SA.stratified_sample(docs, "lang", frac, key_col="doc_id")
+    b = SA.stratified_sample(docs.repartition(7, "source"), "lang", frac, key_col="doc_id")
+    ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
+    ids_b = sorted(r.doc_id for r in b.select("doc_id").collect())
+    assert ids_a == ids_b and len(ids_a) > 0
+    # unlisted strata drop out entirely with default_fraction=0
+    assert a.filter(~F.col("lang").isin(*frac)).count() == 0
+
+
+def test_stratified_sample_fraction_plausible(spark, docs):
+    # 50% of en: binomial(n, .5) — allow a wide deterministic-hash band.
+    n_en = docs.filter(F.col("lang") == "en").count()
+    got = (
+        SA.stratified_sample(docs, "lang", {"en": 0.5}, key_col="doc_id")
+        .filter(F.col("lang") == "en")
+        .count()
+    )
+    assert 0.25 * n_en <= got <= 0.75 * n_en
+
+
+def test_stratified_sample_salt_changes_membership(spark, docs):
+    a = {r.doc_id for r in SA.stratified_sample(docs, "lang", {"en": 0.5}, key_col="doc_id").collect()}
+    b = {r.doc_id for r in SA.stratified_sample(docs, "lang", {"en": 0.5}, key_col="doc_id", salt="v2").collect()}
+    assert a != b  # different salt → different (deterministic) draw
+
+
+def test_frequency_cap_bounds_and_determinism(spark, docs):
+    capped = SA.frequency_cap(docs, ["source"], cap=3, key_col="doc_id")
+    per_group = capped.groupBy("source").count().collect()
+    assert per_group and all(r["count"] <= 3 for r in per_group)
+    again = SA.frequency_cap(docs.repartition(5), ["source"], cap=3, key_col="doc_id")
+    assert sorted(r.doc_id for r in capped.select("doc_id").collect()) == sorted(
+        r.doc_id for r in again.select("doc_id").collect()
+    )
+
+
+def test_quantile_gate_keeps_upper_half_per_group(spark, docs):
+    scored = docs.select("doc_id", "lang", F.col("n_chars").cast("double").alias("v"))
+    gated = SA.quantile_gate(scored, ["lang"], "v", 0.5)
+    # every kept row >= its group's exact median; about half survive
+    th = {r.lang: r.threshold for r in SA.group_quantile_thresholds(scored, ["lang"], "v", 0.5).collect()}
+    rows = gated.collect()
+    assert rows and all(r.v >= th[r.lang] for r in rows)
+    n, kept = scored.count(), len(rows)
+    assert 0.4 * n <= kept <= 0.6 * n
+    # approx path: same API, sketch-based; threshold within the value range
+    approx = SA.quantile_gate(scored, ["lang"], "v", 0.5, approx=True)
+    assert approx.count() > 0
+
+
+def test_decontam_sound_and_complete(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),          # contains benchmark 5-gram "b c d e f"
+            (2, "x y z w v u t s"),          # clean
+            (3, "q a b c d e f zz"),         # contaminated, shifted position
+            (4, "too short"),                # shorter than n — never flagged
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, "junk b c d e f junk2")], "doc_id long, text string")
+    hits = DC.contamination(docs, bench, n=5)
+    got = {r.doc_id: r.n_hit_grams for r in hits.collect()}
+    assert set(got) == {1, 3} and all(v >= 1 for v in got.values())
+    clean = DC.decontaminate(docs, bench, n=5)
+    assert sorted(r.doc_id for r in clean.select("doc_id").collect()) == [2, 4]
+
+
+def test_ngrams_guard_short_docs(spark):
+    df = spark.createDataFrame([("a b",)], "text string")
+    out = df.select(DC.ngrams(F.split(F.col("text"), " "), 5).alias("g")).first()
+    assert out.g == []
