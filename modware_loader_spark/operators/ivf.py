@@ -48,19 +48,74 @@ def sq_l2(a, b):
     )
 
 
+# Above this many literal doubles (nlist × dim) the codegen'd distance
+# expression gets unwieldy; switch to the distributed min_by aggregation.
+_LITERAL_CELL_BUDGET = 65536
+
+
+def _centroid_literals(centroids: DataFrame) -> list:
+    """Collect the (tiny) centroid table driver-side, sorted by cell id.
+
+    Same class of driver touch as dim/header fetches: nlist×dim doubles
+    (a few MB at production nlist=2^16·d=128) that every executor needs
+    verbatim anyway.
+    """
+    return sorted(
+        ((r["cell"], [float(x) for x in r["centroid"]]) for r in centroids.collect()),
+        key=lambda t: t[0],
+    )
+
+
+def _dist_cell_pairs(vec_col: str, cents: list):
+    """Array of (dist, cell) structs vs every centroid — pure expression.
+
+    Struct comparison is lexicographic, so ``array_min`` / ``array_sort``
+    realize exactly the (min rounded dist, then min cell) tie-break the
+    window version used. Emitted as ONE ``F.expr`` SQL string: building
+    it node-by-node through the Python Column API costs a py4j round
+    trip per node (~0.7 s at nlist=8×d=64); one parse call is ~free.
+    """
+    def arr(c):
+        return "array(" + ",".join(f"{x!r}D" for x in c) + ")"
+
+    pairs = ",".join(
+        "struct(round(aggregate(zip_with(`%s`, %s,"
+        " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " 0.0D, (acc, v) -> acc + v), 6) AS dist, %d AS cell)"
+        % (vec_col, arr(c), cell)
+        for cell, c in cents
+    )
+    return F.expr(f"array({pairs})")
+
+
 def _nearest_cell(vectors: DataFrame, centroids: DataFrame, id_col: str,
                   vec_col: str) -> DataFrame:
     """Assign each vector to the centroid with min rounded squared-L2
-    (tie-break: smaller cell id). Broadcast nested-loop over the small
-    centroid table; one shuffle for the per-vector argmin window."""
+    (tie-break: smaller cell id).
+
+    Small nlist×dim (the common case): centroids become literal arrays
+    and the argmin is a single map-side expression — assignment is
+    embarrassingly parallel, ZERO shuffle of the corpus (the previous
+    shape expanded every vector ×nlist and sorted the expansion through
+    a per-vector window — an nlist× shuffle that dominates at 100 TB).
+    Large nlist: broadcast nested-loop + ``min_by`` hash aggregation;
+    partial (map-side) aggregation collapses the expansion to one row
+    per vector per partition before the exchange, still far cheaper
+    than the full-expansion window sort.
+    """
+    cents = _centroid_literals(centroids)
+    dim = len(cents[0][1]) if cents else 0
+    if cents and len(cents) * dim <= _LITERAL_CELL_BUDGET:
+        return vectors.withColumn(
+            "cell", F.array_min(_dist_cell_pairs(vec_col, cents)).getField("cell")
+        )
     scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
         "dist", F.round(sq_l2(F.col(vec_col), F.col("centroid")), 6)
     )
-    w = Window.partitionBy(id_col).orderBy(F.asc("dist"), F.asc("cell"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "dist", "centroid")
+    other = [c for c in vectors.columns if c != id_col]
+    return scored.groupBy(id_col).agg(
+        *[F.first(c).alias(c) for c in other if c != id_col],
+        F.min_by(F.col("cell"), F.struct("dist", "cell")).alias("cell"),
     )
 
 
@@ -164,16 +219,29 @@ def ivf_topk(
         F.col(vec_col).alias("t_vec"),
         "cell",
     )
-    # probe list: nprobe nearest centroids per query
+    # probe list: nprobe nearest centroids per query. Same literal
+    # map-side trick as assignment — sort the (dist, cell) struct array
+    # and explode the first nprobe entries; no window, no shuffle of the
+    # query side before the cell join.
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    probe_w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cell"))
-    probes = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("dist", F.round(sq_l2(F.col("q_vec"), F.col("centroid")), 6))
-        .withColumn("__rn", F.row_number().over(probe_w))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "q_vec", "cell")
-    )
+    cents = _centroid_literals(centroids)
+    if cents and len(cents) * len(cents[0][1]) <= _LITERAL_CELL_BUDGET:
+        probes = q.select(
+            "query_id",
+            "q_vec",
+            F.explode(
+                F.slice(F.array_sort(_dist_cell_pairs("q_vec", cents)), 1, nprobe)
+            ).alias("__p"),
+        ).select("query_id", "q_vec", F.col("__p").getField("cell").alias("cell"))
+    else:
+        probe_w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cell"))
+        probes = (
+            q.crossJoin(F.broadcast(centroids))
+            .withColumn("dist", F.round(sq_l2(F.col("q_vec"), F.col("centroid")), 6))
+            .withColumn("__rn", F.row_number().over(probe_w))
+            .filter(F.col("__rn") <= nprobe)
+            .select("query_id", "q_vec", "cell")
+        )
     scored = (
         probes.join(cells, "cell")
         .filter(F.col("query_id") != F.col("target_id"))
