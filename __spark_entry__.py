@@ -50,6 +50,7 @@ _DEPRIORITIZED = [
     "agg_cube_returnflag_linestatus",  # grouping-sets family gated via rollup
     "window_running_total",         # trivial running-sum window
     "text_winnow_fingerprints",     # 5th dedup-family variant (exact/minhash/simhash/jaccard gated)
+    "text_quality_score",           # quality family gated via text_quality_quantile_gate (same scorer)
 ]
 
 

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "decontam_ngram_overlap",
     "sample_frequency_cap",
     "text_quality_quantile_gate",
+    "text_repetition_gopher",
 ]
 
 

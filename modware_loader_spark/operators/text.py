@@ -116,3 +116,98 @@ def winnow_fingerprints(col_name: str, k: int = 8, w: int = 4) -> Column:
         f"p -> array_min(transform(sequence(p, p + {w - 1}), "
         f"i -> substring(md5(substring({col_name}, i, {k})), 1, 8))))))"
     )
+
+
+def _run_length_stats(grams: Column) -> Column:
+    """``struct(best, dups)`` of a gram array: longest equal-run length
+    and the count of occurrences beyond the first of each distinct gram,
+    computed by sorting the array and folding run lengths.
+
+    This is the shuffle-free shape of ``grams.groupBy(gram).count()``:
+    repetition metrics are a function of ONE document, so at 100 TB they
+    belong in the row-local map stage (O(m log m) sort + O(m) fold per
+    doc), not in a per-(doc, gram) exchange.
+    """
+    def step(acc, g):
+        same = acc.getField("prev").eqNullSafe(g)
+        run = F.when(same, acc.getField("run") + 1).otherwise(F.lit(1))
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.getField("best"), run).alias("best"),
+            (acc.getField("dups") + F.when(same, 1).otherwise(0)).alias("dups"),
+        )
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(0).alias("dups"),
+    )
+    return F.aggregate(
+        F.array_sort(grams),
+        init,
+        step,
+        lambda acc: F.struct(
+            acc.getField("best").alias("best"), acc.getField("dups").alias("dups")
+        ),
+    )
+
+
+# Gopher repetition thresholds (Rae et al. 2021, "Scaling Language
+# Models", table A1): a document is removed when the most frequent
+# {2,3,4}-gram covers more than this fraction of the text, or when
+# duplicated {5,6,7}-grams do. Char fractions in the paper; token
+# fractions here (the synthetic corpus is single-space word soup), same
+# operator shape.
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13}
+
+
+def repetition_stats(tokens_col: Column) -> dict[str, Column]:
+    """Gopher-style repetition metrics, all row-local (no shuffle):
+
+    - ``dup_word_frac`` — fraction of word occurrences beyond the first
+      of each distinct word;
+    - ``top{n}_gram_frac`` (n=2..4) — token-coverage of the single most
+      frequent n-gram (``best_n · n / n_tokens``, capped at 1);
+    - ``dup{n}_gram_frac`` (n=5..7) — fraction of n-gram instances that
+      repeat an earlier instance.
+
+    6-dp rounded doubles so the DuckDB oracle reproduces them exactly.
+    """
+    from modware_loader_spark.operators.decontam import ngrams
+
+    n_tok = F.size(tokens_col)
+    out: dict[str, Column] = {}
+    w = _run_length_stats(tokens_col)
+    out["dup_word_frac"] = F.round(
+        w.getField("dups").cast("double") / F.greatest(n_tok, F.lit(1)), 6
+    )
+    for n in GOPHER_TOP_NGRAM_MAX:
+        s = _run_length_stats(ngrams(tokens_col, n))
+        out[f"top{n}_gram_frac"] = F.round(
+            F.least(
+                F.lit(1.0),
+                (s.getField("best") * n).cast("double") / F.greatest(n_tok, F.lit(1)),
+            ),
+            6,
+        )
+    for n in GOPHER_DUP_NGRAM_MAX:
+        s = _run_length_stats(ngrams(tokens_col, n))
+        n_grams = F.greatest(n_tok - n + 1, F.lit(1))
+        out[f"dup{n}_gram_frac"] = F.round(
+            s.getField("dups").cast("double") / n_grams, 6
+        )
+    return out
+
+
+def gopher_repetition_keep(stats: dict[str, Column]) -> Column:
+    """1 when the document survives every Gopher repetition rule, else 0
+    (int, not boolean — engines disagree on boolean text forms)."""
+    cond = F.lit(True)
+    for n, mx in GOPHER_TOP_NGRAM_MAX.items():
+        cond = cond & (stats[f"top{n}_gram_frac"] <= mx)
+    for n, mx in GOPHER_DUP_NGRAM_MAX.items():
+        cond = cond & (stats[f"dup{n}_gram_frac"] <= mx)
+    return cond.cast("int")

@@ -169,3 +169,72 @@ def text_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # point where Spark (exact-binary HALF_UP) and DuckDB (shortest-repr)
     # disagree in the last digit; the raw doubles are bit-identical.
     return gated.select("doc_id", "lang", "quality")
+
+
+def _ddb_repetition_sql() -> str:
+    """Oracle for the Gopher repetition gate: per-(doc, n-gram) group
+    counts per n — the relational restatement of the row-local run-length
+    fold the Spark side uses."""
+    ctes = [
+        "d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)",
+        "base AS (SELECT doc_id, len(w) AS m FROM d)",
+    ]
+    for n in (1, 2, 3, 4, 5, 6, 7):
+        gram = (
+            "unnest(w)"
+            if n == 1
+            else (
+                f"unnest(list_transform(generate_series(1, len(w) - {n - 1}),"
+                f" i -> array_to_string(w[i:i + {n - 1}], ' ')))"
+            )
+        )
+        ctes.append(
+            f"g{n} AS (SELECT doc_id, {gram} AS gram FROM d WHERE len(w) >= {n})"
+        )
+        ctes.append(
+            f"s{n} AS (SELECT doc_id, max(cnt) AS best, sum(cnt - 1) AS dups FROM"
+            f" (SELECT doc_id, gram, count(*) AS cnt FROM g{n} GROUP BY 1, 2)"
+            f" GROUP BY doc_id)"
+        )
+    metrics = ["round(COALESCE(s1.dups, 0)::DOUBLE / greatest(m, 1), 6) AS dup_word_frac"]
+    for n, _mx in sorted(TX.GOPHER_TOP_NGRAM_MAX.items()):
+        metrics.append(
+            f"round(least(1.0, (COALESCE(s{n}.best, 0) * {n})::DOUBLE"
+            f" / greatest(m, 1)), 6) AS top{n}_gram_frac"
+        )
+    for n, _mx in sorted(TX.GOPHER_DUP_NGRAM_MAX.items()):
+        metrics.append(
+            f"round(COALESCE(s{n}.dups, 0)::DOUBLE"
+            f" / greatest(m - {n - 1}, 1), 6) AS dup{n}_gram_frac"
+        )
+    joins = " ".join(f"LEFT JOIN s{n} USING (doc_id)" for n in (1, 2, 3, 4, 5, 6, 7))
+    keep = " AND ".join(
+        [f"top{n}_gram_frac <= {mx}" for n, mx in sorted(TX.GOPHER_TOP_NGRAM_MAX.items())]
+        + [f"dup{n}_gram_frac <= {mx}" for n, mx in sorted(TX.GOPHER_DUP_NGRAM_MAX.items())]
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f", metrics AS (SELECT base.doc_id, {', '.join(metrics)} FROM base {joins})"
+        + f" SELECT *, CASE WHEN {keep} THEN 1 ELSE 0 END AS keep FROM metrics"
+    )
+
+
+@query("text_repetition_gopher", _ddb_repetition_sql())
+def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filter (Rae et al. 2021 table A1): duplicate-word
+    fraction, top-{2,3,4}-gram coverage, duplicate-{5,6,7}-gram fraction,
+    and the conjunction keep-flag.
+
+    Every metric is a function of one document, so the Spark plan is a
+    single map stage — array sort + run-length fold per row, NO shuffle
+    at any scale (the oracle's per-(doc, gram) GROUP BY restates the same
+    arithmetic relationally). See ``operators/text.py::repetition_stats``.
+    """
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    stats = TX.repetition_stats(TX.tokens(F.col("text")))
+    return docs.select(
+        "doc_id",
+        *[c.alias(k) for k, c in stats.items()],
+        TX.gopher_repetition_keep(stats).alias("keep"),
+    )

@@ -96,3 +96,38 @@ def test_ngrams_guard_short_docs(spark):
     df = spark.createDataFrame([("a b",)], "text string")
     out = df.select(DC.ngrams(F.split(F.col("text"), " "), 5).alias("g")).first()
     assert out.g == []
+
+
+def test_repetition_stats_handcrafted(spark):
+    from modware_loader_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam spam spam"),
+            (2, " ".join(f"w{i}" for i in range(26))),
+            (3, "ab"),  # shorter than every n-gram window
+        ],
+        "doc_id long, text string",
+    )
+    stats = TX.repetition_stats(TX.tokens(F.col("text")))
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            *[c.alias(k) for k, c in stats.items()],
+            TX.gopher_repetition_keep(stats).alias("keep"),
+        ).collect()
+    }
+    # all-same doc: every word a duplicate after the first; top 2-gram
+    # ("spam spam" x9) covers 9*2/10 = 1.0 capped; all dup fractions 1.0
+    assert out[1].dup_word_frac == 0.9
+    assert out[1].top2_gram_frac == 1.0
+    assert out[1].dup5_gram_frac == round(5 / 6, 6)
+    assert out[1].keep == 0
+    # fully diverse doc: zero everywhere, kept
+    assert out[2].dup_word_frac == 0.0
+    assert out[2].top4_gram_frac == round(4 / 26, 6)  # unique 4-gram, best=1
+    assert out[2].dup7_gram_frac == 0.0
+    assert out[2].keep == 1
+    # sub-window doc: no n-grams, all zero, kept
+    assert out[3].top2_gram_frac == 0.0 and out[3].keep == 1
