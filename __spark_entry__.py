@@ -51,6 +51,7 @@ _DEPRIORITIZED = [
     "window_running_total",         # trivial running-sum window
     "text_winnow_fingerprints",     # 5th dedup-family variant (exact/minhash/simhash/jaccard gated)
     "text_quality_score",           # quality family gated via text_quality_quantile_gate (same scorer)
+    "similarity_cosine_near_pairs",  # declared all-pairs baseline; banded/bucket twins + semdedup are the scale paths
 ]
 
 

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "sample_frequency_cap",
     "text_quality_quantile_gate",
     "text_repetition_gopher",
+    "dedup_semantic_keep",
 ]
 
 

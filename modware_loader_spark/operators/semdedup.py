@@ -1,0 +1,85 @@
+"""SemDeDup-style semantic deduplication over an embedding column.
+
+The SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): k-means the
+corpus embeddings, compute pairwise cosine similarity *within each
+cluster only*, and drop all but one member of every semantic-duplicate
+group. Clustering bounds the quadratic pair step to cluster-local work —
+with balanced cells the cost is ``n²/nlist`` instead of ``n²``, and each
+cell's pair join is an ordinary shuffle-partitioned equi-join on the
+cell id (AQE skew-split handles hot cells).
+
+Spark-first composition — there is no new machinery here, which is the
+point: ``ivf_train``/``ivf_assign`` give the clusters (map-side literal
+argmin, zero corpus shuffle), one self-join on ``cell`` gives the
+candidate pairs, an anti-join applies the keep rule.
+
+Keep rule: a row survives iff it has NO near-duplicate with a smaller
+id. The paper keeps the member farthest from the centroid (or random);
+min-id is the deterministic variant an oracle can replay — same
+dedup-rate semantics, stable under partitioning and retries.
+
+Reference scope note: extension scope per BASELINE.json north star (the
+reference has no embedding operators); cited in SURVEY §7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from modware_loader_spark.operators.ivf import ivf_assign, ivf_train
+from modware_loader_spark.operators.similarity import cosine
+
+
+def semantic_near_pairs(
+    df: DataFrame,
+    nlist: int = 8,
+    lloyd_iters: int = 1,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-local semantic near-duplicate pairs ``(id_a < id_b, cell,
+    cos)`` with 6-dp rounded cosine (portable vs the DuckDB oracle).
+
+    Pairs crossing a cell boundary are *not* reported — that is the
+    SemDeDup trade: bounded work, slightly lossy recall at cluster
+    edges (the banded-LSH path in ``operators/similarity`` is the
+    complementary oblivious-hash variant).
+    """
+    cents = ivf_train(
+        df, nlist=nlist, lloyd_iters=lloyd_iters, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=False)
+    cells = ivf_assign(df, cents, id_col=id_col, vec_col=vec_col)
+    a = cells.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "cell")
+    b = cells.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "cell")
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cell", "cos")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    nlist: int = 8,
+    lloyd_iters: int = 1,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The semantically-deduplicated corpus: rows with no smaller-id
+    near-duplicate in their cell.
+
+    The drop set is pair-derived ids only (slim), so the final anti-join
+    broadcasts it in the common ≪1%-duplicate regime; the corpus side
+    never shuffles in this stage.
+    """
+    pairs = semantic_near_pairs(
+        df, nlist=nlist, lloyd_iters=lloyd_iters, threshold=threshold,
+        id_col=id_col, vec_col=vec_col,
+    )
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(F.broadcast(drops), id_col, "left_anti")

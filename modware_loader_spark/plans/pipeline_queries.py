@@ -597,3 +597,72 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("payload").alias("payload_md5"),
         F.lower(F.hex(F.substring(F.col("payload"), 1, 8))).alias("head_hex"),
     )
+
+
+# Train/assign prefix shared with the similarity_ivf_topk oracle: seeds =
+# 8 smallest-id vectors, one exact-decimal Lloyd step, nearest-cell
+# assignment with (rounded dist, cell) tie-break.
+_DDB_IVF_CELLS = """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS centroid
+           FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)),
+    d0 AS (SELECT v.vec_id, c0.cell,
+             round(list_sum(list_transform(generate_series(1, len(v.e)),
+               i -> (v.e[i] - c0.centroid[i]) * (v.e[i] - c0.centroid[i]))), 6) AS dist
+           FROM v CROSS JOIN c0),
+    a0 AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+             FROM d0) WHERE rn = 1),
+    dims AS (SELECT a0.cell, u.s.pos AS pos, u.s.val AS val
+             FROM a0 JOIN v USING (vec_id),
+                  LATERAL (SELECT unnest(list_transform(generate_series(1, len(v.e)),
+                            i -> {'pos': i, 'val': v.e[i]})) AS s) u),
+    m AS (SELECT cell, pos,
+                 round(sum(CAST(val AS DECIMAL(28,12)))::DOUBLE / count(*), 6) AS m
+          FROM dims GROUP BY cell, pos),
+    c1 AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM m GROUP BY cell),
+    d1 AS (SELECT v.vec_id, c1.cell,
+             round(list_sum(list_transform(generate_series(1, len(v.e)),
+               i -> (v.e[i] - c1.centroid[i]) * (v.e[i] - c1.centroid[i]))), 6) AS dist
+           FROM v CROSS JOIN c1),
+    cells AS (SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+                FROM d1) WHERE rn = 1)
+"""
+
+
+@query(
+    "dedup_semantic_keep",
+    _DDB_IVF_CELLS + """,
+    pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+              JOIN v va ON va.vec_id = a.vec_id
+              JOIN v vb ON vb.vec_id = b.vec_id
+              WHERE round(list_sum(list_transform(generate_series(1, len(va.e)),
+                            i -> va.e[i] * vb.e[i]))
+                      / (sqrt(list_sum(list_transform(va.e, z -> z * z)))
+                         * sqrt(list_sum(list_transform(vb.e, z -> z * z)))), 6)
+                    >= 0.4)
+    SELECT emb.vec_id, emb.label
+    FROM embeddings emb
+    WHERE emb.vec_id NOT IN (SELECT id_b FROM pairs)
+    """,
+)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings (the
+    IVF trainer), find cosine near-duplicates *within* cells only, keep
+    the smallest-id member of every near-group.
+
+    Cluster-locality bounds the pair step to n²/nlist with zero corpus
+    shuffle for the clustering itself; the drop set broadcasts into the
+    final anti-join. See ``operators/semdedup.py`` for the scale notes
+    and the keep-rule divergence from the paper (min-id, deterministic).
+    """
+    t = load_tables(spark, sf_dir)
+    from modware_loader_spark.operators.semdedup import semantic_dedup
+
+    return semantic_dedup(t["embeddings"], nlist=8, threshold=0.4).select(
+        "vec_id", "label"
+    )

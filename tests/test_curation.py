@@ -131,3 +131,26 @@ def test_repetition_stats_handcrafted(spark):
     assert out[2].keep == 1
     # sub-window doc: no n-grams, all zero, kept
     assert out[3].top2_gram_frac == 0.0 and out[3].keep == 1
+
+
+def test_semantic_dedup_drops_near_duplicates(spark):
+    from modware_loader_spark.operators.semdedup import (
+        semantic_dedup,
+        semantic_near_pairs,
+    )
+
+    # 12 base vectors (enough for the 8 seed cells) + two exact clones
+    # and one orthogonal singleton
+    base = [(i, [float(i + 1)] * 4 + [0.0] * 4) for i in range(12)]
+    clones = [(100, base[3][1][:]), (101, base[3][1][:])]
+    lone = [(200, [0.0] * 4 + [1.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(base + clones + lone, "vec_id long, embedding array<float>")
+    pairs = semantic_near_pairs(df, nlist=8, threshold=0.999999)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # all base vectors are scalar multiples (cos=1) but land in
+    # different cells by magnitude; the clones collide with vec 3
+    assert (3, 100) in got and (3, 101) in got
+    assert all(a < b for a, b in got)
+    kept = set(r.vec_id for r in semantic_dedup(df, nlist=8, threshold=0.999999).collect())
+    assert 200 in kept and 3 in kept
+    assert 100 not in kept and 101 not in kept
