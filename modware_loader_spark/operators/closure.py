@@ -116,7 +116,7 @@ def _closure_by_doubling(
         .localCheckpoint()
     )
     prev_count = closure.count()
-    for _ in range(max_iterations):
+    for round_no in range(1, max_iterations + 1):
         right = closure.select(
             F.col(subject_col).alias("__mid"),
             F.col(object_col).alias("__obj"),
@@ -136,8 +136,20 @@ def _closure_by_doubling(
             .agg(F.min("pathdistance").alias("pathdistance"))
             .localCheckpoint()
         )
-        count = closure.count()
-        if count == prev_count:
+        # one cheap action on the checkpointed round: row count for the
+        # fixpoint test, max distance for the coverage bound
+        stats = closure.agg(
+            F.count(F.lit(1)).alias("n"), F.max("pathdistance").alias("maxd")
+        ).first()
+        if stats.n == prev_count:
             break
-        prev_count = count
+        prev_count = stats.n
+        # After round r every min-path of length <= 2^r is present with
+        # its exact distance. If the longest distance seen is strictly
+        # below that horizon, no longer min-path can exist (a shortest
+        # path's length-2^r prefix is itself a shortest path and would
+        # have been found at distance 2^r) — saturated, skip the
+        # verification round the fixpoint test would need.
+        if stats.maxd < (1 << round_no):
+            break
     return closure

@@ -490,10 +490,10 @@ def closure_transitive_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p_partkey") / 2).cast("long").alias("object"),
         )
     )
-    closure = transitive_closure(edges)
-    return closure.groupBy("subject", "object").agg(
-        F.min("pathdistance").alias("pathdistance")
-    )
+    # transitive_closure already emits one min-distance row per
+    # (subject, object) — doubling re-aggregates every round, BFS finds
+    # min-hop first — so no re-aggregation shuffle here.
+    return transitive_closure(edges)
 
 
 @query(
