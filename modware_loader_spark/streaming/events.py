@@ -83,3 +83,27 @@ def session_aggregates(events: DataFrame, gap: str = "30 minutes",
             "session_value",
         )
     )
+
+
+def stream_decontaminate(
+    docs: DataFrame,
+    bench_grams: list[str],
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming benchmark decontamination: drop documents sharing any
+    word n-gram with the (static) benchmark set — the streaming twin of
+    ``operators.decontam.decontaminate``.
+
+    The probe is STATELESS: each document's gram array is tested against
+    the benchmark gram set map-side (``arrays_overlap``), so this runs in
+    append mode with no state store, no watermark, and no shuffle —
+    exactly the property you want on an ingest stream. The benchmark set
+    is eval-corpus-sized (MBs); at the high end swap the literal array
+    for a broadcast Bloom filter over the 64-bit gram hashes (same
+    stateless shape, constant per-row probe).
+    """
+    from modware_loader_spark.operators.decontam import ngrams
+
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    return docs.filter(~F.arrays_overlap(ngrams(toks, n), F.lit(bench_grams)))

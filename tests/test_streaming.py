@@ -134,3 +134,39 @@ def test_stream_dedup_first_per_key(spark, events_feed):
     assert got and all(r["count"] == 1 for r in got)
     # …and the key set matches the batch distinct
     assert result.count() == batch_df.select("user_id", "event_type").distinct().count()
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    """Streaming decontamination drops exactly the documents the batch
+    broadcast-probe operator drops."""
+    from modware_loader_spark.operators.decontam import (
+        decontaminate,
+        ngram_inventory,
+    )
+    from modware_loader_spark.streaming.events import stream_decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    batch_kept = sorted(
+        r.doc_id for r in decontaminate(docs, bench, n=5).select("doc_id").collect()
+    )
+    bench_grams = [
+        r.gram
+        for r in ngram_inventory(bench, "text", "doc_id", 5).select("gram").distinct().collect()
+    ]
+    path = str(tmp_path / "docs_stream")
+    docs.write.parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    q = (
+        stream_decontaminate(stream, bench_grams, n=5)
+        .writeStream.format("memory")
+        .queryName("decontam_t")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    stream_kept = sorted(
+        r.doc_id for r in spark.sql("SELECT doc_id FROM decontam_t").collect()
+    )
+    assert stream_kept == batch_kept and len(stream_kept) > 0
