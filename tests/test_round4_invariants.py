@@ -202,3 +202,81 @@ def test_winnow_shared_substring_guarantee(spark):
             for p in range(len(text) - 7)
         }
         assert got[i] and got[i] <= grams
+
+
+def test_repetition_stats_match_python_recompute(spark):
+    """Gopher repetition metrics vs an independent plain-Python
+    recompute on random token soup (including highly repetitive docs)."""
+    from collections import Counter
+
+    from modware_loader_spark.operators import text as TX
+
+    rnd = random.Random(SEED)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for i in range(60):
+        m = rnd.randrange(1, 40)
+        words = [rnd.choice(vocab) for _ in range(m)]
+        if i % 3 == 0:  # inject heavy repetition
+            words = words[:3] * (m // 3 + 1)
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    stats = TX.repetition_stats(TX.tokens(F.col("text")))
+    got = {r.doc_id: r for r in df.select("doc_id", *[c.alias(k) for k, c in stats.items()]).collect()}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        m = len(toks)
+        c1 = Counter(toks)
+        assert got[doc_id].dup_word_frac == round(sum(v - 1 for v in c1.values()) / max(m, 1), 6)
+        for n in (2, 3, 4):
+            grams = Counter(
+                " ".join(toks[i:i + n]) for i in range(m - n + 1)
+            ) if m >= n else Counter()
+            best = max(grams.values(), default=0)
+            expect = round(min(1.0, best * n / max(m, 1)), 6)
+            assert abs(got[doc_id][f"top{n}_gram_frac"] - expect) < 1e-9, (doc_id, n)
+        for n in (5, 6, 7):
+            grams = Counter(
+                " ".join(toks[i:i + n]) for i in range(m - n + 1)
+            ) if m >= n else Counter()
+            dups = sum(v - 1 for v in grams.values())
+            expect = round(dups / max(m - n + 1, 1), 6)
+            assert abs(got[doc_id][f"dup{n}_gram_frac"] - expect) < 1e-9, (doc_id, n)
+
+
+def test_semdedup_keep_rule_vs_bruteforce(spark):
+    """SemDeDup keep set == brute-force recompute of 'no smaller-id
+    near-neighbor in my cell' on random vectors."""
+    import math
+
+    from modware_loader_spark.operators.ivf import ivf_assign, ivf_train
+    from modware_loader_spark.operators.semdedup import semantic_dedup
+
+    rnd = random.Random(SEED)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(80)
+    ]
+    # clone a few vectors to force near-duplicates
+    rows += [(100 + i, rows[i * 7][1][:]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    th = 0.9
+    kept = sorted(r.vec_id for r in semantic_dedup(df, nlist=8, threshold=th).collect())
+    cents = ivf_train(df, nlist=8)
+    cells = {r.vec_id: r.cell for r in ivf_assign(df, cents).collect()}
+    # float32 round trip like Spark's array<float> storage
+    vecs = {r.vec_id: [float(f"{x:.9g}") for x in r.embedding]
+            for r in df.select("vec_id", "embedding").collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))), 6)
+
+    expect = []
+    ids = sorted(vecs)
+    for i in ids:
+        if not any(
+            j < i and cells[j] == cells[i] and cos(vecs[i], vecs[j]) >= th
+            for j in ids
+        ):
+            expect.append(i)
+    assert kept == expect and any(v >= 100 for v in ids if v not in kept)
