@@ -57,7 +57,7 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (SELECT doc_id, {_DDB_TOKENS} AS w FROM documents),
     sh AS (SELECT doc_id, {_DDB_SHINGLES} AS s FROM d),
     sig AS (SELECT doc_id, list_transform(generate_series(0, 15), h ->
-              list_min(list_transform(s, x -> {_DDB_H60.format(x="x || '#' || cast(h as varchar)")}))) AS sig
+              list_min(list_transform(s, x -> cast('0x' || substring(md5(x || '#' || cast(h // 4 as varchar)), 1 + 8 * (h % 4), 8) as bigint)))) AS sig
             FROM sh),
     bands AS (SELECT doc_id, u.b AS band_id,
                {_DDB_H60.format(x="array_to_string(sig[u.b*4+1 : u.b*4+4], '_')")} AS band_hash
@@ -78,7 +78,7 @@ def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (SELECT doc_id, {_DDB_TOKENS} AS w FROM documents),
     sh AS (SELECT doc_id, {_DDB_SHINGLES} AS s FROM d),
     sig AS (SELECT doc_id, list_transform(generate_series(0, 15), h ->
-              list_min(list_transform(s, x -> {_DDB_H60.format(x="x || '#' || cast(h as varchar)")}))) AS sig
+              list_min(list_transform(s, x -> cast('0x' || substring(md5(x || '#' || cast(h // 4 as varchar)), 1 + 8 * (h % 4), 8) as bigint)))) AS sig
             FROM sh),
     bands AS (SELECT doc_id, u.b AS band_id,
                {_DDB_H60.format(x="array_to_string(sig[u.b*4+1 : u.b*4+4], '_')")} AS band_hash
@@ -156,7 +156,7 @@ query("dedup_simhash_banded_pairs", ORACLES["dedup_simhash_near_pairs"])(
     WITH RECURSIVE d AS (SELECT doc_id, {_DDB_TOKENS} AS w FROM documents),
     sh AS (SELECT doc_id, {_DDB_SHINGLES} AS s FROM d),
     sig AS (SELECT doc_id, list_transform(generate_series(0, 15), h ->
-              list_min(list_transform(s, x -> {_DDB_H60.format(x="x || '#' || cast(h as varchar)")}))) AS sig
+              list_min(list_transform(s, x -> cast('0x' || substring(md5(x || '#' || cast(h // 4 as varchar)), 1 + 8 * (h % 4), 8) as bigint)))) AS sig
             FROM sh),
     bands AS (SELECT doc_id, u.b AS band_id,
                {_DDB_H60.format(x="array_to_string(sig[u.b*4+1 : u.b*4+4], '_')")} AS band_hash
