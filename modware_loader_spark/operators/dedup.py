@@ -172,24 +172,41 @@ def simhash_fingerprints(
     Per (doc, bit): sum of ±1 over token occurrences (sign of the token
     hash's bit); fingerprint sets bit where the sum is positive.
     """
+    # The fingerprint is a function of ONE document, so it is computed
+    # row-locally: hash each token once, fold the ±1 bit contributions
+    # into a bits-wide counter array, then collapse signs to the
+    # fingerprint. Integer addition commutes, so the values are identical
+    # to the former explode → groupBy formulation (oracle unchanged) —
+    # but the plan is a pure map stage: no doc×token×bit explosion, NO
+    # shuffle at any scale. O(tokens × bits) arithmetic per row, same
+    # total work as before minus two exchanges.
     par = df.sparkSession.sparkContext.defaultParallelism
-    toks = df.repartition(par, id_col).select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    counters = F.aggregate(
+        F.transform(tokens(F.col(text_col)), lambda t: token_hash(t)),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.transform(
+            acc,
+            # F.shiftright/shiftleft only take Python-int shift amounts;
+            # call_function passes the per-bit index column through
+            lambda v, b: v
+            + F.when(
+                F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        ),
+        lambda acc: F.aggregate(
+            F.zip_with(
+                acc,
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda s, b: F.when(
+                    s > 0, F.call_function("shiftleft", F.lit(1).cast("long"), b)
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda fp, v: fp + v,
+        ),
     )
-    hashed = toks.select(id_col, token_hash(F.col("tok")).alias("h"))
-    per_bit = (
-        hashed.select(id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
-        .withColumn(
-            "contrib",
-            F.when(F.expr("(shiftright(h, b) & 1) = 1"), F.lit(1)).otherwise(F.lit(-1)),
-        )
-        .groupBy(id_col, "b")
-        .agg(F.sum("contrib").alias("s"))
-    )
-    return per_bit.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)")).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
+    return df.repartition(par, id_col).select(
+        F.col(id_col), counters.alias("simhash")
     )
 
 
