@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "text_quality_quantile_gate",
     "text_repetition_gopher",
     "dedup_semantic_keep",
+    "similarity_pq_rerank_topk",
 ]
 
 

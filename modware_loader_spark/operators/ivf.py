@@ -66,7 +66,21 @@ def _centroid_literals(centroids: DataFrame) -> list:
     )
 
 
-def _dist_cell_pairs(vec_col: str, cents: list):
+def _sql_arr(c: list) -> str:
+    """A literal array<double> as SQL text."""
+    return "array(" + ",".join(f"{x!r}D" for x in c) + ")"
+
+
+def _sql_sq_l2(vec_sql: str, c: list) -> str:
+    """Rounded squared-L2 of a vector SQL expression vs a literal centroid."""
+    return (
+        f"round(aggregate(zip_with({vec_sql}, {_sql_arr(c)},"
+        " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " 0.0D, (acc, v) -> acc + v), 6)"
+    )
+
+
+def _dist_cell_pairs(vec_col: str, cents: list, vec_sql: str | None = None):
     """Array of (dist, cell) structs vs every centroid — pure expression.
 
     Struct comparison is lexicographic, so ``array_min`` / ``array_sort``
@@ -74,15 +88,13 @@ def _dist_cell_pairs(vec_col: str, cents: list):
     window version used. Emitted as ONE ``F.expr`` SQL string: building
     it node-by-node through the Python Column API costs a py4j round
     trip per node (~0.7 s at nlist=8×d=64); one parse call is ~free.
-    """
-    def arr(c):
-        return "array(" + ",".join(f"{x!r}D" for x in c) + ")"
 
+    ``vec_sql`` overrides the vector operand with an arbitrary SQL
+    fragment (e.g. a ``slice(...)`` for product-quantization blocks).
+    """
+    vec = vec_sql or f"`{vec_col}`"
     pairs = ",".join(
-        "struct(round(aggregate(zip_with(`%s`, %s,"
-        " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
-        " 0.0D, (acc, v) -> acc + v), 6) AS dist, %d AS cell)"
-        % (vec_col, arr(c), cell)
+        f"struct({_sql_sq_l2(vec, c)} AS dist, {cell} AS cell)"
         for cell, c in cents
     )
     return F.expr(f"array({pairs})")

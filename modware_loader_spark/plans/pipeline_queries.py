@@ -666,3 +666,125 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(t["embeddings"], nlist=8, threshold=0.4).select(
         "vec_id", "label"
     )
+
+
+def _ddb_pq_sql(m: int = 4, ksub: int = 8, dim: int = 64, n_queries: int = 20,
+                k: int = 5) -> str:
+    """Oracle for PQ-ADC top-k: per-block seed codebooks, one decimal
+    Lloyd step, code assignment, and the block-ordered ADC sum — the
+    relational restatement of ``operators/pq.py``."""
+    sub = dim // m
+    ctes = [
+        "v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e"
+        " FROM embeddings)",
+        f"seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, e"
+        f" FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {ksub}))",
+    ]
+    for b in range(m):
+        lo = b * sub  # 0-based offset; DuckDB lists are 1-based
+        sq = (
+            f"round(list_sum(list_transform(generate_series(1, {sub}),"
+            f" i -> (v.e[{lo} + i] - cb.c[i]) * (v.e[{lo} + i] - cb.c[i]))), 6)"
+        )
+        ctes += [
+            f"c0_{b} AS (SELECT code, e[{lo + 1}:{lo + sub}] AS c FROM seeds)",
+            f"d0_{b} AS (SELECT v.vec_id, cb.code, {sq} AS dist"
+            f" FROM v CROSS JOIN c0_{b} cb)",
+            f"a0_{b} AS (SELECT vec_id, code FROM (SELECT vec_id, code,"
+            f" row_number() OVER (PARTITION BY vec_id ORDER BY dist, code) AS rn"
+            f" FROM d0_{b}) WHERE rn = 1)",
+            # full-vector unnest + pos-range filter: DuckDB 1.0's LATERAL
+            # binder only resolves v.e when it also appears outside the
+            # lambda (the len(v.e) bound), so slice positions are filtered
+            # after the fact instead of sliced in the series
+            f"md_{b} AS (SELECT a0.code, u.s.pos - {lo} AS pos, u.s.val AS val"
+            f" FROM a0_{b} a0 JOIN v USING (vec_id),"
+            f" LATERAL (SELECT unnest(list_transform(generate_series(1, len(v.e)),"
+            f" i -> {{'pos': i, 'val': v.e[i]}})) AS s) u"
+            f" WHERE u.s.pos > {lo} AND u.s.pos <= {lo + sub})",
+            f"c1_{b} AS (SELECT code, list(mv ORDER BY pos) AS c FROM"
+            f" (SELECT code, pos, round(sum(CAST(val AS DECIMAL(28,12)))::DOUBLE"
+            f" / count(*), 6) AS mv FROM md_{b} GROUP BY code, pos) GROUP BY code)",
+            f"d1_{b} AS (SELECT v.vec_id, cb.code, {sq} AS dist"
+            f" FROM v CROSS JOIN c1_{b} cb)",
+            f"k_{b} AS (SELECT vec_id, code FROM (SELECT vec_id, code,"
+            f" row_number() OVER (PARTITION BY vec_id ORDER BY dist, code) AS rn"
+            f" FROM d1_{b}) WHERE rn = 1)",
+        ]
+    adc = " + ".join(
+        f"round(list_sum(list_transform(generate_series(1, {sub}),"
+        f" i -> (q.e[{b * sub} + i] - cb{b}.c[i]) * (q.e[{b * sub} + i] - cb{b}.c[i]))), 6)"
+        for b in range(m)
+    )
+    joins = " ".join(
+        f"JOIN k_{b} ON k_{b}.vec_id = t.vec_id"
+        f" JOIN c1_{b} cb{b} ON cb{b}.code = k_{b}.code"
+        for b in range(m)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+    scored AS (SELECT q.vec_id AS query_id, t.vec_id AS target_id, {adc} AS adc_dist
+               FROM v q JOIN v t ON q.vec_id <> t.vec_id {joins}
+               WHERE q.vec_id < {n_queries}),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                            ORDER BY adc_dist, target_id) AS rank
+               FROM scored)
+    SELECT query_id, target_id, adc_dist, rank FROM ranked WHERE rank <= {k}
+    """
+    )
+
+
+@query("similarity_pq_adc_topk", _ddb_pq_sql(m=8, ksub=16))
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): 8 sub-codebooks × 16
+    decimal-Lloyd centroids, corpus stored as 8 codes/vector, asymmetric
+    distance (per-block map lookup over literal centroids) ranked top-5
+    for 20 queries. Training is ONE corpus pass for all blocks; encoding
+    and the ADC sum are pure map stages. Raw-ADC recall on the
+    near-random synthetic unit vectors is ~0.30@5 — the re-rank twin
+    below is the usable composition. See ``operators/pq.py``."""
+    t = load_tables(spark, sf_dir)
+    from modware_loader_spark.operators.pq import pq_adc_topk
+
+    emb = t["embeddings"]
+    return pq_adc_topk(emb.filter(F.col("vec_id") < 20), emb, m=8, ksub=16, k=5)
+
+
+def _ddb_pq_rerank_sql(shortlist: int = 50, k: int = 5) -> str:
+    """Re-rank oracle: the ADC CTE chain with k=shortlist, then exact
+    squared-L2 over re-attached vectors."""
+    base = _ddb_pq_sql(m=8, ksub=16, k=shortlist)
+    # drop the base's final SELECT — the re-rank continues the WITH chain
+    base = base.rsplit("SELECT query_id, target_id, adc_dist, rank FROM ranked", 1)[0]
+    return (
+        base.rstrip().rstrip(",")
+        + f"""
+    , rer AS (SELECT r.query_id, r.target_id,
+                round(list_sum(list_transform(generate_series(1, len(q.e)),
+                  i -> (q.e[i] - t.e[i]) * (q.e[i] - t.e[i]))), 6) AS l2_dist
+              FROM ranked r JOIN v q ON q.vec_id = r.query_id
+                            JOIN v t ON t.vec_id = r.target_id
+              WHERE r.rank <= {shortlist}),
+    rer_ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                                ORDER BY l2_dist, target_id) AS rank
+                   FROM rer)
+    SELECT query_id, target_id, l2_dist, rank FROM rer_ranked WHERE rank <= {k}
+    """
+    )
+
+
+@query("similarity_pq_rerank_topk", _ddb_pq_rerank_sql())
+def similarity_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC shortlist (top-50 over codes only) + exact squared-L2
+    re-rank — the production PQ composition. Measured recall@5 vs exact
+    L2 on the synthetic unit vectors: 0.74 (vs 0.30 raw ADC); the exact
+    pass touches only shortlist·|queries| vectors. See
+    ``operators/pq.py::pq_rerank_topk``."""
+    t = load_tables(spark, sf_dir)
+    from modware_loader_spark.operators.pq import pq_rerank_topk
+
+    emb = t["embeddings"]
+    return pq_rerank_topk(
+        emb.filter(F.col("vec_id") < 20), emb, shortlist=50, k=5, m=8, ksub=16
+    )

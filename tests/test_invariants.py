@@ -174,3 +174,39 @@ def test_ivf_recall(spark, sf_dir):
     scan_fraction = 2 / 8
     recall = len(exact & approx) / len(exact)
     assert recall >= 1.5 * scan_fraction
+
+
+def test_pq_recall_and_rerank(spark, sf_dir):
+    """PQ ADC recall@5 vs exact squared-L2, raw and after exact re-rank
+    of the ADC top-50 shortlist (ground truth recomputed in numpy)."""
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    from modware_loader_spark.operators import pq as PQ
+
+    from modware_loader_spark.session import load_tables
+
+    t = papq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.array(t.column("vec_id"))
+    V = np.array([np.array(x, dtype=np.float64) for x in t.column("embedding").to_pylist()])
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    exact = {}
+    for q in range(20):
+        d = ((V - V[q]) ** 2).sum(axis=1)
+        exact[q] = set([int(ids[j]) for j in np.argsort(d) if ids[j] != q][:5])
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    adc = PQ.pq_adc_topk(queries, emb, m=8, ksub=16, k=5).collect()
+    got = {}
+    for r in adc:
+        got.setdefault(r.query_id, set()).add(r.target_id)
+    raw = sum(len(got[q] & set(exact[q])) / 5 for q in range(20)) / 20
+    rer = PQ.pq_rerank_topk(queries, emb, shortlist=50, k=5, m=8, ksub=16).collect()
+    got_r = {}
+    for r in rer:
+        got_r.setdefault(r.query_id, set()).add(r.target_id)
+    rerank = sum(len(got_r[q] & set(exact[q])) / 5 for q in range(20)) / 20
+    # near-random unit vectors are PQ's hard case; re-rank is the fix
+    assert raw >= 0.2, raw
+    assert rerank >= 0.6 and rerank > raw, (raw, rerank)
