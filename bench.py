@@ -91,6 +91,11 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # record the failure, keep timing the rest
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        # Release localCheckpoint blocks the query pinned: queries are
+        # independent jobs in production; letting blocks pile up across 30+
+        # queries in one JVM turns the tail of the run into a GC benchmark.
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)

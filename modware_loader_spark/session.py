@@ -41,7 +41,11 @@ def get_spark(app_name: str = "modware_loader_spark", master: str | None = None)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # One JVM hosts driver + 32 executor threads locally; checkpoint
+        # blocks from iterative/self-join queries accumulate across a long
+        # session, so size the heap for the whole bench run, not one query
+        # (late-run GC thrash showed up as 2-4x per-query inflation at 8g).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     if master is not None:
         builder = builder.master(master)
