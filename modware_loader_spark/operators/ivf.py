@@ -101,7 +101,7 @@ def _dist_cell_pairs(vec_col: str, cents: list, vec_sql: str | None = None):
 
 
 def _nearest_cell(vectors: DataFrame, centroids: DataFrame, id_col: str,
-                  vec_col: str) -> DataFrame:
+                  vec_col: str, cents: list | None = None) -> DataFrame:
     """Assign each vector to the centroid with min rounded squared-L2
     (tie-break: smaller cell id).
 
@@ -114,8 +114,12 @@ def _nearest_cell(vectors: DataFrame, centroids: DataFrame, id_col: str,
     partial (map-side) aggregation collapses the expansion to one row
     per vector per partition before the exchange, still far cheaper
     than the full-expansion window sort.
+
+    ``cents``: pass the already-collected literal list to skip the
+    collect (callers that train + assign + probe reuse one collect).
     """
-    cents = _centroid_literals(centroids)
+    if cents is None:
+        cents = _centroid_literals(centroids)
     dim = len(cents[0][1]) if cents else 0
     if cents and len(cents) * dim <= _LITERAL_CELL_BUDGET:
         return vectors.withColumn(
@@ -165,8 +169,9 @@ def ivf_train(
         "cell int, centroid array<double>",
     )
     vectors = df.select(id_col, vec_col)
+    cents = _centroid_literals(centroids)
     for _ in range(lloyd_iters):
-        assigned = _nearest_cell(vectors, centroids, id_col, vec_col)
+        assigned = _nearest_cell(vectors, centroids, id_col, vec_col, cents=cents)
         by_dim = assigned.select(
             "cell", F.posexplode(F.col(vec_col)).alias("pos", "val")
         )
@@ -190,6 +195,15 @@ def ivf_train(
                     lambda s: s.getField("m"),
                 ).alias("centroid")
             )
+        )
+        # Materialize the step driver-side (nlist×dim doubles — KBs) and
+        # carry a local-relation frame forward: each Lloyd step is one
+        # Spark job, and downstream assign/probe/fallback consumers read
+        # the tiny local relation instead of re-running (or checkpointing)
+        # the whole training chain per consumer.
+        cents = _centroid_literals(centroids)
+        centroids = df.sparkSession.createDataFrame(
+            cents, "cell int, centroid array<double>"
         )
     return centroids
 
@@ -223,9 +237,11 @@ def ivf_topk(
     ``tests/test_invariants.py::test_ivf_recall``.
     """
     if centroids is None:
+        # trained centroids come back as a driver-local relation (KBs), so
+        # the assign/probe consumers below share one materialization — no
+        # checkpoint, no re-run of the training chain per consumer.
         centroids = ivf_train(corpus, nlist=nlist, lloyd_iters=lloyd_iters,
                               id_col=id_col, vec_col=vec_col)
-    centroids = centroids.localCheckpoint(eager=False)
     cells = ivf_assign(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("target_id"),
         F.col(vec_col).alias("t_vec"),

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from modware_loader_spark.operators.ivf import ivf_assign, ivf_train
-from modware_loader_spark.operators.similarity import cosine
+from modware_loader_spark.operators.similarity import dot, norm
 
 
 def semantic_near_pairs(
@@ -47,16 +47,37 @@ def semantic_near_pairs(
     edges (the banded-LSH path in ``operators/similarity`` is the
     complementary oblivious-hash variant).
     """
+    # ivf_train returns a driver-local relation (KBs): the self-joined
+    # assignment below re-derives cells map-side on each branch without
+    # re-running (or checkpointing) the training chain.
     cents = ivf_train(
         df, nlist=nlist, lloyd_iters=lloyd_iters, id_col=id_col, vec_col=vec_col
-    ).localCheckpoint(eager=False)
-    cells = ivf_assign(df, cents, id_col=id_col, vec_col=vec_col)
-    a = cells.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "cell")
-    b = cells.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "cell")
+    )
+    # norms attach once per vector (map-side, before the pair explosion):
+    # the per-pair work drops from three array folds (dot + two norms) to
+    # one dot product — same doubles, same rounding, ~3x less fold work
+    # on the n²/nlist pair set.
+    cells = ivf_assign(df, cents, id_col=id_col, vec_col=vec_col).withColumn(
+        "__nrm", norm(F.col(vec_col))
+    )
+    a = cells.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+        F.col("__nrm").alias("__na"), "cell",
+    )
+    b = cells.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        F.col("__nrm").alias("__nb"), "cell",
+    )
     return (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+                6,
+            ),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cell", "cos")
     )
