@@ -52,6 +52,11 @@ _DEPRIORITIZED = [
     "text_winnow_fingerprints",     # 5th dedup-family variant (exact/minhash/simhash/jaccard gated)
     "text_quality_score",           # quality family gated via text_quality_quantile_gate (same scorer)
     "similarity_cosine_near_pairs",  # declared all-pairs baseline; banded/bucket twins + semdedup are the scale paths
+    "similarity_pq_adc_topk",       # pq_rerank_topk runs ADC as its shortlist stage
+    "e13_skip_list_filter",         # e4_not_in_subquery gates the NOT-IN shape
+    "u2_normalize_id",              # trivial scalar; exercised inside every loader plan
+    "e1_e2_filter_computed_column", # q1/q5 gate the filter+computed-column shape
+    "m7_closure_refresh_delete",    # M4 delete-with-join shape; closure tests pin it
 ]
 
 

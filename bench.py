@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "text_repetition_gopher",
     "dedup_semantic_keep",
     "similarity_pq_rerank_topk",
+    "events_asof_last_purchase",
+    "text_chunk_windows",
+    "pack_token_budget",
 ]
 
 

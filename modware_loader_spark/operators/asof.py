@@ -1,0 +1,137 @@
+"""As-of (point-in-time) join — attach to each left row the most recent
+right row with the same key and ``right_ts <= left_ts`` (backward; the
+forward direction mirrors it).
+
+Spark has no native ASOF JOIN (DuckDB, Pandas ``merge_asof`` and kdb do),
+and the naive encodings both fail at scale: an inequality theta-join
+explodes to |left|x|right| per key before a per-row argmax, and a
+windowed subquery per left row re-scans the right side. The shape that
+survives 100 TB is the **union-scan carry-forward**:
+
+- tag right rows ``side=0`` and left rows ``side=1``, union them on a
+  common schema (right payload in one struct column, NULL on left rows);
+- one hash shuffle on the join key, sort within partitions by
+  ``(ts, side)`` — right-before-left at equal timestamps makes the match
+  inclusive;
+- ``last(payload, ignorenulls=True)`` over the running window carries the
+  latest right payload onto every left row;
+- keep left rows; optionally null out carries older than ``tolerance``.
+
+Cost: ONE shuffle of |left|+|right| rows, no pair explosion, no second
+scan of either input. Skewed keys (one hot user) are the caveat — the
+window sort serializes per key; salt-by-time-bucket if a single key's
+rows exceed an executor partition (each time bucket then needs the
+previous bucket's last payload chained in, the same carry-in pattern as
+``sources/stitch.py``).
+
+Ties inside the right side (same key, same ts) are broken by a caller-
+supplied deterministic ``tie_col`` (greatest wins), matching what a
+``QUALIFY row_number() ... DESC = 1`` pre-dedup produces — without it an
+as-of join against a nondeterministically-ordered right side is not a
+function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    ts_col: str = "ts",
+    payload_cols: list[str] | None = None,
+    direction: str = "backward",
+    tie_col: str | None = None,
+    how: str = "inner",
+    prefix: str = "asof_",
+    tolerance: float | None = None,
+) -> DataFrame:
+    """Join each left row to the nearest preceding (``backward``) or
+    following (``forward``) right row per key.
+
+    ``payload_cols``: right columns to carry (default: all non-key,
+    non-ts columns). Output = left columns + ``prefix + ts_col`` +
+    ``prefix + c`` for each payload column. ``how``: ``inner`` drops
+    left rows with no match, ``left`` keeps them with NULL payload.
+    ``tolerance``: maximum |left_ts - right_ts| for a match — seconds
+    for timestamp columns, same units as the column for numeric ones;
+    stale carries become non-matches (pandas ``merge_asof`` semantics).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if payload_cols is None:
+        payload_cols = [
+            c for c in right.columns if c not in keys and c != ts_col
+        ]
+    if tie_col is not None:
+        # deterministic right side: keep the greatest tie_col per (key, ts)
+        w = Window.partitionBy(*keys, ts_col).orderBy(F.desc(tie_col))
+        right = (
+            right.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    payload = F.struct(F.col(ts_col).alias(ts_col), *[F.col(c) for c in payload_cols])
+    left_cols = left.columns
+    pass_cols = [c for c in left_cols if c not in keys and c != ts_col]
+    r_tagged = right.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        payload.alias("__pay"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in pass_cols],
+    )
+    l_tagged = left.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r_tagged.schema["__pay"].dataType).alias("__pay"),
+        *[F.col(c) for c in pass_cols],
+    )
+    unioned = r_tagged.unionByName(l_tagged)
+
+    if direction == "backward":
+        order = [F.asc("__ts"), F.asc("__side")]
+    elif direction == "forward":
+        order = [F.desc("__ts"), F.asc("__side")]
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    carry_w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__carry", F.last("__pay", ignorenulls=True).over(carry_w)
+    ).filter(F.col("__side") == 1)
+
+    if tolerance is not None:
+        if dict(left.dtypes)[ts_col].startswith("timestamp"):
+            def _secs(c):
+                return F.unix_micros(c.cast("timestamp")) / F.lit(1_000_000.0)
+        else:
+            def _secs(c):
+                return c.cast("double")
+        stale = (
+            F.abs(_secs(F.col("__ts")) - _secs(F.col("__carry").getField(ts_col)))
+            > F.lit(float(tolerance))
+        )
+        carried = carried.withColumn(
+            "__carry", F.when(stale, F.lit(None)).otherwise(F.col("__carry"))
+        )
+
+    out = carried.select(
+        *[F.col(k) for k in keys],
+        F.col("__ts").alias(ts_col),
+        *[F.col(c) for c in left_cols if c not in keys and c != ts_col],
+        F.col("__carry").getField(ts_col).alias(f"{prefix}{ts_col}"),
+        *[F.col("__carry").getField(c).alias(f"{prefix}{c}") for c in payload_cols],
+    )
+    if how == "inner":
+        out = out.filter(F.col(f"{prefix}{ts_col}").isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    return out

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from modware_loader_spark.operators import decontam as DC
+from modware_loader_spark.operators import packing as PK
 from modware_loader_spark.operators import sampling as SA
 from modware_loader_spark.operators import text as TX
 from modware_loader_spark.plans.registry import query
@@ -237,4 +238,64 @@ def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         *[c.alias(k) for k, c in stats.items()],
         TX.gopher_repetition_keep(stats).alias("keep"),
+    )
+
+
+@query(
+    "text_chunk_windows",
+    """
+    WITH d AS (SELECT doc_id, text,
+                      greatest(1, (length(text) - 50 + 149) // 150) AS n_chunks
+               FROM documents),
+    c AS (SELECT doc_id, gs.i AS chunk_id,
+                 substr(text, 1 + gs.i * 150, 200) AS chunk
+          FROM d, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) gs)
+    SELECT doc_id, chunk_id, chunk, length(chunk) AS chunk_len FROM c
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking (200 chars, 50 overlap) — the
+    context-window splitter of a training-data pipeline. Pure map stage
+    (``posexplode(sequence)`` + substring): zero shuffle at any corpus
+    size; see ``operators/packing.py``."""
+    t = load_tables(spark, sf_dir)
+    chunks = PK.chunk_text(t["documents"], "text", size=200, overlap=50)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk",
+        F.length("chunk").cast("long").alias("chunk_len"),
+    )
+
+
+@query(
+    "pack_token_budget",
+    """
+    WITH w AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens
+               FROM documents),
+    o AS (SELECT doc_id, n_tokens,
+                 (sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens) // 1000 AS pack_id
+          FROM w)
+    SELECT pack_id, count(*) AS n_docs, sum(n_tokens) AS pack_tokens
+    FROM o GROUP BY pack_id
+    """,
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents in doc_id order onto a virtual tape,
+    pack = floor(exclusive token prefix-sum / 1000). The prefix sum is
+    partition-parallel (range repartition + local windows + broadcast
+    offsets — no single-task global window; ``operators/packing.py``).
+    The oracle states the same thing as one global SQL window, which is
+    correct-but-serial — exactly the shape the operator avoids."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
+    )
+    packed = PK.pack_sequences(docs, ["doc_id"], "n_tokens", budget=1000)
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
     )

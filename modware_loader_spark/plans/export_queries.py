@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modware_loader_spark.functions import normalize_id
+from modware_loader_spark.operators.asof import asof_join
 from modware_loader_spark.operators.closure import transitive_closure
 from modware_loader_spark.operators.intervals import overlap_groups, sessionize
 from modware_loader_spark.plans.blast2gff3 import blast_report_to_gff3_rows
@@ -558,6 +559,43 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_value"),
         )
+    )
+
+
+@query(
+    "events_asof_last_purchase",
+    """
+    WITH l AS (SELECT event_id, user_id, ts
+               FROM events WHERE event_type IN ('view', 'click')),
+         r AS (SELECT user_id, ts, value FROM (
+                 SELECT user_id, ts, value, event_id,
+                        row_number() OVER (PARTITION BY user_id, ts
+                                           ORDER BY event_id DESC) AS rn
+                 FROM events WHERE event_type = 'purchase') WHERE rn = 1)
+    SELECT l.event_id, l.user_id, l.ts, r.ts AS asof_ts, r.value AS asof_value
+    FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every view/click picks up the user's most recent
+    preceding purchase. Spark lacks ASOF JOIN (the oracle uses DuckDB's
+    native one); ``operators/asof.py`` realizes it as a union-scan with a
+    running ``last(payload, ignorenulls)`` carry — one shuffle of
+    |left|+|right| rows, no inequality-join pair explosion."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    left = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    return asof_join(
+        left, right, on="user_id", ts_col="ts",
+        payload_cols=["value"], tie_col="event_id", how="inner",
+    ).select(
+        "event_id", "user_id", "ts",
+        F.col("asof_ts"), F.col("asof_value"),
     )
 
 
