@@ -57,6 +57,7 @@ _DEPRIORITIZED = [
     "u2_normalize_id",              # trivial scalar; exercised inside every loader plan
     "e1_e2_filter_computed_column", # q1/q5 gate the filter+computed-column shape
     "m7_closure_refresh_delete",    # M4 delete-with-join shape; closure tests pin it
+    "sample_stratified_hash",       # mixture_rebalance gates the same draw+filter, plus rate derivation
 ]
 
 

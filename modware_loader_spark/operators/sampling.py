@@ -149,3 +149,69 @@ def quantile_gate(
     return df.join(F.broadcast(thresholds), on=group_cols, how="inner").filter(
         F.col(value_col) >= F.col("threshold")
     )
+
+
+def mixture_rates(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    budget: int | None = None,
+) -> DataFrame:
+    """Per-source keep rates that rebalance the corpus to a target
+    mixture: ``(source, n_rows, rate)``.
+
+    ``weights`` are target proportions (need not sum to 1 — they are
+    normalized). ``budget`` is the desired total sampled size; omitted,
+    it defaults to the **max feasible** total without upsampling —
+    ``min_s(n_s / w_s)`` — i.e. the largest corpus in which the scarcest
+    source can still meet its share. ``rate_s = min(1, w_s * budget /
+    n_s)``; sources absent from ``weights`` get rate 0.
+
+    One aggregation over the corpus; everything after operates on the
+    source-cardinality frame (dozens-to-thousands of rows — the same
+    dim-sized driver arithmetic class as header/max-id fetches).
+    """
+    total_w = float(sum(weights.values()))
+    norm = {s: w / total_w for s, w in weights.items()}
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if budget is None:
+        feas = [counts[s] / w for s, w in norm.items() if w > 0 and s in counts]
+        budget = int(min(feas)) if feas else 0
+    rows = [
+        (s, int(n), min(1.0, norm.get(s, 0.0) * budget / n) if n else 0.0)
+        for s, n in sorted(counts.items())
+    ]
+    return df.sparkSession.createDataFrame(
+        rows or [("", 0, 0.0)], f"{source_col} string, n_rows long, rate double"
+    )
+
+
+def rebalance_mixture(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    budget: int | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample each source to hit a target mixture, deterministically.
+
+    Rates come from ``mixture_rates``; membership is the engine-portable
+    ``hash_uniform`` draw keyed on ``key_col``, so re-runs, retries and
+    incremental reprocessing keep identical row sets (expected realized
+    mixture = target, binomial jitter only). The rates frame broadcasts;
+    the corpus side is a pure map-stage filter — zero shuffle.
+    """
+    rates = mixture_rates(df, source_col, weights, budget=budget).select(
+        source_col, "rate"
+    )
+    return (
+        df.join(F.broadcast(rates), source_col, "left")
+        .filter(hash_uniform(F.col(key_col), salt=salt) < F.coalesce("rate", F.lit(0.0)))
+        .drop("rate")
+    )

@@ -299,3 +299,40 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("pack_tokens"),
     )
+
+
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.25, "zh": 0.125, "fr": 0.125}
+_DDB_U01_MIX = (
+    "(CAST(('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)"
+    " / 4294967296.0)"
+)
+
+
+@query(
+    "sample_mixture_rebalance",
+    f"""
+    WITH w(lang, wt) AS (VALUES ('en', 0.5), ('de', 0.25), ('zh', 0.125), ('fr', 0.125)),
+    n AS (SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang),
+    b AS (SELECT floor(min(n.n_rows / w.wt)) AS budget FROM n JOIN w USING (lang)),
+    r AS (SELECT n.lang, least(1.0, coalesce(w.wt, 0.0) * b.budget / n.n_rows) AS rate
+          FROM n LEFT JOIN w USING (lang) CROSS JOIN b)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN r USING (lang)
+    WHERE {_DDB_U01_MIX} < r.rate
+    """,
+)
+def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture rebalancing (epoch-style domain reweighting): keep
+    rates per language derived from target proportions and the max
+    feasible budget (largest total where the scarcest source still meets
+    its share, no upsampling), membership via the deterministic md5
+    draw. One corpus aggregation for counts; the rates frame broadcasts;
+    the filter itself is a zero-shuffle map stage — see
+    ``operators/sampling.py`` (``rebalance_mixture``).
+
+    Weights are binary-exact (powers of two summing to 1.0) so the
+    normalize step is a float no-op in both engines."""
+    t = load_tables(spark, sf_dir)
+    return SA.rebalance_mixture(
+        t["documents"], "lang", "doc_id", _MIX_WEIGHTS, salt="mix"
+    ).select("doc_id", "lang", "source")

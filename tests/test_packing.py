@@ -104,3 +104,45 @@ def test_prefix_sum_no_global_window(spark):
     # would print "Window [...] ORDER BY" with an empty partition spec —
     # assert via the physical SinglePartition exchange it would require
     assert "SinglePartition" not in plan
+
+
+class TestMixtureRebalance:
+    """rebalance_mixture laws: realized mixture ≈ target, determinism
+    under repartitioning, no upsampling, unlisted sources dropped."""
+
+    def _corpus(self, spark):
+        rows = [(i, ["a", "b", "c", "d"][i % 10 % 4] if i % 10 < 8 else "e")
+                for i in range(2000)]
+        return spark.createDataFrame(rows, "doc_id long, src string")
+
+    def test_rates_and_budget(self, spark):
+        from modware_loader_spark.operators.sampling import mixture_rates
+        df = self._corpus(spark)
+        weights = {"a": 0.5, "b": 0.25, "c": 0.25}
+        rates = {r["src"]: (r["n_rows"], r["rate"])
+                 for r in mixture_rates(df, "src", weights).collect()}
+        # counts: a=600, b=600, c=400, d=200, e=400 (i%10<8 → i%4 cycle)
+        n = {s: rates[s][0] for s in rates}
+        # max feasible budget = min(n_a/0.5, n_b/0.25, n_c/0.25)
+        budget = min(n["a"] / 0.5, n["b"] / 0.25, n["c"] / 0.25)
+        for s, w in weights.items():
+            assert rates[s][1] == pytest.approx(min(1.0, w * budget / n[s]))
+        assert rates["d"][1] == 0.0 and rates["e"][1] == 0.0
+
+    def test_realized_mixture_and_determinism(self, spark):
+        from modware_loader_spark.operators.sampling import rebalance_mixture
+        df = self._corpus(spark)
+        weights = {"a": 0.5, "b": 0.25, "c": 0.25}
+        kept = rebalance_mixture(df, "src", "doc_id", weights).collect()
+        by_src = {}
+        for r in kept:
+            by_src[r["src"]] = by_src.get(r["src"], 0) + 1
+        assert set(by_src) <= {"a", "b", "c"}
+        total = sum(by_src.values())
+        # binomial jitter: each share within 8 points of target at n≈1600
+        for s, w in weights.items():
+            assert abs(by_src[s] / total - w) < 0.08
+        again = rebalance_mixture(
+            df.repartition(13), "src", "doc_id", weights
+        ).collect()
+        assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in kept)
