@@ -71,3 +71,82 @@ def user_profiles(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+ASOF_STATE_SCHEMA = "last_us LONG, last_value DOUBLE"
+ASOF_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("asof_ts", T.TimestampType()),
+        T.StructField("asof_value", T.DoubleType()),
+    ]
+)
+
+
+def asof_enrich(events: DataFrame, right_type: str = "purchase") -> DataFrame:
+    """Streaming twin of ``operators.asof.asof_join``: every non-purchase
+    event is enriched with the user's most recent preceding purchase.
+
+    State = ONE (ts, value) pair per user — bounded by key cardinality,
+    not event volume (contrast a stream-stream join, whose state holds
+    every right row inside the watermark horizon). Rows are processed in
+    (ts, side) order inside each micro-batch — purchases before other
+    events at equal timestamps, matching the batch operator's inclusive
+    tie rule; ties between purchases resolve by greatest event_id. The
+    batch equivalence holds when arrival order respects event time
+    across micro-batches (the usual replay/backfill shape); out-of-order
+    late purchases update state for *subsequent* events only — the
+    documented streaming relaxation.
+    """
+
+    def enrich(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        last_us, last_value = state.get if state.exists else (None, None)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            return
+        is_right = rows["event_type"] == right_type
+        # purchases first at equal ts (side 0 < side 1), then event_id so
+        # the LAST purchase applied at a given ts is the greatest-id one
+        rows = (
+            rows.assign(__side=(~is_right).astype("int8"))
+            .sort_values(["ts", "__side", "event_id"], kind="mergesort")
+        )
+        out_event, out_id, out_ts, out_ats, out_val = [], [], [], [], []
+        for r in rows.itertuples(index=False):
+            if r.event_type == right_type:
+                last_us = int(pd.Timestamp(r.ts).value // 1000)
+                last_value = float(r.value)
+            elif last_us is not None:
+                out_id.append(int(r.event_id))
+                out_ts.append(r.ts)
+                out_ats.append(pd.Timestamp(last_us * 1000))
+                out_val.append(last_value)
+        if last_us is not None:
+            state.update((last_us, last_value))
+        if out_id:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out_id),
+                    "event_id": out_id,
+                    "ts": out_ts,
+                    "asof_ts": out_ats,
+                    "asof_value": out_val,
+                }
+            )
+
+    return (
+        events.select("user_id", "event_id", "ts", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            enrich,
+            outputStructType=ASOF_OUTPUT_SCHEMA,
+            stateStructType=ASOF_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -170,3 +170,87 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
         r.doc_id for r in spark.sql("SELECT doc_id FROM decontam_t").collect()
     )
     assert stream_kept == batch_kept and len(stream_kept) > 0
+
+
+def test_stream_asof_enrich_matches_batch(spark, events_feed):
+    from modware_loader_spark.streaming.stateful import asof_enrich
+
+    path, batch_df = events_feed
+    stream = read_event_stream(spark, path, batch_df.schema)
+    res = _run_stream(spark, asof_enrich(stream), "asof_t", "append")
+    got = {r.event_id: (r.asof_ts, r.asof_value) for r in res.collect()}
+
+    from modware_loader_spark.operators.asof import asof_join
+
+    left = batch_df.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = batch_df.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    exp = {
+        r.event_id: (r.asof_ts, r.asof_value)
+        for r in asof_join(
+            left, right, on="user_id", ts_col="ts",
+            payload_cols=["value"], tie_col="event_id",
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_stream_asof_state_crosses_microbatches(spark, sf_dir, tmp_path):
+    """Split the timeline in half into two files; with maxFilesPerTrigger=1
+    the second micro-batch's events must still see purchases from the
+    first — i.e. the carry lives in state, not in the batch."""
+    from modware_loader_spark.operators.asof import asof_join
+    from modware_loader_spark.streaming.stateful import asof_enrich
+
+    ev = load_tables(spark, sf_dir)["events"].withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    # split on ts (not event_id) so arrival order across micro-batches
+    # respects event time — the precondition for batch equivalence
+    tsmid = ev.selectExpr("percentile(unix_micros(ts), 0.5) AS m").first()["m"]
+    import glob, os, shutil
+    feed = str(tmp_path / "halves")
+    ev.filter(F.unix_micros("ts") <= tsmid).coalesce(1).write.parquet(feed + "/a")
+    ev.filter(F.unix_micros("ts") > tsmid).coalesce(1).write.parquet(feed + "/b")
+    merged = str(tmp_path / "merged")
+    os.makedirs(merged)
+    for i, f in enumerate(sorted(glob.glob(feed + "/*/part-*"))):
+        dst = os.path.join(merged, f"f{i}.parquet")
+        shutil.copy(f, dst)
+        # FileStreamSource orders candidate files by modification time;
+        # identical mtimes make batch order (and this test) a coin flip
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(merged)
+    )
+    q = (
+        asof_enrich(stream)
+        .writeStream.format("memory")
+        .queryName("asof_mb_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 2
+    got = {r.event_id: (r.asof_ts, r.asof_value)
+           for r in spark.table("asof_mb_t").collect()}
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    exp = {
+        r.event_id: (r.asof_ts, r.asof_value)
+        for r in asof_join(
+            left, right, on="user_id", ts_col="ts",
+            payload_cols=["value"], tie_col="event_id",
+        ).collect()
+    }
+    assert got == exp
