@@ -113,8 +113,8 @@ def main() -> None:
         try:
             qs[name](spark, SF_DIR).count()
             warm[name] = round(time.perf_counter() - t0, 3)
-        except Exception:
-            pass
+        except Exception as exc:  # a cold-pass success that fails warm is a bug
+            errors[f"{name}__warm"] = f"{type(exc).__name__}: {exc}"[:300]
         for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
             rdd.unpersist()
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
@@ -122,18 +122,33 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # The driver captures only a ~2 KB tail of stdout; BENCH_r04 lost its
+    # headline because the full cold+warm dicts overflowed it. The printed
+    # line carries 2-decimal cold timings and scalar summaries only; the
+    # complete artifact (3-decimal cold + per-query warm + errors) goes to
+    # bench_detail.json beside this script.
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
-        "queries_warm": warm,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "value_warm": round(sum(warm.values()), 3),
         "sf": sf_val,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        out["errors"] = {k: v[:80] for k, v in errors.items()}
+    detail = {
+        **out,
+        "queries": timings,
+        "queries_warm": warm,
+        "errors": errors,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"),
+        "w",
+    ) as fh:
+        json.dump(detail, fh, indent=1)
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

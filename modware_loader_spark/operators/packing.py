@@ -132,7 +132,14 @@ def pack_sequences(
     Pack sizes hover around ``budget`` (a pack overshoots by at most one
     document minus one unit); packs are contiguous in the canonical
     order, so downstream per-pack concatenation is a plain groupBy.
+
+    ``weight_col`` is an integer contract: fractional weights are
+    truncated by the prefix sum's cast to long. ``budget`` must be a
+    positive integer (0 would div-by-zero into NULL pack ids, negatives
+    into negative packs).
     """
+    if budget <= 0:
+        raise ValueError(f"budget must be a positive integer, got {budget!r}")
     with_off = exclusive_prefix_sum(df, order_by, weight_col, out_col="__start")
     # integer div: exact at any tape length (doubles lose integers past 2^53)
     return with_off.withColumn(

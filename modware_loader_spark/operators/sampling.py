@@ -182,9 +182,13 @@ def mixture_rates(
     if budget is None:
         feas = [counts[s] / w for s, w in norm.items() if w > 0 and s in counts]
         budget = int(min(feas)) if feas else 0
+    # NULL-source rows are a real corpus condition (missing lang/source
+    # tags): they sort last and get rate 0 rather than crashing the
+    # None-vs-str comparison; rebalance's join then drops them, which is
+    # the documented "absent from weights" behavior.
     rows = [
         (s, int(n), min(1.0, norm.get(s, 0.0) * budget / n) if n else 0.0)
-        for s, n in sorted(counts.items())
+        for s, n in sorted(counts.items(), key=lambda kv: (kv[0] is None, kv[0] or ""))
     ]
     return df.sparkSession.createDataFrame(
         rows or [("", 0, 0.0)], f"{source_col} string, n_rows long, rate double"

@@ -274,11 +274,12 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens
                FROM documents),
     o AS (SELECT doc_id, n_tokens,
-                 (sum(n_tokens) OVER (ORDER BY doc_id
+                 CAST((sum(n_tokens) OVER (ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  - n_tokens) // 1000 AS pack_id
+                  - n_tokens) // 1000 AS BIGINT) AS pack_id
           FROM w)
-    SELECT pack_id, count(*) AS n_docs, sum(n_tokens) AS pack_tokens
+    SELECT pack_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
     FROM o GROUP BY pack_id
     """,
 )

@@ -24,6 +24,20 @@ DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "3
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def _default_driver_mem() -> str:
+    """Half of MemAvailable, clamped to [4g, 24g] (falls back to 8g when
+    /proc/meminfo is unreadable, e.g. non-Linux)."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(4, min(24, avail_gb // 2))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(app_name: str = "modware_loader_spark", master: str | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with scale-aware defaults.
 
@@ -45,7 +59,12 @@ def get_spark(app_name: str = "modware_loader_spark", master: str | None = None)
         # blocks from iterative/self-join queries accumulate across a long
         # session, so size the heap for the whole bench run, not one query
         # (late-run GC thrash showed up as 2-4x per-query inflation at 8g).
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Sized from the host's available RAM (half, clamped to [4g, 24g])
+        # so small hosts don't get OOM-killed; SPARK_GRAFT_DRIVER_MEM wins.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem(),
+        )
     )
     if master is not None:
         builder = builder.master(master)

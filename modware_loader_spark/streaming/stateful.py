@@ -73,7 +73,7 @@ def user_profiles(events: DataFrame) -> DataFrame:
     )
 
 
-ASOF_STATE_SCHEMA = "last_us LONG, last_value DOUBLE"
+ASOF_STATE_SCHEMA = "last_us LONG, last_value DOUBLE, last_event_id LONG"
 ASOF_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
@@ -105,7 +105,9 @@ def asof_enrich(events: DataFrame, right_type: str = "purchase") -> DataFrame:
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        last_us, last_value = state.get if state.exists else (None, None)
+        last_us, last_value, last_id = (
+            state.get if state.exists else (None, None, None)
+        )
         rows = pd.concat(list(pdfs), ignore_index=True)
         if not len(rows):
             return
@@ -119,15 +121,26 @@ def asof_enrich(events: DataFrame, right_type: str = "purchase") -> DataFrame:
         out_event, out_id, out_ts, out_ats, out_val = [], [], [], [], []
         for r in rows.itertuples(index=False):
             if r.event_type == right_type:
-                last_us = int(pd.Timestamp(r.ts).value // 1000)
-                last_value = float(r.value)
+                r_us = int(pd.Timestamp(r.ts).value // 1000)
+                # Greatest-event_id tie rule must hold ACROSS micro-batches
+                # too: a purchase at the same ts as the one already in state
+                # only wins if its event_id is greater (within a batch the
+                # sort already guarantees this).
+                if (
+                    last_us is None
+                    or r_us > last_us
+                    or (r_us == last_us and int(r.event_id) > (last_id or -1))
+                ):
+                    last_us = r_us
+                    last_value = float(r.value)
+                    last_id = int(r.event_id)
             elif last_us is not None:
                 out_id.append(int(r.event_id))
                 out_ts.append(r.ts)
                 out_ats.append(pd.Timestamp(last_us * 1000))
                 out_val.append(last_value)
         if last_us is not None:
-            state.update((last_us, last_value))
+            state.update((last_us, last_value, last_id))
         if out_id:
             yield pd.DataFrame(
                 {

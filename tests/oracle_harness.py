@@ -63,12 +63,34 @@ def compare(spark, sf_dir: str, name: str, fn, sql: str | None):
     ocols = [d[0] for d in res.description]
     orows = res.fetchall()
     result["oracle_rows"] = len(orows)
+    # Dtype-drift guard: the driver hashes the oracle result after a pandas
+    # conversion (``fetchdf``), where DuckDB HUGEINT (e.g. sum(BIGINT)) and
+    # nullable ints materialize as float64 even when every value is integral.
+    # ``fetchall`` yields Python ints, so the value comparison below is blind
+    # to it (this bit CORRECTNESS_r04's pack_token_budget). Flag any column
+    # that is float64 in pandas but purely int in fetchall: the oracle SQL
+    # needs an explicit CAST(... AS BIGINT).
+    odf = con.execute(sql).fetchdf()
+    drift = []
+    for ci, cname in enumerate(ocols):
+        if str(odf.dtypes.iloc[ci]) != "float64":
+            continue
+        vals = [r[ci] for r in orows]
+        if vals and all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+            drift.append(cname)
+    if drift:
+        result["dtype_drift"] = drift
     sc, sr = canon_rows(scols, srows)
     oc, orr = canon_rows(ocols, orows)
     result["schema_ok"] = sc == oc
     result["count_ok"] = len(sr) == len(orr)
     result["values_ok"] = sr == orr
-    result["ok"] = result["schema_ok"] and result["count_ok"] and result["values_ok"]
+    result["ok"] = (
+        result["schema_ok"]
+        and result["count_ok"]
+        and result["values_ok"]
+        and not drift
+    )
     if not result["schema_ok"]:
         result["spark_cols"] = sc
         result["oracle_cols"] = oc
