@@ -166,11 +166,19 @@ def cosine_bucket_near_pairs(
     par = df.sparkSession.sparkContext.defaultParallelism
     # candidate generation carries bare ids only — deduping (vec_a, vec_b)
     # BEFORE joining vectors back keeps the band-join shuffle narrow
-    # (two longs/row instead of two dim-width float arrays)
-    bands_tbl = df.repartition(par).select(
-        F.col(id_col),
-        F.posexplode(sign_band_hashes(F.col(vec_col), bands, bits, stride)),
-    ).withColumnsRenamed({"pos": "band_id", "col": "band_hash"})
+    # (two longs/row instead of two dim-width float arrays). The band
+    # table is pinned so the banding pass (bands×bits sign tests per
+    # vector + the source scan) runs once, not once per self-join side —
+    # same trick as lsh_banded_topk's self-join shape.
+    bands_tbl = (
+        df.repartition(par)
+        .select(
+            F.col(id_col),
+            F.posexplode(sign_band_hashes(F.col(vec_col), bands, bits, stride)),
+        )
+        .withColumnsRenamed({"pos": "band_id", "col": "band_hash"})
+        .localCheckpoint()
+    )
     cands = (
         bands_tbl.select(F.col(id_col).alias("vec_a"), "band_id", "band_hash")
         .join(

@@ -774,17 +774,19 @@ def _ddb_pq_rerank_sql(shortlist: int = 50, k: int = 5) -> str:
     )
 
 
-@query("similarity_pq_rerank_topk", _ddb_pq_rerank_sql())
+@query("similarity_pq_rerank_topk", _ddb_pq_rerank_sql(shortlist=200))
 def similarity_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ ADC shortlist (top-50 over codes only) + exact squared-L2
-    re-rank — the production PQ composition. Measured recall@5 vs exact
-    L2 on the synthetic unit vectors: 0.74 (vs 0.30 raw ADC); the exact
-    pass touches only shortlist·|queries| vectors. See
+    """PQ ADC shortlist (top-200 over codes only — the 4·sqrt(k·n)
+    adaptive size at sf0.01) + exact squared-L2 re-rank — the production
+    PQ composition. Measured recall@5 vs exact L2 on the synthetic unit
+    vectors: 0.98 at shortlist 200 (0.74 at 50, 0.30 raw ADC); the exact
+    pass touches only shortlist·|queries| vectors. The oracle pins the
+    same static shortlist so both engines rank identical candidates. See
     ``operators/pq.py::pq_rerank_topk``."""
     t = load_tables(spark, sf_dir)
     from modware_loader_spark.operators.pq import pq_rerank_topk
 
     emb = t["embeddings"]
     return pq_rerank_topk(
-        emb.filter(F.col("vec_id") < 20), emb, shortlist=50, k=5, m=8, ksub=16
+        emb.filter(F.col("vec_id") < 20), emb, shortlist=200, k=5, m=8, ksub=16
     )

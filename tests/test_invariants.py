@@ -202,11 +202,13 @@ def test_pq_recall_and_rerank(spark, sf_dir):
     for r in adc:
         got.setdefault(r.query_id, set()).add(r.target_id)
     raw = sum(len(got[q] & set(exact[q])) / 5 for q in range(20)) / 20
-    rer = PQ.pq_rerank_topk(queries, emb, shortlist=50, k=5, m=8, ksub=16).collect()
+    # adaptive shortlist: 4*sqrt(k*n) = 200 at n=500
+    rer = PQ.pq_rerank_topk(queries, emb, k=5, m=8, ksub=16).collect()
     got_r = {}
     for r in rer:
         got_r.setdefault(r.query_id, set()).add(r.target_id)
     rerank = sum(len(got_r[q] & set(exact[q])) / 5 for q in range(20)) / 20
-    # near-random unit vectors are PQ's hard case; re-rank is the fix
+    # near-random unit vectors are PQ's hard case; the sqrt-scaled
+    # shortlist + exact re-rank is the fix (measured 0.98 at sf0.01)
     assert raw >= 0.2, raw
-    assert rerank >= 0.6 and rerank > raw, (raw, rerank)
+    assert rerank >= 0.9 and rerank > raw, (raw, rerank)
