@@ -19,10 +19,12 @@ survives 100 TB is the **union-scan carry-forward**:
 
 Cost: ONE shuffle of |left|+|right| rows, no pair explosion, no second
 scan of either input. Skewed keys (one hot user) are the caveat — the
-window sort serializes per key; salt-by-time-bucket if a single key's
-rows exceed an executor partition (each time bucket then needs the
-previous bucket's last payload chained in, the same carry-in pattern as
-``sources/stitch.py``).
+window sort serializes per key; pass ``salt_buckets=N`` to split each
+key into N time buckets (each sorted independently in parallel) with
+the previous bucket's last right payload chained in — the same carry-in
+pattern as ``sources/stitch.py``. The chain itself is a slim
+(key × bucket)-cardinality window, so the per-key serial section shrinks
+from |rows per key| to N.
 
 Ties inside the right side (same key, same ts) are broken by a caller-
 supplied deterministic ``tie_col`` (greatest wins), matching what a
@@ -37,6 +39,92 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _salted_carry(
+    unioned: DataFrame, keys: list[str], direction: str, n: int
+) -> DataFrame:
+    """Hot-key-safe carry: split each key's timeline into ``n`` equal
+    time buckets, carry within buckets in parallel, then chain each
+    bucket's final right payload into the next bucket (carry-in).
+
+    Three stages, all shuffle-aligned on ``(keys…, __bkt)`` after the
+    first exchange:
+
+    1. per-(key, bucket) local carry — the big window, now ``n``-way
+       parallel per key;
+    2. per-(key, bucket) last-right-payload agg → a slim
+       (|keys| × n)-row frame; a running window over *buckets* (serial
+       section = n rows per key, not |rows per key|) shifts it one
+       bucket forward (backward direction; mirrored for forward);
+    3. join the carry-in back on (keys…, bucket) — same partitioning as
+       stage 1, so only the slim side moves — and ``coalesce``.
+
+    Output rows equal the unsalted operator's exactly: bucket edges
+    can't split a tie (equal timestamps land in the same bucket), and a
+    bucket's carry-in is by construction older (newer, for forward)
+    than everything in the bucket.
+    """
+    asc = direction == "backward"
+    ts_dt = dict(unioned.dtypes)["__ts"]
+    if ts_dt.startswith("timestamp"):
+        tsn = F.unix_micros(F.col("__ts").cast("timestamp")).cast("double")
+    else:
+        tsn = F.col("__ts").cast("double")
+    u = unioned.withColumn("__tsn", tsn)
+    # one slim action: global ts range to size the buckets (columnar
+    # min/max over the two ts columns — cheap next to the carry shuffle)
+    lo, hi = u.agg(F.min("__tsn"), F.max("__tsn")).first()
+    if lo is None or hi == lo:
+        u = u.withColumn("__bkt", F.lit(0))
+    else:
+        width = (float(hi) - float(lo)) / n
+        u = u.withColumn(
+            "__bkt",
+            F.least(
+                F.lit(n - 1),
+                F.floor((F.col("__tsn") - F.lit(float(lo))) / F.lit(width)).cast("int"),
+            ),
+        )
+    order = [
+        F.asc("__tsn") if asc else F.desc("__tsn"),
+        F.asc("__side"),
+    ]
+    local_w = (
+        Window.partitionBy(*keys, "__bkt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = u.withColumn("__carry", F.last("__pay", ignorenulls=True).over(local_w))
+    # bucket representative: the right payload a later (earlier, for
+    # forward) bucket would carry in — max-ts right row of the bucket
+    picker = F.max_by("__pay", F.col("__tsn")) if asc else F.min_by(
+        "__pay", F.col("__tsn")
+    )
+    b_last = (
+        u.filter(F.col("__side") == 0)
+        .groupBy(*keys, "__bkt")
+        .agg(picker.alias("__bpay"))
+    )
+    # every (key, bucket) that exists on either side needs a carry-in row,
+    # including buckets with no right rows (ignorenulls skips their gap)
+    combos = u.select(*keys, "__bkt").distinct()
+    cin_w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.asc("__bkt") if asc else F.desc("__bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cin = (
+        combos.join(b_last, [*keys, "__bkt"], "left")
+        .withColumn("__cin", F.last("__bpay", ignorenulls=True).over(cin_w))
+        .select(*keys, "__bkt", "__cin")
+    )
+    return (
+        local.join(cin, [*keys, "__bkt"], "left")
+        .withColumn("__carry", F.coalesce(F.col("__carry"), F.col("__cin")))
+        .filter(F.col("__side") == 1)
+        .drop("__tsn", "__bkt", "__cin")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -48,6 +136,7 @@ def asof_join(
     how: str = "inner",
     prefix: str = "asof_",
     tolerance: float | None = None,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Join each left row to the nearest preceding (``backward``) or
     following (``forward``) right row per key.
@@ -59,6 +148,12 @@ def asof_join(
     ``tolerance``: maximum |left_ts - right_ts| for a match — seconds
     for timestamp columns, same units as the column for numeric ones;
     stale carries become non-matches (pandas ``merge_asof`` semantics).
+    ``salt_buckets``: hot-key mitigation — split every key's timeline
+    into N equal-width time buckets so the carry window parallelizes
+    within a key; output is identical to the unsalted operator (ties
+    can't straddle buckets: equal timestamps share a bucket). Costs one
+    slim min/max action + a (key × bucket) chain window; use when a
+    single key's rows exceed an executor partition.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if payload_cols is None:
@@ -99,14 +194,17 @@ def asof_join(
         order = [F.desc("__ts"), F.asc("__side")]
     else:
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
-    carry_w = (
-        Window.partitionBy(*keys)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.withColumn(
-        "__carry", F.last("__pay", ignorenulls=True).over(carry_w)
-    ).filter(F.col("__side") == 1)
+    if salt_buckets is not None and salt_buckets > 1:
+        carried = _salted_carry(unioned, keys, direction, salt_buckets)
+    else:
+        carry_w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = unioned.withColumn(
+            "__carry", F.last("__pay", ignorenulls=True).over(carry_w)
+        ).filter(F.col("__side") == 1)
 
     if tolerance is not None:
         if dict(left.dtypes)[ts_col].startswith("timestamp"):

@@ -92,3 +92,58 @@ def test_plan_no_join(spark, frames):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_salted_equals_unsalted_on_skew(spark):
+    """One hot key holding ~95% of rows: the salted operator must return
+    exactly the unsalted rows, and its plan must show the salted shape
+    (carry window partitioned by (key, time bucket), not key alone)."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [("hot", i * 3 + rnd.randint(0, 1), f"e{i}") for i in range(400)]
+    rows += [("cold", i * 10, f"c{i}") for i in range(20)]
+    left = spark.createDataFrame(rows, "k string, ts long, tag string")
+    rrows = [("hot", i * 17, float(i)) for i in range(70)]
+    rrows += [("cold", 55, -1.0)]
+    right = spark.createDataFrame(rrows, "k string, ts long, v double")
+
+    base = asof_join(left, right, on="k", ts_col="ts", payload_cols=["v"], how="left")
+    for buckets in (2, 8):
+        salted = asof_join(
+            left, right, on="k", ts_col="ts", payload_cols=["v"],
+            how="left", salt_buckets=buckets,
+        )
+        assert sorted(map(tuple, salted.collect())) == sorted(
+            map(tuple, base.collect())
+        ), buckets
+
+    salted = asof_join(
+        left, right, on="k", ts_col="ts", payload_cols=["v"], salt_buckets=8
+    )
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__bkt" in plan  # carry window runs per (key, bucket)
+
+
+def test_salted_directions_and_tolerance(spark):
+    """Salting composes with forward direction and tolerance — both are
+    applied downstream of the carry, so outputs must stay identical."""
+    rows = [("u", i, f"e{i}") for i in range(0, 100, 3)]
+    left = spark.createDataFrame(rows, "k string, ts long, tag string")
+    right = spark.createDataFrame(
+        [("u", i, float(i)) for i in range(0, 100, 7)],
+        "k string, ts long, v double",
+    )
+    for kw in (
+        dict(direction="forward"),
+        dict(tolerance=4),
+        dict(direction="forward", tolerance=4),
+    ):
+        base = asof_join(left, right, on="k", ts_col="ts", payload_cols=["v"], **kw)
+        salted = asof_join(
+            left, right, on="k", ts_col="ts", payload_cols=["v"],
+            salt_buckets=5, **kw,
+        )
+        assert sorted(map(tuple, salted.collect())) == sorted(
+            map(tuple, base.collect())
+        ), kw
