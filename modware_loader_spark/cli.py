@@ -13,7 +13,7 @@ Exports:    chado2gff3, chado2canonicalgff3, chado2alignmentgff3,
             colleague2gene,curatornotes,dictypub,dictypubannotation,
             dscorders-strain,dscorders-plasmid},
             chado2dictygff3 --variant {canonical,noncanonical,
-            noncoding,curated}
+            noncanonical-v2,noncoding,curated}
 Dumps:      dictystrain, dictyplasmid
 Updates:    dictybib
 Transforms: blast2chadogff3, blast2gbrowsegff3, gff3alignment,
@@ -304,8 +304,9 @@ def cmd_chado2canonicalgff3(args) -> dict:
 
 
 def cmd_chado2dictygff3(args) -> dict:
-    """chado2dicty{canonical,noncanonical,noncoding,curated}gff3 variants
-    (reference chado2dicty*.pm), selected via --variant."""
+    """chado2dicty{canonical,noncanonical,noncanonical-v2,noncoding,
+    curated}gff3 variants (reference chado2dicty*.pm), selected via
+    --variant."""
     from modware_loader_spark.plans import dicty_exports as de
     from modware_loader_spark.sinks.gff3 import write_gff3
 
@@ -316,6 +317,10 @@ def cmd_chado2dictygff3(args) -> dict:
         rows = de.dicty_canonical_rows(loader)
     elif args.variant == "noncanonical":
         rows = de.dicty_noncanonical_rows(
+            loader, source=args.source or "geneID reprediction"
+        )
+    elif args.variant == "noncanonical-v2":
+        rows = de.dicty_noncanonical_v2_rows(
             loader, source=args.source or "geneID reprediction"
         )
     elif args.variant == "noncoding":
@@ -813,7 +818,8 @@ def main(argv=None) -> int:
     add("chado2dictygff3", cmd_chado2dictygff3,
         **{"--output": {"required": True},
            "--variant": {"required": True,
-                         "choices": ["canonical", "noncanonical", "noncoding", "curated"]},
+                         "choices": ["canonical", "noncanonical",
+                                     "noncanonical-v2", "noncoding", "curated"]},
            "--source": {"default": None}})
     add("sumstatsongff3", cmd_sumstatsongff3, catalog=False,
         **{"--input": {"required": True, "help": "GFF3 file(s), comma-separated"},

@@ -11,11 +11,13 @@ their reader/writer handler swaps:
   pseudogenic_transcript, exon→pseudogenic_exon,
   ``FeatureWriter/GFF3/Canonical/Dicty.pm:33-98``); the gene row inherits
   its transcript's source (:71-74) and carries synonyms as Alias.
-- **noncanonical** (`chado2dictynoncanonicalgff3` and its v2,
-  `chado2dictynoncanonicalv2gff3` — same NonCanonical::Dicty read
-  semantics, only the writer's attribute formatting differs): standalone
+- **noncanonical** (`chado2dictynoncanonicalgff3`): standalone
   transcripts (no gene parent emitted) of one type/source — default mRNA /
   ``geneID reprediction`` (``FeatureReader/Chado/NonCanonical/Dicty.pm``).
+- **noncanonical-v2** (`chado2dictynoncanonicalv2gff3`): same read, but
+  the ``is_obsolete``→``is_deleted`` column swap and the base-GFF3 writer
+  (subfeatures carry Parent, rows carry Dbxref + their own source) — see
+  ``dicty_noncanonical_v2_rows``.
 - **noncoding** (`chado2dictynoncodinggff3`): gene models whose transcript
   type is one of the ncRNA family (``FeatureReader/Chado/NonCoding/
   Dicty.pm:20-27``), any source.
@@ -331,6 +333,101 @@ def dicty_noncanonical_rows(
         type_col=F.col("type_name"),
         source_col=F.lit(None).cast("string"),
         parent_col=F.col("trans_uniquename"),
+    )
+    return trans_rows.unionByName(sub_rows)
+
+
+def _secondary_dbxrefs(loader) -> DataFrame:
+    """(feature_id, dbxrefs array<string>): secondary dbxrefs formatted
+    ``db:accession`` with a leading ``DB:`` stripped from the db name and
+    GFF_source links excluded — the base writer's Dbxref attribute
+    (reference ``FeatureWriter/GFF3.pm:92-101``)."""
+    dbs = loader.dims["db"].select("db_id", F.col("name").alias("db_name"))
+    return (
+        loader.tables["feature_dbxref"]
+        .join(loader.tables["dbxref"], "dbxref_id")
+        .join(F.broadcast(dbs), "db_id")
+        .filter(F.col("db_name") != "GFF_source")
+        .select(
+            "feature_id",
+            F.concat(
+                F.regexp_replace("db_name", "^DB:", ""),
+                F.lit(":"),
+                F.col("accession"),
+            ).alias("x"),
+        )
+        .groupBy("feature_id")
+        .agg(F.array_sort(F.collect_list("x")).alias("dbxrefs"))
+    )
+
+
+def dicty_noncanonical_v2_rows(
+    loader: ChadoGFF3Loader,
+    source: str = "geneID reprediction",
+    feature_type: str = "mRNA",
+    subfeature_type: str = "exon",
+    deleted_col: str = "is_deleted",
+) -> DataFrame:
+    """chado2dictynoncanonicalv2gff3 (reference
+    ``Export/Command/chado2dictynoncanonicalv2gff3.pm:36-77``): the same
+    standalone repredicted-transcript read as v1, with two differences:
+
+    - the command swaps the Feature source's ``is_obsolete`` column for
+      ``is_deleted`` (``:48-57``) — the repredicted models live in a
+      schema whose deletion flag is named differently; applied here
+      whenever the catalog's feature table carries the column (the
+      in-memory GFF3 staging has no deletion flag, so it is a no-op
+      there);
+    - the writer is the BASE GFF3 hash
+      (``FeatureWriter/GFF3/NonCanonical/DictyV2.pm:12-23`` →
+      ``FeatureWriter/GFF3.pm:42-102``), not the Canonical::Dicty
+      transcript writer: subfeatures DO carry ``Parent``, and every row
+      carries its secondary ``Dbxref`` attributes and its own
+      GFF_source as column 2 (v1 nulls the subfeature source).
+    """
+    located = _located(loader)
+    if deleted_col in located.columns:
+        located = located.filter(
+            ~F.coalesce(F.col(deleted_col).cast("boolean"), F.lit(False))
+        )
+    xrefs = _secondary_dbxrefs(loader)
+    gff_src = _gff_sources(loader)
+    trans = (
+        located.filter(F.col("type_name") == feature_type)
+        .join(gff_src, "feature_id")
+        .filter(F.col("gff_source") == source)
+    )
+    dbx_entry = [
+        F.struct(F.lit("Dbxref").alias("key"), F.col("dbxrefs").alias("value"))
+    ]
+    trans_rows = _gff3_row(
+        trans.join(xrefs, "feature_id", "left"),
+        type_col=F.col("type_name"),
+        source_col=F.col("gff_source"),
+        extra=dbx_entry,
+    )
+    edges = _rel_children(loader, ["part_of"]).select(
+        F.col("object_id").alias("trans_id"), F.col("subject_id").alias("feature_id")
+    )
+    subs = (
+        located.filter(F.col("type_name") == subfeature_type)
+        .join(edges, "feature_id")
+        .join(
+            trans.select(
+                F.col("feature_id").alias("trans_id"),
+                F.col("uniquename").alias("trans_uniquename"),
+            ),
+            "trans_id",
+        )
+        .join(gff_src, "feature_id", "left")
+        .join(xrefs, "feature_id", "left")
+    )
+    sub_rows = _gff3_row(
+        subs,
+        type_col=F.col("type_name"),
+        source_col=F.col("gff_source"),
+        parent_col=F.col("trans_uniquename"),
+        extra=dbx_entry,
     )
     return trans_rows.unionByName(sub_rows)
 

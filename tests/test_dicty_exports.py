@@ -60,11 +60,48 @@ def test_canonical_source_fallback(dicty_loader):
 
 def test_noncanonical_standalone(dicty_loader):
     rows = dicty_noncanonical_rows(dicty_loader).collect()
-    assert _ids(rows, {"mRNA"}) == ["DDB_R1"]
-    assert _ids(rows, {"exon"}) == ["DDB_R1.e1"]
+    assert _ids(rows, {"mRNA"}) == ["DDB_R1", "DDB_R2"]
+    assert _ids(rows, {"exon"}) == ["DDB_R1.e1", "DDB_R2.e1"]
     assert all(r.type in ("mRNA", "exon") for r in rows)  # no gene rows
     by_id = {r.attributes["ID"][0]: r for r in rows}
     assert by_id["DDB_R1"].source == "geneID reprediction"
+    # v1 writer (Canonical::Dicty lineage) carries no Dbxref and nulls
+    # the subfeature source
+    assert "Dbxref" not in by_id["DDB_R1"].attributes
+    assert by_id["DDB_R1.e1"].source is None
+
+
+def test_noncanonical_v2_writer_and_is_deleted(dicty_loader):
+    """chado2dictynoncanonicalv2gff3: base-GFF3 writer semantics (Parent
+    on subfeatures, Dbxref attributes, subfeature's own source) + the
+    is_obsolete→is_deleted column swap filter."""
+    import copy
+
+    from pyspark.sql import functions as F
+
+    from modware_loader_spark.plans.dicty_exports import dicty_noncanonical_v2_rows
+
+    rows = dicty_noncanonical_v2_rows(dicty_loader).collect()
+    by_id = {r.attributes["ID"][0]: r for r in rows}
+    assert _ids(rows, {"mRNA"}) == ["DDB_R1", "DDB_R2"]
+    assert _ids(rows, {"exon"}) == ["DDB_R1.e1", "DDB_R2.e1"]
+    # v2: subfeatures carry Parent and their OWN GFF_source as column 2
+    assert by_id["DDB_R1.e1"].attributes["Parent"] == ["DDB_R1"]
+    assert by_id["DDB_R1.e1"].source == "dictyBase"
+    # v2: secondary dbxrefs ride as Dbxref (GFF_source links excluded)
+    assert by_id["DDB_R1"].attributes["Dbxref"] == ["GenBank:AB123"]
+    assert "Dbxref" not in by_id["DDB_R2"].attributes
+
+    # the repredicted schema's deletion flag: mark DDB_R2 deleted on a
+    # shallow copy (the module-scoped loader must stay untouched)
+    l2 = copy.copy(dicty_loader)
+    l2.tables = dict(dicty_loader.tables)
+    l2.tables["feature"] = dicty_loader.tables["feature"].withColumn(
+        "is_deleted", F.col("uniquename") == "DDB_R2"
+    )
+    kept = dicty_noncanonical_v2_rows(l2).collect()
+    assert _ids(kept, {"mRNA"}) == ["DDB_R1"]
+    assert _ids(kept, {"exon"}) == ["DDB_R1.e1"]
 
 
 def test_noncoding_models(dicty_loader):
