@@ -521,6 +521,44 @@ def cmd_dictynonpub2bib(args) -> dict:
     return {"entries": len(rows)}
 
 
+def cmd_chadopub2bib(args) -> dict:
+    """chadopub2bib: dumped PubMed efetch XML page(s) → BibTeX with the
+    stylesheet-equivalent transform (reference chadopub2bib.pm:65-123 +
+    share/pubmed2bibtex.xslt). The NCBI fetch itself stays driver-side
+    by design (S10 classification); this consumes the command's own
+    --xmldump artifacts. With --catalog, entries are restricted to the
+    pub table's pubplace=PUBMED uniquenames — the row set the reference
+    pages over. --xslt runs the real stylesheet when lxml is installed."""
+    from pyspark.sql import functions as F
+
+    from modware_loader_spark.plans.pub2bib import pub2bib_rows, pubmed_xml_to_bibtex
+
+    spark = get_spark("chadopub2bib")
+    pmids = None
+    if args.catalog:
+        catalog = ChadoCatalog(spark, args.catalog)
+        pub = catalog.load(["pub"]).get("pub")
+        if pub is None:
+            raise SystemExit("catalog must hold a pub table (run bibtex2chado first)")
+        pmids = [
+            r.uniquename
+            for r in pub.filter(F.upper("pubplace") == "PUBMED")
+            .select("uniquename")
+            .collect()
+        ]
+    if args.xslt:
+        with open(args.xml) as fh:  # lxml path: single document, driver-side
+            text = pubmed_xml_to_bibtex(fh.read(), pmids=pmids, xslt_path=args.xslt)
+        with open(args.output, "w") as fh:
+            fh.write(text)
+        return {"pages": 1}
+    rows = pub2bib_rows(spark, args.xml, pmids=pmids).orderBy("file").collect()
+    with open(args.output, "w") as fh:
+        for r in rows:
+            fh.write(r.bibtex)
+    return {"pages": len(rows)}
+
+
 def cmd_chado2genesummary(args) -> dict:
     """chado2genesummary: paragraph featureprops ⋈ legacy paragraphs →
     (gene accession, author, MediaWiki text) TSV (reference
@@ -866,6 +904,14 @@ def main(argv=None) -> int:
     add("dictynonpub2bib", cmd_dictynonpub2bib,
         **{"--output": {"required": True},
            "--no_timestamp": {"action": "store_true"}})
+    add("chadopub2bib", cmd_chadopub2bib, catalog=False,
+        **{"--xml": {"required": True,
+                     "help": "dumped efetch XML file(s)/glob (the reference's --xmldump artifacts)"},
+           "--output": {"required": True},
+           "--catalog": {"default": None,
+                         "help": "restrict to the catalog pub table's PUBMED entries"},
+           "--xslt": {"default": None,
+                      "help": "run a real XSLT stylesheet instead (requires lxml)"}})
     add("chado2genesummary", cmd_chado2genesummary,
         **{"--paragraphs": {"required": True,
                             "help": "legacy paragraph TSV (no, author, text)"},
