@@ -1,0 +1,336 @@
+"""Pure-stdlib media codecs backing ``operators/multimodal.py``.
+
+The container ships no PIL/ffmpeg, but "no Pillow" does not have to mean
+"no decode": PNG (zlib inflate + scanline unfiltering), BMP (24/32-bit
+uncompressed), and binary PPM decode to full RGB rasters with the
+standard library alone; GIF and JPEG headers yield real dimensions; WAV
+parses with ``wave``. Pillow, when importable, takes over as the
+preferred decoder (it additionally covers JPEG/GIF rasters).
+
+Everything here is deterministic and runs inside Arrow-batched
+``mapInPandas`` workers — plain bytes in, plain tuples out, no Spark
+imports (cloudpickle ships these functions by value).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+
+__all__ = [
+    "sniff_media_type",
+    "decode_dims",
+    "decode_rgb",
+    "decode_wav_stats",
+    "resize_rgb_nearest",
+    "encode_ppm",
+    "pil_available",
+]
+
+
+def pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def sniff_media_type(payload: bytes | None) -> str:
+    """Magic-byte sniff: png | jpeg | gif | bmp | ppm | wav | unknown."""
+    p = payload or b""
+    if p.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "png"
+    if p.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
+    if p.startswith((b"GIF87a", b"GIF89a")):
+        return "gif"
+    if p.startswith(b"BM"):
+        return "bmp"
+    if p.startswith((b"P6", b"P5")):
+        return "ppm"
+    if p.startswith(b"RIFF") and p[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"
+
+
+# ---------------------------------------------------------------- dims
+
+
+def _png_chunks(p: bytes):
+    off = 8
+    while off + 8 <= len(p):
+        (length,) = struct.unpack_from(">I", p, off)
+        ctype = p[off + 4 : off + 8]
+        data = p[off + 8 : off + 8 + length]
+        yield ctype, data
+        off += 12 + length
+        if ctype == b"IEND":
+            break
+
+
+def _png_dims(p: bytes) -> tuple[int, int]:
+    for ctype, data in _png_chunks(p):
+        if ctype == b"IHDR":
+            w, h = struct.unpack_from(">II", data, 0)
+            return w, h
+    raise ValueError("PNG without IHDR")
+
+
+def _jpeg_dims(p: bytes) -> tuple[int, int]:
+    """Walk JPEG markers to the first SOF segment (C0-CF minus C4/C8/CC)."""
+    off = 2
+    while off + 4 <= len(p):
+        if p[off] != 0xFF:
+            off += 1
+            continue
+        marker = p[off + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            off += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", p, off + 2)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack_from(">HH", p, off + 5)
+            return w, h
+        off += 2 + seglen
+    raise ValueError("JPEG without SOF marker")
+
+
+def _gif_dims(p: bytes) -> tuple[int, int]:
+    w, h = struct.unpack_from("<HH", p, 6)
+    return w, h
+
+
+def _bmp_header(p: bytes):
+    (data_off,) = struct.unpack_from("<I", p, 10)
+    w, h = struct.unpack_from("<ii", p, 18)
+    (bpp,) = struct.unpack_from("<H", p, 28)
+    (compression,) = struct.unpack_from("<I", p, 30)
+    return data_off, w, h, bpp, compression
+
+
+def _ppm_header(p: bytes):
+    """(magic, w, h, maxval, pixel_offset) — whitespace/comment-tolerant."""
+    tokens, off, need = [], 2, 3
+    while len(tokens) < need and off < len(p):
+        c = p[off : off + 1]
+        if c == b"#":
+            while off < len(p) and p[off : off + 1] != b"\n":
+                off += 1
+        elif c.isspace():
+            off += 1
+        else:
+            start = off
+            while off < len(p) and not p[off : off + 1].isspace():
+                off += 1
+            tokens.append(int(p[start:off]))
+    off += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    return p[:2], w, h, maxval, off
+
+
+def decode_dims(payload: bytes) -> tuple[int, int]:
+    """Real (width, height) from the payload's own header bytes."""
+    kind = sniff_media_type(payload)
+    if kind == "png":
+        return _png_dims(payload)
+    if kind == "jpeg":
+        return _jpeg_dims(payload)
+    if kind == "gif":
+        return _gif_dims(payload)
+    if kind == "bmp":
+        _, w, h, _, _ = _bmp_header(payload)
+        return w, abs(h)
+    if kind == "ppm":
+        _, w, h, _, _ = _ppm_header(payload)
+        return w, h
+    raise ValueError(f"cannot read dimensions of {kind!r} payload")
+
+
+# ---------------------------------------------------------------- rasters
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    pp = a + b - c
+    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_rgb(p: bytes) -> tuple[int, int, bytes]:
+    """Decode non-interlaced 8-bit PNG (gray/RGB/palette/with-alpha) to a
+    packed RGB raster — inflate + per-scanline unfilter (filters 0-4)."""
+    w = h = None
+    colortype = bitdepth = interlace = None
+    palette = b""
+    idat = bytearray()
+    for ctype, data in _png_chunks(p):
+        if ctype == b"IHDR":
+            w, h = struct.unpack_from(">II", data, 0)
+            bitdepth, colortype, _, _, interlace = data[8:13]
+        elif ctype == b"PLTE":
+            palette = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if bitdepth != 8 or interlace != 0:
+        raise ValueError("stdlib PNG decode supports 8-bit non-interlaced only")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                upleft = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(left, prev[i], upleft)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    # normalize to RGB
+    if colortype == 2:
+        return w, h, bytes(out)
+    rgb = bytearray(w * h * 3)
+    if colortype == 0:
+        for i in range(w * h):
+            rgb[3 * i : 3 * i + 3] = out[i : i + 1] * 3
+    elif colortype == 4:
+        for i in range(w * h):
+            rgb[3 * i : 3 * i + 3] = out[2 * i : 2 * i + 1] * 3
+    elif colortype == 6:
+        for i in range(w * h):
+            rgb[3 * i : 3 * i + 3] = out[4 * i : 4 * i + 3]
+    elif colortype == 3:
+        for i in range(w * h):
+            pi = out[i] * 3
+            rgb[3 * i : 3 * i + 3] = palette[pi : pi + 3]
+    return w, h, bytes(rgb)
+
+
+def _bmp_rgb(p: bytes) -> tuple[int, int, bytes]:
+    data_off, w, h, bpp, compression = _bmp_header(p)
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError("stdlib BMP decode supports uncompressed 24/32-bit only")
+    flip = h > 0  # positive height = bottom-up row order
+    h = abs(h)
+    bytespp = bpp // 8
+    row_stride = (w * bytespp + 3) & ~3
+    rgb = bytearray(w * h * 3)
+    for y in range(h):
+        src_y = (h - 1 - y) if flip else y
+        row = p[data_off + src_y * row_stride :]
+        for x in range(w):
+            b, g, r = row[x * bytespp : x * bytespp + 3]
+            i = (y * w + x) * 3
+            rgb[i : i + 3] = bytes((r, g, b))
+    return w, h, bytes(rgb)
+
+
+def _ppm_rgb(p: bytes) -> tuple[int, int, bytes]:
+    magic, w, h, maxval, off = _ppm_header(p)
+    if maxval != 255:
+        raise ValueError("PPM decode supports maxval=255 only")
+    if magic == b"P6":
+        return w, h, p[off : off + w * h * 3]
+    gray = p[off : off + w * h]  # P5
+    rgb = bytearray(w * h * 3)
+    for i in range(w * h):
+        rgb[3 * i : 3 * i + 3] = gray[i : i + 1] * 3
+    return w, h, bytes(rgb)
+
+
+def decode_rgb(payload: bytes) -> tuple[int, int, bytes]:
+    """Full RGB raster: Pillow when importable (any format it knows),
+    else the stdlib decoders (png/bmp/ppm; jpeg/gif rasters need PIL)."""
+    if pil_available():
+        import PIL.Image
+
+        img = PIL.Image.open(io.BytesIO(payload)).convert("RGB")
+        return img.width, img.height, img.tobytes()
+    kind = sniff_media_type(payload)
+    if kind == "png":
+        return _png_rgb(payload)
+    if kind == "bmp":
+        return _bmp_rgb(payload)
+    if kind == "ppm":
+        return _ppm_rgb(payload)
+    raise ValueError(
+        f"raster decode of {kind!r} requires Pillow (stdlib path covers png/bmp/ppm)"
+    )
+
+
+def decode_wav_stats(payload: bytes) -> tuple[int, int, float, float]:
+    """(channels, framerate, duration_s, rms in [0,1]) via ``wave``."""
+    with wave_open(payload) as wf:
+        nch, sampwidth, rate, nframes = (
+            wf.getnchannels(),
+            wf.getsampwidth(),
+            wf.getframerate(),
+            wf.getnframes(),
+        )
+        frames = wf.readframes(nframes)
+    duration = nframes / rate if rate else 0.0
+    if sampwidth == 2:
+        n = len(frames) // 2
+        if n:
+            acc = 0
+            for (s,) in struct.iter_unpack("<h", frames):
+                acc += s * s
+            rms = (acc / n) ** 0.5 / 32768.0
+        else:
+            rms = 0.0
+    elif sampwidth == 1:
+        n = len(frames)
+        rms = ((sum((b - 128) ** 2 for b in frames) / n) ** 0.5 / 128.0) if n else 0.0
+    else:
+        rms = float("nan")
+    return nch, rate, round(duration, 6), round(rms, 6)
+
+
+def wave_open(payload: bytes):
+    import wave
+
+    return wave.open(io.BytesIO(payload), "rb")
+
+
+# ---------------------------------------------------------------- resize
+
+
+def resize_rgb_nearest(
+    w: int, h: int, rgb: bytes, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor resample of a packed RGB raster."""
+    out = bytearray(out_w * out_h * 3)
+    for y in range(out_h):
+        sy = min(h - 1, y * h // out_h)
+        row = sy * w
+        for x in range(out_w):
+            sx = min(w - 1, x * w // out_w)
+            si = (row + sx) * 3
+            di = (y * out_w + x) * 3
+            out[di : di + 3] = rgb[si : si + 3]
+    return bytes(out)
+
+
+def encode_ppm(w: int, h: int, rgb: bytes) -> bytes:
+    """Pack an RGB raster as binary PPM (P6) — the stdlib-writable format."""
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb

@@ -1,12 +1,13 @@
-"""Multimodal column plumbing: image/audio/video as opaque ``binary``
-columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The Spark-side machinery here is real and tested (schemas, batch iteration,
-partition-preserving transforms); the actual media decode is STUBBED —
-image/audio libraries are not in this container. ``decode_image_batch``
-raises ``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder (md5-derived "dimensions") exercises the full
-batch path.
+Decode and resize are REAL: Pillow when importable, else the stdlib
+codecs in ``functions/media_codecs.py`` (PNG/BMP/PPM rasters, JPEG/GIF
+header dims, WAV audio stats). The deterministic md5 stub decoder
+remains available as ``fake=True`` — it is what the driver-gated oracle
+query uses, since DuckDB can restate the md5 arithmetic but not a PNG
+inflate. Only video frame sampling is still stub-only (ffmpeg has no
+stdlib substitute).
 
 Scale notes: binary payloads dominate partition size — size
 ``spark.sql.files.maxPartitionBytes`` down (e.g. 32 MB) for media tables,
@@ -61,18 +62,31 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "
     )
 
 
-def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
+def decode_media(
+    df: DataFrame, fake: bool = False, on_error: str = "raise"
+) -> DataFrame:
     """Arrow-batched decode via ``mapInPandas``: payload → dims + feature.
 
-    ``fake=False`` raises ``NotImplementedError`` from the executors at
-    action time — real decoding needs PIL/ffmpeg, not in this container.
+    The REAL path (``fake=False``) decodes per payload: Pillow when
+    importable (every format it knows), else the stdlib codecs in
+    ``functions/media_codecs.py`` — PNG/BMP/PPM to full RGB rasters
+    (feature = mean R, G, B + luminance, /255), JPEG/GIF to header
+    dimensions (feature NULL without PIL), WAV to audio stats (dims
+    NULL, feature = [duration_s, rms]). ``on_error='null'`` turns
+    undecodable payloads into NULL dims/feature instead of failing the
+    stage — the curation-pipeline policy for corrupt media.
+
+    ``fake=True`` keeps the deterministic md5 stub decoder (no media
+    libraries touched at all) — used by the driver-gated oracle query,
+    where the DuckDB twin restates the md5 arithmetic.
+
     The batch shape (iterator of pandas DataFrames, one output row per
     input row, binary column dropped on output) is the production shape.
     """
 
     # nested (not module-level) so cloudpickle ships everything by value —
     # executors need no importable copy of this package
-    def fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    def fake_decode(payload: bytes) -> tuple:
         import hashlib
 
         h = hashlib.md5(payload or b"").digest()
@@ -81,14 +95,35 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
         feature = [round(b / 255.0, 6) for b in h[4:8]]
         return width, height, feature
 
+    def real_decode(payload: bytes) -> tuple:
+        from modware_loader_spark.functions import media_codecs as MC
+
+        try:
+            kind = MC.sniff_media_type(payload)
+            if kind == "wav":
+                _nch, _rate, duration, rms = MC.decode_wav_stats(payload)
+                return None, None, [duration, rms]
+            try:
+                w, h, rgb = MC.decode_rgb(payload)
+            except ValueError:
+                w, h = MC.decode_dims(payload)  # header-only formats
+                return w, h, None
+            n = w * h or 1
+            mr = sum(rgb[0::3]) / n / 255.0
+            mg = sum(rgb[1::3]) / n / 255.0
+            mb = sum(rgb[2::3]) / n / 255.0
+            luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
+            return w, h, [round(v, 6) for v in (mr, mg, mb, luma)]
+        except Exception:
+            if on_error == "null":
+                return None, None, None
+            raise
+
+    decode = fake_decode if fake else real_decode
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "media decode requires PIL/ffmpeg; pass fake=True for the "
-                    "deterministic stub decoder"
-                )
-            decoded = pdf["payload"].map(fake_decode)
+            decoded = pdf["payload"].map(decode)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -127,23 +162,42 @@ def resize_media(
 ) -> DataFrame:
     """Arrow-batched resize: payload → payload at (width, height).
 
-    Real resizing needs PIL — ``fake=False`` raises from the executors.
-    The fake path is deterministic (byte stream truncated/right-padded to
-    ``width*height`` so round-trips are checkable) while the Spark-side
-    contract — same row count, binary in/binary out, metadata rewritten —
-    is exactly the production shape.
+    The REAL path (``fake=False``): Pillow's LANCZOS resample re-encoded
+    as PNG when Pillow is importable; otherwise a genuine stdlib resize —
+    decode to RGB (png/bmp/ppm), nearest-neighbor resample, re-encode as
+    binary PPM. ``fake=True`` keeps the byte-truncation stub (payloads
+    that aren't images at all).
+
+    The Spark-side contract — same row count, binary in/binary out,
+    metadata rewritten — is identical on every path.
     """
+
+    def real_resize(p: bytes) -> bytes:
+        from modware_loader_spark.functions import media_codecs as MC
+
+        if MC.pil_available():
+            import io
+
+            import PIL.Image
+
+            img = PIL.Image.open(io.BytesIO(p)).convert("RGB")
+            out = io.BytesIO()
+            img.resize((width, height), PIL.Image.LANCZOS).save(out, "PNG")
+            return out.getvalue()
+        w, h, rgb = MC.decode_rgb(p)
+        return MC.encode_ppm(
+            width, height, MC.resize_rgb_nearest(w, h, rgb, width, height)
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "media resize requires PIL; pass fake=True for the stub"
+            if fake:
+                payload = pdf["payload"].map(
+                    lambda p: (p or b"")[:target].ljust(target, b"\0")
                 )
-            payload = pdf["payload"].map(
-                lambda p: (p or b"")[:target].ljust(target, b"\0")
-            )
+            else:
+                payload = pdf["payload"].map(real_resize)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -162,6 +216,8 @@ def sample_frames(df: DataFrame, n_frames: int, fake: bool = False) -> DataFrame
     rows (uniform stride). The 1→N row expansion inside ``mapInPandas``
     is the shape real ffmpeg-backed samplers use; ``fake=True`` splits
     the payload bytes into ``n_frames`` even chunks deterministically.
+    This is the one remaining stub-only operator: container video decode
+    needs ffmpeg/PyAV, which have no stdlib substitute.
 
     Scale: output partitioning follows the input (no shuffle); frames of
     one video stay in one partition, so a per-video downstream groupBy

@@ -31,11 +31,194 @@ def test_decode_media_fake_batch_path(spark, sf_dir):
     assert {r.media_id: (r.decoded_width, r.decoded_height) for r in rows} == again
 
 
-def test_decode_media_real_path_raises(spark, sf_dir):
+def test_decode_media_real_path_rejects_non_media(spark, sf_dir):
+    """Text bytes are not a decodable payload: strict mode fails the
+    stage, on_error='null' yields NULL dims/feature."""
     docs = load_tables(spark, sf_dir)["documents"].limit(2)
     media = attach_binary_payload(docs)
-    with pytest.raises(Exception, match="NotImplementedError|decode"):
+    with pytest.raises(Exception, match="ValueError|dimensions|decode"):
         decode_media(media, fake=False).collect()
+    rows = decode_media(media, fake=False, on_error="null").collect()
+    assert len(rows) == 2
+    assert all(
+        r.decoded_width is None and r.decoded_height is None and r.feature is None
+        for r in rows
+    )
+    assert all(r.n_bytes > 0 for r in rows)
+
+
+# ---------------------------------------------------------------- real codecs
+
+
+def _chunk(t, d):
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(d)) + t + d
+        + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+    )
+
+
+def _png(w, h, rows, colortype=2, filters=None, palette=None):
+    """Minimal PNG writer (8-bit, filters 0/2) — test-local, so the
+    decoder under test is exercised against independently built bytes."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    raw = bytearray()
+    prev = bytes(w * channels)
+    for y, row in enumerate(rows):
+        f = (filters or [0] * h)[y]
+        if f == 0:
+            raw += b"\x00" + bytes(row)
+        else:  # Up filter
+            raw += b"\x02" + bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        prev = bytes(row)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", bytes(palette))
+    return out + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+
+
+def _bmp24(w, h, pixels_topdown):
+    """Uncompressed 24-bit bottom-up BMP from [(r,g,b)] rows."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for row in reversed(pixels_topdown):  # bottom-up storage
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes((b, g, r))
+        line += b"\0" * (stride - len(line))
+        body += line
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    head = b"BM" + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return head + info + bytes(body)
+
+
+def _wav(seconds=0.5, rate=8000, amp=16384):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        n = int(seconds * rate)
+        wf.writeframes(
+            b"".join(
+                struct.pack("<h", int(amp * math.sin(2 * math.pi * 440 * i / rate)))
+                for i in range(n)
+            )
+        )
+    return buf.getvalue()
+
+
+def _jpeg_header(w, h):
+    import struct
+
+    return (
+        b"\xff\xd8"                                   # SOI
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\0" + b"\0" * 9
+        + b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 3)
+    )
+
+
+def test_stdlib_codecs_unit():
+    from modware_loader_spark.functions import media_codecs as MC
+
+    # PNG RGB, one Up-filtered scanline (exercises unfiltering)
+    rows = [[255, 0, 0, 0, 255, 0], [0, 0, 255, 255, 255, 255]]
+    png = _png(2, 2, rows, colortype=2, filters=[0, 2])
+    assert MC.sniff_media_type(png) == "png"
+    assert MC.decode_dims(png) == (2, 2)
+    w, h, rgb = MC.decode_rgb(png)
+    assert (w, h) == (2, 2)
+    assert list(rgb) == [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+
+    # grayscale PNG replicates to RGB
+    gray = _png(2, 1, [[7, 200]], colortype=0)
+    assert MC.decode_rgb(gray)[2] == bytes([7, 7, 7, 200, 200, 200])
+
+    # BMP round-trip (BGR + bottom-up + padding all exercised)
+    pix = [[(1, 2, 3), (4, 5, 6), (7, 8, 9)]]
+    bmp = _bmp24(3, 1, pix)
+    assert MC.sniff_media_type(bmp) == "bmp"
+    assert MC.decode_rgb(bmp)[2] == bytes([1, 2, 3, 4, 5, 6, 7, 8, 9])
+
+    # PPM P6 with a comment line
+    ppm = b"P6\n# c\n2 1\n255\n" + bytes([9, 8, 7, 6, 5, 4])
+    assert MC.decode_rgb(ppm) == (2, 1, bytes([9, 8, 7, 6, 5, 4]))
+
+    # header-only formats give real dims
+    assert MC.decode_dims(_jpeg_header(31, 17)) == (31, 17)
+    gif = b"GIF89a" + (64).to_bytes(2, "little") + (48).to_bytes(2, "little")
+    assert MC.decode_dims(gif) == (64, 48)
+
+    # WAV stats
+    nch, rate, dur, rms = MC.decode_wav_stats(_wav(seconds=0.25, rate=8000))
+    assert (nch, rate) == (1, 8000)
+    assert abs(dur - 0.25) < 1e-6
+    assert 0.3 < rms < 0.4  # sine at half amplitude → rms ≈ amp/√2/32768
+
+
+def test_decode_media_real_formats(spark):
+    """The real decode path through Spark: every stdlib-decodable format
+    in one frame, plus a corrupt payload under on_error='null'."""
+    png = _png(2, 2, [[255, 0, 0, 0, 255, 0], [0, 0, 255, 255, 255, 255]])
+    payloads = [
+        (1, "image/png", bytearray(png)),
+        (2, "image/bmp", bytearray(_bmp24(3, 1, [[(10, 20, 30)] * 3]))),
+        (3, "image/ppm", bytearray(b"P6\n2 1\n255\n" + bytes([0, 0, 0, 255, 255, 255]))),
+        (4, "image/gif", bytearray(b"GIF89a" + (5).to_bytes(2, "little") + (7).to_bytes(2, "little"))),
+        (5, "image/jpeg", bytearray(_jpeg_header(12, 34))),
+        (6, "audio/wav", bytearray(_wav(seconds=0.25))),
+        (7, "application/junk", bytearray(b"not media at all")),
+    ]
+    media = spark.createDataFrame(
+        payloads, "media_id long, media_type string, payload binary"
+    )
+    rows = {r.media_id: r for r in decode_media(media, on_error="null").collect()}
+    assert (rows[1].decoded_width, rows[1].decoded_height) == (2, 2)
+    # png mean color: R=(255+0+0+255)/4, G=(0+255+0+255)/4, B=(0+0+255+255)/4
+    assert rows[1].feature[0] == pytest.approx(510 / 4 / 255, abs=1e-5)
+    assert rows[2].feature[:3] == [
+        pytest.approx(10 / 255, abs=1e-5),
+        pytest.approx(20 / 255, abs=1e-5),
+        pytest.approx(30 / 255, abs=1e-5),
+    ]
+    assert (rows[4].decoded_width, rows[4].decoded_height) == (5, 7)
+    assert rows[4].feature is None  # gif raster needs PIL; dims are real
+    assert (rows[5].decoded_width, rows[5].decoded_height) == (12, 34)
+    assert rows[6].decoded_width is None and rows[6].feature[0] == pytest.approx(0.25)
+    assert rows[7].decoded_width is None and rows[7].feature is None
+
+
+def test_resize_media_real(spark):
+    from modware_loader_spark.functions import media_codecs as MC
+    from modware_loader_spark.operators.multimodal import resize_media
+
+    png = _png(2, 2, [[255, 0, 0, 0, 255, 0], [0, 0, 255, 255, 255, 255]])
+    media = spark.createDataFrame(
+        [(1, "image/png", bytearray(png))],
+        "media_id long, media_type string, payload binary",
+    )
+    rows = resize_media(media, 4, 4, fake=False).collect()
+    assert len(rows) == 1
+    out = bytes(rows[0].payload)
+    # stdlib path emits PPM; PIL path (if installed) emits PNG — both decode
+    w, h, rgb = MC.decode_rgb(out)
+    assert (w, h) == (4, 4)
+    # nearest-neighbor: top-left quadrant stays red
+    assert rgb[0:3] == bytes([255, 0, 0])
+    assert (rows[0].meta_width, rows[0].meta_height) == (4, 4)
 
 
 def test_resize_media_fake(spark, sf_dir):
@@ -67,12 +250,12 @@ def test_sample_frames_fake_expands_rows(spark, sf_dir):
     assert all(sorted(v) == [0, 1, 2, 3] for v in by_id.values())
 
 
-def test_resize_and_frames_real_path_raise(spark, sf_dir):
-    from modware_loader_spark.operators.multimodal import resize_media, sample_frames
+def test_frames_real_path_raises(spark, sf_dir):
+    """Video frame sampling is the one remaining stub-only operator
+    (ffmpeg has no stdlib substitute)."""
+    from modware_loader_spark.operators.multimodal import sample_frames
 
     docs = load_tables(spark, sf_dir)["documents"].limit(2)
     media = attach_binary_payload(docs)
-    with pytest.raises(Exception, match="NotImplementedError|PIL|ffmpeg"):
-        resize_media(media, 4, 4, fake=False).collect()
-    with pytest.raises(Exception, match="NotImplementedError|PIL|ffmpeg"):
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
         sample_frames(media, 2, fake=False).collect()
