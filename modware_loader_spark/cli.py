@@ -488,6 +488,8 @@ def cmd_dictybib(args) -> dict:
     from modware_loader_spark.plans.bibtex_update import dictybib_update, render_bibtex
     from modware_loader_spark.sources.bibtex import parse_bibtex
 
+    from modware_loader_spark.sinks.text import write_single_text
+
     spark = get_spark("dictybib")
     catalog = ChadoCatalog(spark, args.catalog)
     pub = catalog.load(["pub"]).get("pub")
@@ -495,10 +497,8 @@ def cmd_dictybib(args) -> dict:
         raise SystemExit("catalog must hold a pub table (run bibtex2chado first)")
     entries = parse_bibtex(spark, args.input)
     rendered = render_bibtex(dictybib_update(entries, pub))
-    rows = rendered.orderBy("citekey").collect()  # pub-sized output
-    with open(args.output, "w") as fh:
-        fh.write("\n\n".join(r.text for r in rows) + ("\n" if rows else ""))
-    return {"entries": len(rows)}
+    n = write_single_text(rendered, "text", args.output, order_by="citekey")
+    return {"entries": n}
 
 
 def cmd_dictynonpub2bib(args) -> dict:
@@ -512,13 +512,14 @@ def cmd_dictynonpub2bib(args) -> dict:
     for need in ("pub", "pubprop", "pubauthor", "pub_type_cvterm"):
         if need not in got:
             raise SystemExit(f"catalog must hold {need} (run bibtex2chado first)")
+    from modware_loader_spark.sinks.text import write_single_text
+
     rows = nonpub2bib_rows(
         got["pub"], got["pubprop"], got["pubauthor"], got["pub_type_cvterm"],
         timestamp=not args.no_timestamp,
-    ).orderBy("citekey").collect()
-    with open(args.output, "w") as fh:
-        fh.write("\n\n".join(r.text for r in rows) + ("\n" if rows else ""))
-    return {"entries": len(rows)}
+    )
+    n = write_single_text(rows, "text", args.output, order_by="citekey")
+    return {"entries": n}
 
 
 def cmd_chadopub2bib(args) -> dict:
