@@ -723,7 +723,27 @@ def cmd_chado2gaf(args) -> dict:
         loader.feature_cvtermprop = got["feature_cvtermprop"]
     rows = chado2gaf_rows(loader, db=args.db, taxon=args.taxon)
     write_gaf(rows, args.output)
-    return {"annotations": rows.count()}
+    out = {"annotations": rows.count()}
+    if args.compress:
+        # reference Export/GAF.pm:29-41 + Role/Command/CanCompress.pm:15-26:
+        # an after-execute hook compresses the written output ("Compress
+        # output to *.tar.gz"); our GAF sink writes a Spark text directory,
+        # so a directory tars to <output>.tar.gz and a plain file gzips to
+        # <output>.gz, matching the role's single-file behavior
+        import gzip
+        import shutil
+        import tarfile
+
+        if os.path.isdir(args.output):
+            compressed = args.output.rstrip("/") + ".tar.gz"
+            with tarfile.open(compressed, "w:gz") as tf:
+                tf.add(args.output, arcname=os.path.basename(args.output.rstrip("/")))
+        else:
+            compressed = args.output + ".gz"
+            with open(args.output, "rb") as src, gzip.open(compressed, "wb") as dst:
+                shutil.copyfileobj(src, dst)
+        out["compressed_output"] = compressed
+    return out
 
 
 def cmd_legacydump(args) -> dict:
@@ -792,7 +812,15 @@ def cmd_legacydump(args) -> dict:
     else:  # pragma: no cover — argparse choices guard
         raise SystemExit(f"unknown export: {which}")
     rows.write.mode("overwrite").option("sep", "\t").csv(args.output)
-    return {"rows": rows.count()}
+    out = {"rows": rows.count()}
+    if getattr(args, "xls", None):
+        # reference dictypub.pm:70-107 mirrors its report into a
+        # Spreadsheet::WriteExcel worksheet; the stdlib .xlsx sink is the
+        # modern equivalent (dscorders' CSVs get the same option)
+        from modware_loader_spark.sinks.xlsx import write_xlsx
+
+        out["xls_rows"] = write_xlsx(rows, args.xls)
+    return out
 
 
 def main(argv=None) -> int:
@@ -935,14 +963,20 @@ def main(argv=None) -> int:
     add("chado2gaf", cmd_chado2gaf,
         **{"--output": {"required": True},
            "--db": {"default": "dictyBase"},
-           "--taxon": {"default": "taxon:44689"}})
+           "--taxon": {"default": "taxon:44689"},
+           "--compress": {"action": "store_true",
+                          "help": "gzip the output to <output>.gz "
+                                  "(reference CanCompress role)"}})
     add("legacydump", cmd_legacydump,
         **{"--which": {"required": True,
                        "choices": ["colleague", "colleague2gene", "curatornotes",
                                    "dictypub", "dictypubannotation",
                                    "dscorders-strain", "dscorders-plasmid"]},
            "--note_type": {"default": "public"},
-           "--output": {"required": True}})
+           "--output": {"required": True},
+           "--xls": {"default": None,
+                     "help": "also mirror the report into a one-sheet .xlsx "
+                             "(reference dictypub.pm's Spreadsheet::WriteExcel)"}})
 
     args = p.parse_args(argv)
     result = args.fn(args)
