@@ -169,6 +169,11 @@ def ivf_train(
         "cell int, centroid array<double>",
     )
     vectors = df.select(id_col, vec_col)
+    # parallelize the per-iteration assign+explode scan when the source
+    # arrives as fewer splits than cores (single local parquet file)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if vectors.rdd.getNumPartitions() < par:
+        vectors = vectors.repartition(par)
     cents = _centroid_literals(centroids)
     for _ in range(lloyd_iters):
         assigned = _nearest_cell(vectors, centroids, id_col, vec_col, cents=cents)
@@ -242,6 +247,13 @@ def ivf_topk(
         # checkpoint, no re-run of the training chain per consumer.
         centroids = ivf_train(corpus, nlist=nlist, lloyd_iters=lloyd_iters,
                               id_col=id_col, vec_col=vec_col)
+    # Assignment is a map stage over the corpus scan, so it inherits the
+    # source's split count — one local parquet file would serialize the
+    # nlist-argmin work onto one core. Guarded: a production corpus with
+    # real split counts never pays this shuffle.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par)
     cells = ivf_assign(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("target_id"),
         F.col(vec_col).alias("t_vec"),

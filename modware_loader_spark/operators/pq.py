@@ -88,8 +88,14 @@ def pq_train(
         for r in df.orderBy(F.asc(id_col)).limit(ksub).select(id_col, vec_col).collect()
     ]
     books = _block_books_from_seed_rows(seed_rows, m, sub)
+    # parallelize the per-iteration code-assign scan when the source
+    # arrives as fewer splits than cores (single local parquet file)
+    src = df.select(id_col, vec_col)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
     for _ in range(lloyd_iters):
-        coded = df.select(
+        coded = src.select(
             F.col(vec_col), _codes_expr(books, sub, vec_col).alias("__codes")
         )
         # one posexplode of the full vector; block/cell/subpos derived
@@ -160,7 +166,15 @@ def pq_adc_topk(
             id_col=id_col, vec_col=vec_col,
         )
     sub = len(books[0][0][1])
-    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col).select(
+    # Encode + ADC inherit the source's split count — a single local
+    # parquet file would serialize both onto one core. Rebalance BEFORE
+    # encoding so the m-argmin hash work parallelizes too; guarded, so a
+    # production corpus with real split counts never pays the shuffle.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    src = corpus
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    codes = pq_encode(src, books, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("target_id"), "codes"
     )
     # ADC distance tables depend on the QUERY alone, so build them in the
