@@ -560,6 +560,20 @@ def cmd_chadopub2bib(args) -> dict:
     return {"pages": len(rows)}
 
 
+def cmd_pubmedpatch(args) -> dict:
+    """fetchpublication's local post-step (reference
+    Fetch/Command/publication.pm:188-201): strip CopyrightInformation
+    nodes from a dumped PubMed XML so downstream parsers don't choke.
+    The eutils network fetch itself is excluded by design (S10)."""
+    from modware_loader_spark.plans.pub2bib import patch_copyright
+
+    with open(args.input) as fh:
+        patched = patch_copyright(fh.read())
+    with open(args.output, "w") as fh:
+        fh.write(patched)
+    return {"patched": 1}
+
+
 def cmd_chado2genesummary(args) -> dict:
     """chado2genesummary: paragraph featureprops ⋈ legacy paragraphs →
     (gene accession, author, MediaWiki text) TSV (reference
@@ -933,6 +947,8 @@ def main(argv=None) -> int:
     add("dictynonpub2bib", cmd_dictynonpub2bib,
         **{"--output": {"required": True},
            "--no_timestamp": {"action": "store_true"}})
+    add("pubmedpatch", cmd_pubmedpatch, catalog=False,
+        **{"--input": {"required": True}, "--output": {"required": True}})
     add("chadopub2bib", cmd_chadopub2bib, catalog=False,
         **{"--xml": {"required": True,
                      "help": "dumped efetch XML file(s)/glob (the reference's --xmldump artifacts)"},

@@ -142,6 +142,22 @@ def pubmed_xml_to_bibtex(
     return "".join(_entry(a)[1] for a in root.findall("PubmedArticle"))
 
 
+def patch_copyright(xml_text: str) -> str:
+    """The local half of ``modware-fetch publication``
+    (``lib/Modware/Fetch/Command/publication.pm:188-201``): delete every
+    ``CopyrightInformation`` node from a PubMed efetch document and
+    pretty-print the result — the reference applies this patch because
+    the node's encoding breaks downstream XML parsers. The
+    esearch/efetch/elink network fetch itself stays excluded (S10)."""
+    root = ET.fromstring(xml_text)
+    # iterate parents; ElementTree removal needs the parent handle
+    for parent in root.iter():
+        for child in [c for c in list(parent) if c.tag == "CopyrightInformation"]:
+            parent.remove(child)
+    ET.indent(root)
+    return ET.tostring(root, encoding="unicode")
+
+
 def pub2bib_rows(spark, paths: str, pmids: Iterable[str] | None = None):
     """Distributed shape: one dumped efetch page per row → its BibTeX.
 

@@ -97,3 +97,32 @@ def test_cli_end_to_end(tmp_path):
     text = out.read_text()
     assert text.count("@article{") == 3
     assert _norm(text) == _norm("\n".join(_golden_entries()))
+
+
+def test_patch_copyright(tmp_path):
+    """fetchpublication's local post-step: CopyrightInformation nodes go,
+    everything else survives."""
+    from modware_loader_spark.plans.pub2bib import patch_copyright
+
+    xml = (
+        "<PubmedArticleSet><PubmedArticle><MedlineCitation>"
+        "<PMID>9</PMID><Article><ArticleTitle>T</ArticleTitle>"
+        "<Abstract><AbstractText>body</AbstractText>"
+        "<CopyrightInformation>(c) broken encoding</CopyrightInformation>"
+        "</Abstract></Article></MedlineCitation></PubmedArticle>"
+        "</PubmedArticleSet>"
+    )
+    out = patch_copyright(xml)
+    assert "CopyrightInformation" not in out
+    assert "body" in out and "<PMID>9</PMID>" in out
+
+    src = tmp_path / "in.xml"
+    dst = tmp_path / "out.xml"
+    src.write_text(xml)
+    res = subprocess.run(
+        [sys.executable, "-m", "modware_loader_spark.cli", "pubmedpatch",
+         "--input", str(src), "--output", str(dst)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr[-1500:]
+    assert "CopyrightInformation" not in dst.read_text()
