@@ -63,6 +63,7 @@ _DEPRIORITIZED = [
     "s13_bibtex2chado_pub",         # r04 green
     # --- new this round: start in the tail (pytest-green), rotate into
     #     the head once an established query frees a slot ---
+    "text_pii_scrub",
 ]
 
 

@@ -211,3 +211,27 @@ def gopher_repetition_keep(stats: dict[str, Column]) -> Column:
     for n, mx in GOPHER_DUP_NGRAM_MAX.items():
         cond = cond & (stats[f"dup{n}_gram_frac"] <= mx)
     return cond.cast("int")
+
+
+# PII scrubbing — training-corpus redaction of emails/URLs/IPv4s. Order
+# matters (URLs first: an email-looking userinfo inside a URL redacts as
+# part of the URL, not separately); counts are taken on the progressively
+# scrubbed text so nothing is double-counted. Patterns are RE2-safe (no
+# lookaround) so a DuckDB oracle applies the identical sequence.
+PII_PATTERNS = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
+)
+
+
+def scrub_pii(text_col: Column) -> tuple[Column, dict[str, Column]]:
+    """(scrubbed text, {kind: match count}) — a pure JVM map stage
+    (regexp_replace/regexp_count chains, whole-stage-codegen'd): zero
+    shuffle at any corpus size."""
+    out = text_col
+    counts: dict[str, Column] = {}
+    for name, pat, token in PII_PATTERNS:
+        counts[name] = F.regexp_count(out, F.lit(pat))
+        out = F.regexp_replace(out, pat, token)
+    return out, counts

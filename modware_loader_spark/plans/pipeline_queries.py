@@ -547,6 +547,59 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PII_SRC = (
+    "concat(text, ' contact user', doc_id, '@example.com or "
+    "https://host.example/', doc_id, ' from 10.1.', doc_id % 200, '.7')"
+)
+
+
+@query(
+    "text_pii_scrub",
+    f"""
+    WITH d AS (SELECT doc_id, {_PII_SRC} AS t FROM documents),
+    s1 AS (SELECT doc_id,
+                  len(regexp_extract_all(t, 'https?://[^\\s]+')) AS n_url,
+                  regexp_replace(t, 'https?://[^\\s]+', '<URL>', 'g') AS t
+           FROM d),
+    s2 AS (SELECT doc_id, n_url,
+                  len(regexp_extract_all(t,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+                  regexp_replace(t,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                      '<EMAIL>', 'g') AS t
+           FROM s1),
+    s3 AS (SELECT doc_id, n_url, n_email,
+                  len(regexp_extract_all(t,
+                      '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_ipv4,
+                  regexp_replace(t,
+                      '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+                      '<IPV4>', 'g') AS t
+           FROM s2)
+    SELECT doc_id, CAST(n_url AS BIGINT) AS n_url,
+           CAST(n_email AS BIGINT) AS n_email,
+           CAST(n_ipv4 AS BIGINT) AS n_ipv4, t AS scrubbed
+    FROM s3
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the training-corpus scrub step (emails, URLs,
+    IPv4s → typed placeholder tokens). The synthetic documents carry no
+    PII, so each doc gets a deterministic contact line appended before
+    scrubbing — every pattern fires with nonzero counts and the oracle
+    applies the identical sequence. Pure JVM regex map stage: zero
+    shuffle at any corpus size (``operators/text.py::scrub_pii``)."""
+    t = load_tables(spark, sf_dir)
+    src = F.expr(_PII_SRC)
+    scrubbed, counts = TX.scrub_pii(src)
+    return t["documents"].select(
+        "doc_id",
+        counts["url"].cast("long").alias("n_url"),
+        counts["email"].cast("long").alias("n_email"),
+        counts["ipv4"].cast("long").alias("n_ipv4"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
 @query(
     "text_winnow_fingerprints",
     """
