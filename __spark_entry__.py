@@ -64,6 +64,7 @@ _DEPRIORITIZED = [
     # --- new this round: start in the tail (pytest-green), rotate into
     #     the head once an established query frees a slot ---
     "text_pii_scrub",
+    "similarity_ivfpq_topk",
 ]
 
 

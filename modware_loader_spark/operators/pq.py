@@ -261,3 +261,98 @@ def pq_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "target_id", "l2_dist", "rank")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    nlist: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    shortlist: int = 50,
+    k: int = 5,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Classic IVF-PQ (Jégou et al. 2011 §V): coarse IVF cells bound the
+    scan, PQ codes bound the per-candidate cost — the composition the
+    IVF and PQ docstrings promise, and the shape that holds at 100 TB.
+
+    One map stage over the corpus emits ``(id, cell, codes)`` — BOTH the
+    coarse assignment and the PQ encoding are literal-centroid argmin
+    expressions, so the corpus is scanned once and never shuffled for
+    indexing. Each query probes its ``nprobe`` nearest cells and joins
+    the code table on ``cell`` (broadcast query side → the corpus
+    streams map-side; per query only ~nprobe/nlist of the codes are
+    touched). ADC ranks a ``shortlist``, exact squared-L2 re-ranks it.
+    Returns ``(query_id, target_id, l2_dist, rank)``.
+    """
+    from modware_loader_spark.operators.ivf import (
+        _centroid_literals,
+        _dist_cell_pairs,
+        ivf_train,
+        sq_l2,
+    )
+
+    cents = _centroid_literals(
+        ivf_train(corpus, nlist=nlist, lloyd_iters=lloyd_iters,
+                  id_col=id_col, vec_col=vec_col)
+    )
+    books = pq_train(corpus, m=m, ksub=ksub, lloyd_iters=lloyd_iters,
+                     id_col=id_col, vec_col=vec_col)
+    sub = len(books[0][0][1])
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    src = corpus
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    enc = src.select(
+        F.col(id_col).alias("target_id"),
+        F.array_min(_dist_cell_pairs(vec_col, cents)).getField("cell").alias("cell"),
+        _codes_expr(books, sub, vec_col).alias("codes"),
+    )
+    # per-query ADC tables in the broadcast projection (see pq_adc_topk)
+    dtab = F.array(*[
+        F.expr(
+            "map("
+            + ",".join(
+                f"{cell}, {_sql_sq_l2(f'slice(q_vec, {1 + b * sub}, {sub})', c)}"
+                for cell, c in book
+            )
+            + ")"
+        )
+        for b, book in enumerate(books)
+    ])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("__dtab", dtab)
+    probes = q.select(
+        "query_id",
+        "__dtab",
+        F.explode(
+            F.slice(F.array_sort(_dist_cell_pairs("q_vec", cents)), 1, nprobe)
+        ).alias("__p"),
+    ).select("query_id", "__dtab", F.col("__p").getField("cell").alias("cell"))
+    adc = F.expr(" + ".join(f"__dtab[{b}][codes[{b}]]" for b in range(len(books))))
+    w_adc = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("target_id"))
+    cand = (
+        F.broadcast(probes)
+        .join(enc, "cell")
+        .filter(F.col("query_id") != F.col("target_id"))
+        .withColumn("adc_dist", adc)
+        .withColumn("__rn", F.row_number().over(w_adc))
+        .filter(F.col("__rn") <= shortlist)
+        .select("query_id", "target_id")
+    )
+    q_vecs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    t_vecs = corpus.select(F.col(id_col).alias("target_id"), F.col(vec_col).alias("t_vec"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("target_id"))
+    return (
+        cand.join(F.broadcast(q_vecs), "query_id")
+        .join(t_vecs, "target_id")
+        .withColumn("l2_dist", F.round(sq_l2(F.col("q_vec"), F.col("t_vec")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "target_id", "l2_dist", "rank")
+    )

@@ -721,15 +721,13 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ddb_pq_sql(m: int = 4, ksub: int = 8, dim: int = 64, n_queries: int = 20,
-                k: int = 5) -> str:
-    """Oracle for PQ-ADC top-k: per-block seed codebooks, one decimal
-    Lloyd step, code assignment, and the block-ordered ADC sum — the
-    relational restatement of ``operators/pq.py``."""
+def _pq_ctes(m: int, ksub: int, dim: int) -> tuple[list, str, str]:
+    """The PQ training/encoding CTE chain shared by the PQ oracles:
+    returns (ctes, adc_expr, code_joins). Assumes a ``v`` CTE with
+    ``(vec_id, e)`` is already in scope; the ADC expression references
+    aliases ``q``/``t`` over ``v``."""
     sub = dim // m
     ctes = [
-        "v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e"
-        " FROM embeddings)",
         f"seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, e"
         f" FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {ksub}))",
     ]
@@ -774,6 +772,20 @@ def _ddb_pq_sql(m: int = 4, ksub: int = 8, dim: int = 64, n_queries: int = 20,
         f" JOIN c1_{b} cb{b} ON cb{b}.code = k_{b}.code"
         for b in range(m)
     )
+    return ctes, adc, joins
+
+
+def _ddb_pq_sql(m: int = 4, ksub: int = 8, dim: int = 64, n_queries: int = 20,
+                k: int = 5) -> str:
+    """Oracle for PQ-ADC top-k: per-block seed codebooks, one decimal
+    Lloyd step, code assignment, and the block-ordered ADC sum — the
+    relational restatement of ``operators/pq.py``."""
+    ctes, adc, joins = _pq_ctes(m, ksub, dim)
+    ctes = [
+        "v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e"
+        " FROM embeddings)",
+        *ctes,
+    ]
     return (
         "WITH " + ",\n".join(ctes)
         + f""",
@@ -785,6 +797,95 @@ def _ddb_pq_sql(m: int = 4, ksub: int = 8, dim: int = 64, n_queries: int = 20,
                FROM scored)
     SELECT query_id, target_id, adc_dist, rank FROM ranked WHERE rank <= {k}
     """
+    )
+
+
+def _ddb_ivfpq_sql(nlist: int = 8, nprobe: int = 2, m: int = 8, ksub: int = 16,
+                   dim: int = 64, n_queries: int = 20, shortlist: int = 50,
+                   k: int = 5) -> str:
+    """Oracle for the classic IVF-PQ composition: the IVF train/assign/
+    probe chain (as in similarity_ivf_topk) bounds candidates to probed
+    cells, the PQ chain scores them by ADC, exact squared-L2 re-ranks
+    the shortlist."""
+    pq_ctes, adc, joins = _pq_ctes(m, ksub, dim)
+    ivf = f"""
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS centroid
+           FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {nlist})),
+    d0 AS (SELECT v.vec_id, c0.cell,
+             round(list_sum(list_transform(generate_series(1, len(v.e)),
+               i -> (v.e[i] - c0.centroid[i]) * (v.e[i] - c0.centroid[i]))), 6) AS dist
+           FROM v CROSS JOIN c0),
+    a0 AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+             FROM d0) WHERE rn = 1),
+    ivfdims AS (SELECT a0.cell, u.s.pos AS pos, u.s.val AS val
+             FROM a0 JOIN v USING (vec_id),
+                  LATERAL (SELECT unnest(list_transform(generate_series(1, len(v.e)),
+                            i -> {{'pos': i, 'val': v.e[i]}})) AS s) u),
+    ivfm AS (SELECT cell, pos,
+                 round(sum(CAST(val AS DECIMAL(28,12)))::DOUBLE / count(*), 6) AS mv
+          FROM ivfdims GROUP BY cell, pos),
+    ivfc1 AS (SELECT cell, list(mv ORDER BY pos) AS centroid FROM ivfm GROUP BY cell),
+    ivfd1 AS (SELECT v.vec_id, ivfc1.cell,
+             round(list_sum(list_transform(generate_series(1, len(v.e)),
+               i -> (v.e[i] - ivfc1.centroid[i]) * (v.e[i] - ivfc1.centroid[i]))), 6) AS dist
+           FROM v CROSS JOIN ivfc1),
+    cells AS (SELECT vec_id AS target_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+                FROM ivfd1) WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cell FROM (
+                 SELECT vec_id, cell,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+                 FROM ivfd1 WHERE vec_id < {n_queries}) WHERE rn <= {nprobe})
+    """.strip()
+    return (
+        "WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)"
+        " AS e FROM embeddings),\n"
+        + ivf + ",\n"
+        + ",\n".join(pq_ctes)
+        + f""",
+    cand AS (SELECT p.query_id, c.target_id
+             FROM probes p JOIN cells c USING (cell)
+             WHERE p.query_id <> c.target_id),
+    adcs AS (SELECT cand.query_id, cand.target_id, {adc} AS adc_dist
+             FROM cand JOIN v q ON q.vec_id = cand.query_id
+                       JOIN v t ON t.vec_id = cand.target_id {joins}),
+    adcr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY adc_dist, target_id) AS rn
+             FROM adcs),
+    rer AS (SELECT a.query_id, a.target_id,
+              round(list_sum(list_transform(generate_series(1, len(q.e)),
+                i -> (q.e[i] - t.e[i]) * (q.e[i] - t.e[i]))), 6) AS l2_dist
+            FROM adcr a JOIN v q ON q.vec_id = a.query_id
+                        JOIN v t ON t.vec_id = a.target_id
+            WHERE a.rn <= {shortlist}),
+    rerr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY l2_dist, target_id) AS rank
+             FROM rer)
+    SELECT query_id, target_id, l2_dist, rank FROM rerr WHERE rank <= {k}
+    """
+    )
+
+
+@query("similarity_ivfpq_topk", _ddb_ivfpq_sql())
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic IVF-PQ (Jégou et al. 2011 §V) — the full production ANN
+    composition: one corpus map stage emits (id, coarse cell, PQ codes),
+    each query probes its 2 nearest of 8 cells and scans only those
+    cells' codes (broadcast-join on cell, corpus streams map-side), ADC
+    ranks a 50-candidate shortlist, exact squared-L2 re-ranks top-5. Per
+    query ~nprobe/nlist of the corpus codes are touched — the shape that
+    holds when the corpus is 100 TB and codes are 64x smaller than
+    vectors. See ``operators/pq.py::ivfpq_topk``."""
+    t = load_tables(spark, sf_dir)
+    from modware_loader_spark.operators.pq import ivfpq_topk
+
+    emb = t["embeddings"]
+    return ivfpq_topk(
+        emb.filter(F.col("vec_id") < 20), emb,
+        nlist=8, nprobe=2, m=8, ksub=16, shortlist=50, k=5,
     )
 
 

@@ -212,3 +212,47 @@ def test_pq_recall_and_rerank(spark, sf_dir):
     # shortlist + exact re-rank is the fix (measured 0.98 at sf0.01)
     assert raw >= 0.2, raw
     assert rerank >= 0.9 and rerank > raw, (raw, rerank)
+
+
+def test_ivfpq_recall_and_consistency(spark, sf_dir):
+    """IVF-PQ composition: results ⊆ probed-cell candidates, exact
+    re-rank makes per-pair distances truthful, and recall@5 beats the
+    random-scan baseline of the probed fraction (cell recall bounds it;
+    within probed cells the shortlist+re-rank recovers the IVF result)."""
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    from modware_loader_spark.operators.ivf import ivf_topk
+    from modware_loader_spark.operators.pq import ivfpq_topk
+    from modware_loader_spark.session import load_tables
+
+    t = papq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.array(t.column("vec_id"))
+    V = np.array([np.array(x, dtype=np.float64) for x in t.column("embedding").to_pylist()])
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    exact = {}
+    for q in range(20):
+        d = ((V - V[q]) ** 2).sum(axis=1)
+        exact[q] = set([int(ids[j]) for j in np.argsort(d) if ids[j] != q][:5])
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    got_rows = ivfpq_topk(
+        queries, emb, nlist=8, nprobe=2, m=8, ksub=16, shortlist=200, k=5
+    ).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r.query_id, set()).add(r.target_id)
+        # l2_dist is the EXACT re-ranked distance — verify per pair
+        d = float(((V[r.query_id] - V[list(ids).index(r.target_id)]) ** 2).sum())
+        assert abs(r.l2_dist - round(d, 6)) < 1e-5
+    recall = sum(len(got.get(q, set()) & exact[q]) / 5 for q in range(20)) / 20
+    assert recall >= 1.5 * (2 / 8), recall
+
+    # with a generous shortlist the PQ stage cannot lose cell-local
+    # neighbors: IVF-PQ ⊇ plain-IVF results at the same probes
+    ivf_rows = ivf_topk(queries, emb, k=5, nlist=8, nprobe=2).collect()
+    ivf_pairs = {(r.query_id, r.target_id) for r in ivf_rows}
+    pq_pairs = {(r.query_id, r.target_id) for r in got_rows}
+    assert ivf_pairs == pq_pairs
