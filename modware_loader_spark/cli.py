@@ -8,8 +8,9 @@ Loads:      gff3tochado, gb2chado, gbassembly2chado, obo2chado,
             dropontofromchado, bibtex2chado, organism2chado,
             dictystrain2chado, dictyplasmid2chado
 Exports:    chado2gff3, chado2canonicalgff3, chado2alignmentgff3,
-            chado2fasta, chado2gaf, chado2genesummary,
-            dictynonpub2bib, legacydump --which {colleague,
+            chado2fasta, chado2gaf [--compress], chado2genesummary,
+            dictynonpub2bib, chadopub2bib, legacydump [--xls]
+            --which {colleague,
             colleague2gene,curatornotes,dictypub,dictypubannotation,
             dscorders-strain,dscorders-plasmid},
             chado2dictygff3 --variant {canonical,noncanonical,
@@ -17,7 +18,7 @@ Exports:    chado2gff3, chado2canonicalgff3, chado2alignmentgff3,
 Dumps:      dictystrain, dictyplasmid
 Updates:    dictybib
 Transforms: blast2chadogff3, blast2gbrowsegff3, gff3alignment,
-            goaappend, modidingoa, modrefingoa
+            goaappend, modidingoa, modrefingoa, pubmedpatch
 Reports:    sumstatsongff3
 
     python -m modware_loader_spark.cli gff3tochado  --input f.gff3 --catalog DIR
