@@ -549,11 +549,31 @@ def cmd_chadopub2bib(args) -> dict:
             .collect()
         ]
     if args.xslt:
-        with open(args.xml) as fh:  # lxml path: single document, driver-side
-            text = pubmed_xml_to_bibtex(fh.read(), pmids=pmids, xslt_path=args.xslt)
-        with open(args.output, "w") as fh:
-            fh.write(text)
-        return {"pages": 1}
+        # lxml path runs driver-side, but honors the same file(s)/glob
+        # contract as the Spark path
+        import glob as globmod
+
+        raw = sorted(globmod.glob(args.xml)) or (
+            [args.xml] if os.path.exists(args.xml) else []
+        )
+        files: list[str] = []
+        for f in raw:  # a directory means "all pages inside", like Spark's reader
+            if os.path.isdir(f):
+                files.extend(
+                    p for p in sorted(globmod.glob(os.path.join(f, "*")))
+                    if os.path.isfile(p)
+                )
+            else:
+                files.append(f)
+        if not files:
+            raise SystemExit(f"no XML input matches {args.xml!r}")
+        with open(args.output, "w") as out:
+            for f in files:
+                with open(f) as fh:
+                    out.write(
+                        pubmed_xml_to_bibtex(fh.read(), pmids=pmids, xslt_path=args.xslt)
+                    )
+        return {"pages": len(files)}
     rows = pub2bib_rows(spark, args.xml, pmids=pmids).orderBy("file").collect()
     with open(args.output, "w") as fh:
         for r in rows:

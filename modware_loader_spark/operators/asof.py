@@ -69,6 +69,11 @@ def _salted_carry(
         tsn = F.unix_micros(F.col("__ts").cast("timestamp")).cast("double")
     else:
         tsn = F.col("__ts").cast("double")
+    # __tsn is used ONLY to derive the bucket id: the double cast is
+    # monotone and maps equal timestamps to equal doubles, so bucket
+    # boundaries stay tie-safe even where a long ts exceeds 2^53. All
+    # ORDERING below stays on the native __ts column — int64-nanosecond
+    # epochs 1 ulp apart must not collapse in the carry sort.
     u = unioned.withColumn("__tsn", tsn)
     # one slim action: global ts range to size the buckets (columnar
     # min/max over the two ts columns — cheap next to the carry shuffle)
@@ -85,7 +90,7 @@ def _salted_carry(
             ),
         )
     order = [
-        F.asc("__tsn") if asc else F.desc("__tsn"),
+        F.asc("__ts") if asc else F.desc("__ts"),
         F.asc("__side"),
     ]
     local_w = (
@@ -96,8 +101,8 @@ def _salted_carry(
     local = u.withColumn("__carry", F.last("__pay", ignorenulls=True).over(local_w))
     # bucket representative: the right payload a later (earlier, for
     # forward) bucket would carry in — max-ts right row of the bucket
-    picker = F.max_by("__pay", F.col("__tsn")) if asc else F.min_by(
-        "__pay", F.col("__tsn")
+    picker = F.max_by("__pay", F.col("__ts")) if asc else F.min_by(
+        "__pay", F.col("__ts")
     )
     b_last = (
         u.filter(F.col("__side") == 0)

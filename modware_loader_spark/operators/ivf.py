@@ -53,6 +53,21 @@ def sq_l2(a, b):
 _LITERAL_CELL_BUDGET = 65536
 
 
+def ensure_min_partitions(df: DataFrame) -> DataFrame:
+    """Rebalance a frame that arrives as fewer splits than cores.
+
+    The vector map stages (argmin assignment, PQ encode, Lloyd scans)
+    inherit the source's split count; ONE local parquet file would
+    serialize them onto one core. Guarded on the actual partition count,
+    so a production corpus with real split counts never pays the
+    shuffle. (`.rdd.getNumPartitions()` costs a plan analysis, not a
+    job — cheap next to any of these scans.)"""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def _centroid_literals(centroids: DataFrame) -> list:
     """Collect the (tiny) centroid table driver-side, sorted by cell id.
 
@@ -168,12 +183,7 @@ def ivf_train(
         [(i, r.centroid) for i, r in enumerate(sorted(seed_rows, key=lambda r: r.seed_id))],
         "cell int, centroid array<double>",
     )
-    vectors = df.select(id_col, vec_col)
-    # parallelize the per-iteration assign+explode scan when the source
-    # arrives as fewer splits than cores (single local parquet file)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if vectors.rdd.getNumPartitions() < par:
-        vectors = vectors.repartition(par)
+    vectors = ensure_min_partitions(df.select(id_col, vec_col))
     cents = _centroid_literals(centroids)
     for _ in range(lloyd_iters):
         assigned = _nearest_cell(vectors, centroids, id_col, vec_col, cents=cents)
@@ -247,13 +257,7 @@ def ivf_topk(
         # checkpoint, no re-run of the training chain per consumer.
         centroids = ivf_train(corpus, nlist=nlist, lloyd_iters=lloyd_iters,
                               id_col=id_col, vec_col=vec_col)
-    # Assignment is a map stage over the corpus scan, so it inherits the
-    # source's split count — one local parquet file would serialize the
-    # nlist-argmin work onto one core. Guarded: a production corpus with
-    # real split counts never pays this shuffle.
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    if corpus.rdd.getNumPartitions() < par:
-        corpus = corpus.repartition(par)
+    corpus = ensure_min_partitions(corpus)
     cells = ivf_assign(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("target_id"),
         F.col(vec_col).alias("t_vec"),

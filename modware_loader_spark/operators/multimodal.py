@@ -172,7 +172,11 @@ def resize_media(
     metadata rewritten — is identical on every path.
     """
 
-    def real_resize(p: bytes) -> bytes:
+    def real_resize(p: bytes) -> tuple[bytes, str]:
+        """(payload, media_type) — the type column must describe the
+        re-encoded bytes, not the input (PIL emits PNG, stdlib PPM; a
+        cluster with heterogeneous PIL installs would otherwise mix
+        formats under one stale label)."""
         from modware_loader_spark.functions import media_codecs as MC
 
         if MC.pil_available():
@@ -183,10 +187,13 @@ def resize_media(
             img = PIL.Image.open(io.BytesIO(p)).convert("RGB")
             out = io.BytesIO()
             img.resize((width, height), PIL.Image.LANCZOS).save(out, "PNG")
-            return out.getvalue()
+            return out.getvalue(), "image/png"
         w, h, rgb = MC.decode_rgb(p)
-        return MC.encode_ppm(
-            width, height, MC.resize_rgb_nearest(w, h, rgb, width, height)
+        return (
+            MC.encode_ppm(
+                width, height, MC.resize_rgb_nearest(w, h, rgb, width, height)
+            ),
+            "image/x-portable-pixmap",
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -196,12 +203,15 @@ def resize_media(
                 payload = pdf["payload"].map(
                     lambda p: (p or b"")[:target].ljust(target, b"\0")
                 )
+                mtype = pdf["media_type"]
             else:
-                payload = pdf["payload"].map(real_resize)
+                resized = pdf["payload"].map(real_resize)
+                payload = resized.map(lambda t: t[0])
+                mtype = resized.map(lambda t: t[1])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "media_type": pdf["media_type"],
+                    "media_type": mtype,
                     "payload": payload,
                     "meta_width": width,
                     "meta_height": height,

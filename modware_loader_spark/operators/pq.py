@@ -37,7 +37,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from modware_loader_spark.operators.ivf import _dist_cell_pairs, _sql_sq_l2
+from modware_loader_spark.operators.ivf import (
+    _dist_cell_pairs,
+    _sql_sq_l2,
+    ensure_min_partitions,
+)
 
 
 def _block_books_from_seed_rows(seed_rows, m: int, sub: int) -> list[list]:
@@ -60,6 +64,27 @@ def _codes_expr(books: list[list], sub: int, vec_col: str):
                 vec_col, book, vec_sql=f"slice(`{vec_col}`, {1 + b * sub}, {sub})"
             )
         ).getField("cell")
+        for b, book in enumerate(books)
+    ])
+
+
+def _adc_tables(books: list[list], sub: int):
+    """Per-query ADC distance tables: ``array<map<cell → sub-distance>>``
+    built in the QUERY projection (the broadcast side), so the corpus
+    scan pays m map LOOKUPS + adds per candidate instead of m×ksub
+    sub-distance folds per (query, candidate) pair — measured ~ksub×
+    less pair-scan work. Map keys are cell ids, so books with dropped
+    (empty) cells stay correct without renumbering. Expects the query
+    vector under the alias ``q_vec``."""
+    return F.array(*[
+        F.expr(
+            "map("
+            + ",".join(
+                f"{cell}, {_sql_sq_l2(f'slice(q_vec, {1 + b * sub}, {sub})', c)}"
+                for cell, c in book
+            )
+            + ")"
+        )
         for b, book in enumerate(books)
     ])
 
@@ -88,12 +113,7 @@ def pq_train(
         for r in df.orderBy(F.asc(id_col)).limit(ksub).select(id_col, vec_col).collect()
     ]
     books = _block_books_from_seed_rows(seed_rows, m, sub)
-    # parallelize the per-iteration code-assign scan when the source
-    # arrives as fewer splits than cores (single local parquet file)
-    src = df.select(id_col, vec_col)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
+    src = ensure_min_partitions(df.select(id_col, vec_col))
     for _ in range(lloyd_iters):
         coded = src.select(
             F.col(vec_col), _codes_expr(books, sub, vec_col).alias("__codes")
@@ -166,36 +186,11 @@ def pq_adc_topk(
             id_col=id_col, vec_col=vec_col,
         )
     sub = len(books[0][0][1])
-    # Encode + ADC inherit the source's split count — a single local
-    # parquet file would serialize both onto one core. Rebalance BEFORE
-    # encoding so the m-argmin hash work parallelizes too; guarded, so a
-    # production corpus with real split counts never pays the shuffle.
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    src = corpus
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
-    codes = pq_encode(src, books, id_col=id_col, vec_col=vec_col).select(
-        F.col(id_col).alias("target_id"), "codes"
-    )
-    # ADC distance tables depend on the QUERY alone, so build them in the
-    # query projection — m maps of (cell → sub-distance), materialized
-    # once per query row when the broadcast side is built. Per candidate
-    # the distance is then m map LOOKUPS + adds; inlining the tables into
-    # the candidate expression instead re-runs m×ksub sub-distance folds
-    # per (query, candidate) pair — measured 5.7s → the lookup shape cuts
-    # the pair-scan work by ~ksub×. Map keys are cell ids, so books with
-    # dropped (empty) cells stay correct without renumbering.
-    dtab = F.array(*[
-        F.expr(
-            "map("
-            + ",".join(
-                f"{cell}, {_sql_sq_l2(f'slice(q_vec, {1 + b * sub}, {sub})', c)}"
-                for cell, c in book
-            )
-            + ")"
-        )
-        for b, book in enumerate(books)
-    ])
+    # rebalance BEFORE encoding so the m-argmin hash work parallelizes
+    codes = pq_encode(
+        ensure_min_partitions(corpus), books, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("target_id"), "codes")
+    dtab = _adc_tables(books, sub)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     ).withColumn("__dtab", dtab)
@@ -303,27 +298,12 @@ def ivfpq_topk(
     books = pq_train(corpus, m=m, ksub=ksub, lloyd_iters=lloyd_iters,
                      id_col=id_col, vec_col=vec_col)
     sub = len(books[0][0][1])
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    src = corpus
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
-    enc = src.select(
+    enc = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("target_id"),
         F.array_min(_dist_cell_pairs(vec_col, cents)).getField("cell").alias("cell"),
         _codes_expr(books, sub, vec_col).alias("codes"),
     )
-    # per-query ADC tables in the broadcast projection (see pq_adc_topk)
-    dtab = F.array(*[
-        F.expr(
-            "map("
-            + ",".join(
-                f"{cell}, {_sql_sq_l2(f'slice(q_vec, {1 + b * sub}, {sub})', c)}"
-                for cell, c in book
-            )
-            + ")"
-        )
-        for b, book in enumerate(books)
-    ])
+    dtab = _adc_tables(books, sub)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     ).withColumn("__dtab", dtab)

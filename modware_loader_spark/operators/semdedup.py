@@ -53,12 +53,11 @@ def semantic_near_pairs(
     cents = ivf_train(
         df, nlist=nlist, lloyd_iters=lloyd_iters, id_col=id_col, vec_col=vec_col
     )
-    # assignment + norms are map stages over the source scan; rebalance
-    # when the source arrives as fewer splits than cores (single local
-    # parquet file) so the argmin work uses the whole machine
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    # assignment + norms are map stages over the source scan — rebalance
+    # so the argmin work uses the whole machine (guarded; see ivf helper)
+    from modware_loader_spark.operators.ivf import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
     # norms attach once per vector (map-side, before the pair explosion):
     # the per-pair work drops from three array folds (dot + two norms) to
     # one dot product — same doubles, same rounding, ~3x less fold work

@@ -35,6 +35,10 @@ def write_single_text(
     caller usually wants it, so we count the frame once before writing).
     """
     cols = [order_by] if isinstance(order_by, str) else list(order_by or [])
+    # count BEFORE the sort so the shuffle runs once (the count is a
+    # narrow scan-side aggregate; executing the sorted plan twice would
+    # double the export's heavy work)
+    n = df.count()
     out = df.select(
         F.concat(F.col(text_col), F.lit(record_separator)).alias("value"),
         *[F.col(c) for c in cols],
@@ -42,7 +46,6 @@ def write_single_text(
     if cols:
         out = out.orderBy(*cols)
     out = out.select("value")
-    n = out.count()
     tmp = tempfile.mkdtemp(prefix="single_text_", dir=os.path.dirname(path) or ".")
     try:
         out.write.mode("overwrite").text(os.path.join(tmp, "parts"))
@@ -50,6 +53,18 @@ def write_single_text(
             for part in sorted(glob.glob(os.path.join(tmp, "parts", "part-*"))):
                 with open(part, "rb") as src:
                     shutil.copyfileobj(src, dst)
+        # every record carries the separator, so the file ends with one
+        # extra separator vs the join()-style byte format — trim it
+        # (records end "…<sep>\n"; the canonical tail is a single "\n")
+        sep = record_separator.encode()
+        if sep and n:
+            with open(path, "rb+") as fh:
+                fh.seek(0, os.SEEK_END)
+                size = fh.tell()
+                tail = sep + b"\n"
+                fh.seek(max(0, size - len(tail)))
+                if fh.read() == tail:
+                    fh.truncate(size - len(sep))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return n

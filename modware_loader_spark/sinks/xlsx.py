@@ -66,6 +66,8 @@ def _col_name(i: int) -> str:
 
 
 def _row_xml(r: int, values: Sequence) -> str:
+    import math
+
     cells = []
     for c, v in enumerate(values):
         if v is None:
@@ -73,9 +75,13 @@ def _row_xml(r: int, values: Sequence) -> str:
         ref = f"{_col_name(c)}{r}"
         if isinstance(v, bool):
             cells.append(f'<c r="{ref}" t="b"><v>{int(v)}</v></c>')
-        elif isinstance(v, (int, float)):
+        elif isinstance(v, (int, float)) and (
+            not isinstance(v, float) or math.isfinite(v)
+        ):
             cells.append(f'<c r="{ref}"><v>{v}</v></c>')
         else:
+            # NaN/±Infinity are not valid OOXML numeric cells — fall
+            # through to an inline string so the workbook stays openable
             cells.append(
                 f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
                 f"{escape(str(v))}</t></is></c>"
@@ -147,9 +153,13 @@ def read_xlsx_rows(path: str) -> list[list]:
                 vals[col] = t.text if t is not None else ""
             else:
                 v = c.find("m:v", ns)
-                vals[col] = float(v.text) if v is not None and "." in v.text else (
-                    int(v.text) if v is not None else None
-                )
+                if v is None:
+                    vals[col] = None
+                else:
+                    try:  # int first; floats (incl. '1e-05') fall through
+                        vals[col] = int(v.text)
+                    except ValueError:
+                        vals[col] = float(v.text)
         width = max(vals) + 1 if vals else 0
         out.append([vals.get(i) for i in range(width)])
     return out

@@ -129,7 +129,10 @@ def asof_enrich(events: DataFrame, right_type: str = "purchase") -> DataFrame:
                 if (
                     last_us is None
                     or r_us > last_us
-                    or (r_us == last_us and int(r.event_id) > (last_id or -1))
+                    or (
+                        r_us == last_us
+                        and int(r.event_id) > (-1 if last_id is None else last_id)
+                    )
                 ):
                     last_us = r_us
                     last_value = float(r.value)

@@ -147,3 +147,34 @@ def test_salted_directions_and_tolerance(spark):
         assert sorted(map(tuple, salted.collect())) == sorted(
             map(tuple, base.collect())
         ), kw
+
+
+def test_salted_large_int64_ts(spark):
+    """Nanosecond-epoch-scale longs exceed double precision (ulp = 256
+    at 2^60): ordering inside the salted carry must stay on the native
+    column, not the double used for bucketing."""
+    base = 2 ** 60
+    left = spark.createDataFrame(
+        [("u", base + 129, "e1"), ("u", base + 400, "e2")],
+        "k string, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u", base + 128, 1.0), ("u", base + 130, 2.0), ("u", base + 384, 3.0)],
+        "k string, ts long, v double",
+    )
+    base_rows = sorted(
+        map(tuple, asof_join(left, right, on="k", ts_col="ts",
+                             payload_cols=["v"]).collect())
+    )
+    for buckets in (2, 4):
+        salted = sorted(
+            map(tuple, asof_join(left, right, on="k", ts_col="ts",
+                                 payload_cols=["v"],
+                                 salt_buckets=buckets).collect())
+        )
+        assert salted == base_rows, buckets
+    # and the match itself is the sub-ulp-correct one: e1 at +129 takes
+    # the +128 purchase (NOT +130, which a double sort could pick)
+    got = {r[2]: r[3] for r in base_rows}  # tag -> asof_ts
+    assert got["e1"] == base + 128
+    assert got["e2"] == base + 384

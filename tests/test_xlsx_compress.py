@@ -122,3 +122,29 @@ def test_chado2gaf_compress(capsys, tmp_path, spark):
     else:
         with gzip.open(comp, "rt") as fh:
             assert fh.readline().startswith("!gaf-version")
+
+
+def test_xlsx_nonfinite_and_scientific(tmp_path):
+    """NaN/Inf become inline strings (valid OOXML); scientific-notation
+    floats round-trip through the reader."""
+    path = str(tmp_path / "edge.xlsx")
+    write_xlsx_rows([(float("nan"), float("inf"), 1e-05, 3)], path)
+    rows = read_xlsx_rows(path)
+    assert rows[0][0] == "nan" and rows[0][1] == "inf"
+    assert rows[0][2] == 1e-05 and rows[0][3] == 3
+
+
+def test_single_text_sink_byte_format(spark, tmp_path):
+    """Records separated by ONE blank line; file ends with a single
+    newline (the join()-style byte format the collect writer produced)."""
+    from modware_loader_spark.sinks.text import write_single_text
+
+    df = spark.createDataFrame(
+        [("b", "@x{1,\ny = {2}\n}"), ("a", "@w{3,\nz = {4}\n}")],
+        "k string, text string",
+    )
+    out = str(tmp_path / "o.bib")
+    n = write_single_text(df, "text", out, order_by="k")
+    assert n == 2
+    data = open(out).read()
+    assert data == "@w{3,\nz = {4}\n}\n\n@x{1,\ny = {2}\n}\n"
