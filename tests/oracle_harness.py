@@ -71,12 +71,27 @@ def compare(spark, sf_dir: str, name: str, fn, sql: str | None):
     # that is float64 in pandas but purely int in fetchall: the oracle SQL
     # needs an explicit CAST(... AS BIGINT).
     odf = con.execute(sql).fetchdf()
+    # The hash poisons only when the two sides LAND on different pandas
+    # dtypes: the oracle column goes float64 (HUGEINT, or NULL-laden
+    # BIGINT) while the Spark column stays int64 (pure non-null ints).
+    # When Spark's column also holds NULLs, both sides become float64
+    # and the hashes agree (CORRECTNESS_r04: m10/s5 green) — only the
+    # asymmetric case is drift.
     drift = []
+    scol_idx = {c: i for i, c in enumerate(scols)}
     for ci, cname in enumerate(ocols):
-        if str(odf.dtypes.iloc[ci]) != "float64":
+        if str(odf.dtypes.iloc[ci]) != "float64" or cname not in scol_idx:
             continue
-        vals = [r[ci] for r in orows]
-        if vals and all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+        ovals = [r[ci] for r in orows]
+        svals = [r[scol_idx[cname]] for r in srows]
+        o_intish = ovals and all(
+            v is None or (isinstance(v, int) and not isinstance(v, bool))
+            for v in ovals
+        )
+        s_pure_int = svals and all(
+            isinstance(v, int) and not isinstance(v, bool) for v in svals
+        )
+        if o_intish and s_pure_int:
             drift.append(cname)
     if drift:
         result["dtype_drift"] = drift
