@@ -280,3 +280,38 @@ def test_semdedup_keep_rule_vs_bruteforce(spark):
         ):
             expect.append(i)
     assert kept == expect and any(v >= 100 for v in ids if v not in kept)
+
+
+def test_driver_registry_contract():
+    """The driver records the FIRST 50 queries() entries — pin the
+    contract the round-5 rotation depends on: every name unique, every
+    query has a same-named oracle (or a deliberate rows-only omission),
+    every deprioritized name exists, and the head window is exactly 50
+    (a rename or over-demotion silently shrinks driver coverage)."""
+    import __spark_entry__ as e
+
+    qs, osql = e.queries(), e.oracle_sql()
+    names = list(qs)
+    assert len(names) == len(set(names))
+    assert set(osql) <= set(qs)
+    missing = [d for d in e._DEPRIORITIZED if d not in qs]
+    assert not missing, missing
+    head = names[:50]
+    assert len(head) == 50
+    # rotation goal: r4-green ∪ r5-head must cover every pre-round-5
+    # query; equivalently, nothing in the r4 tail may still sit past 50
+    r4_tail = {
+        "e10b_splice_revcomp", "dedup_simhash_fingerprint",
+        "dedup_minhash_bands", "dedup_simhash_banded_pairs",
+        "similarity_cosine_bucket_pairs", "similarity_brute_force_topk",
+        "events_tumbling_window", "m12_distinct_insert",
+        "m13_deterministic_id_generation", "t2_t3_cutoff_and_regex_extract",
+        "e12_sample_limit", "text_token_stats", "similarity_lsh_bucket_topk",
+        "agg_cube_returnflag_linestatus", "window_running_total",
+        "text_winnow_fingerprints", "text_quality_score",
+        "similarity_cosine_near_pairs", "similarity_pq_adc_topk",
+        "e13_skip_list_filter", "u2_normalize_id",
+        "e1_e2_filter_computed_column", "m7_closure_refresh_delete",
+        "sample_stratified_hash", "pack_token_budget",
+    }
+    assert r4_tail <= set(head), sorted(r4_tail - set(head))

@@ -254,3 +254,62 @@ def test_stream_asof_state_crosses_microbatches(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == exp
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode watermark semantics: an event arriving in a later
+    micro-batch with a timestamp older than (max seen ts - watermark)
+    lands in a window the engine has already finalized, so its window is
+    emitted WITHOUT it — the bounded-state contract tumbling_counts
+    relies on at 100 TB stream volume."""
+    import os
+    import time
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    sink = "late_drop_t"
+    schema = "user_id long, event_id long, ts timestamp, event_type string, value double"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+
+    # batch 1: two on-time events at 10:05 and 12:05 — watermark advances
+    # to 12:05 - 1h = 11:05, so the 10:00 window can finalize
+    write_batch("b1", [
+        (1, 1, __import__("datetime").datetime(2024, 1, 1, 10, 5), "click", 1.0),
+        (1, 2, __import__("datetime").datetime(2024, 1, 1, 12, 5), "click", 1.0),
+    ])
+    from modware_loader_spark.streaming.events import read_event_stream, tumbling_counts
+
+    stream = read_event_stream(spark, feed, spark.read.parquet(feed).schema)
+    q = (
+        tumbling_counts(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if spark.table(sink).count() >= 1:
+                break
+        # batch 2: a LATE event for the already-finalized 10:00 window
+        write_batch("b2", [
+            (1, 3, __import__("datetime").datetime(2024, 1, 1, 10, 10), "click", 9.0),
+        ])
+        q.processAllAvailable()
+        rows = {
+            (r["window_start"].hour, r["n_events"])
+            for r in spark.table(sink).collect()
+        }
+    finally:
+        q.stop()
+    # the 10:00 window was emitted with ONE event; the late arrival did
+    # not re-emit or grow it
+    assert (10, 1) in rows
+    assert (10, 2) not in rows
