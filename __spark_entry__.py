@@ -65,6 +65,7 @@ _DEPRIORITIZED = [
     #     the head once an established query frees a slot ---
     "text_pii_scrub",
     "similarity_ivfpq_topk",
+    "embed_quantize_int8",
 ]
 
 

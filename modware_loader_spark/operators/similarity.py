@@ -356,3 +356,32 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "bucket", "target_id", "cos", "rank")
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``(id, scale, codes)``
+    with ``x ≈ code·scale``, ``scale = max|x|/127``.
+
+    The storage-scale companion to the ANN operators: float32→int8 is a
+    4× cut on the corpus' dominant column (and the shape FAISS/SQ8 and
+    every production vector store use for the coarse tier). Pure map
+    stage — zero shuffle at any corpus size. Quantization uses
+    ``floor(x/scale + 0.5)`` (not half-even rounding), which every
+    engine computes identically on IEEE doubles, so a DuckDB oracle
+    reproduces the codes bit-for-bit; reconstruction error is bounded by
+    ``scale/2`` per element (asserted in tests). All-zero vectors get
+    ``scale = 0`` and all-zero codes.
+    """
+    xdbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    absmax = F.array_max(F.transform(xdbl, lambda x: F.abs(x)))
+    scale = absmax / F.lit(127.0)
+    codes = F.when(absmax == 0, F.transform(xdbl, lambda x: F.lit(0))).otherwise(
+        F.transform(xdbl, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        codes.cast("array<int>").alias("codes"),
+    )

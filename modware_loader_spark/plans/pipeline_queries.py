@@ -800,6 +800,30 @@ def _ddb_pq_sql(m: int = 4, ksub: int = 8, dim: int = 64, n_queries: int = 20,
     )
 
 
+@query(
+    "embed_quantize_int8",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+               FROM embeddings),
+    s AS (SELECT vec_id, e,
+                 list_max(list_transform(e, x -> abs(x))) / 127 AS scale
+          FROM v)
+    SELECT vec_id, round(scale, 6) AS scale,
+           CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+                ELSE list_transform(e, x -> CAST(floor(x / scale + 0.5) AS INT))
+           END AS codes
+    FROM s
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization — the 4x storage cut on the
+    corpus' dominant column (FAISS-SQ8 shape). Pure map stage, zero
+    shuffle; codes use floor(x/scale + 0.5) so both engines agree
+    bit-for-bit. See ``operators/similarity.py::quantize_int8``."""
+    t = load_tables(spark, sf_dir)
+    return S.quantize_int8(t["embeddings"])
+
+
 def _ddb_ivfpq_sql(nlist: int = 8, nprobe: int = 2, m: int = 8, ksub: int = 16,
                    dim: int = 64, n_queries: int = 20, shortlist: int = 50,
                    k: int = 5) -> str:

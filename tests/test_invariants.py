@@ -256,3 +256,35 @@ def test_ivfpq_recall_and_consistency(spark, sf_dir):
     ivf_pairs = {(r.query_id, r.target_id) for r in ivf_rows}
     pq_pairs = {(r.query_id, r.target_id) for r in got_rows}
     assert ivf_pairs == pq_pairs
+
+
+def test_quantize_int8_reconstruction(spark, sf_dir):
+    """int8 quantization contract: codes in [-127, 127], per-element
+    reconstruction error <= scale/2 (+float32 read noise), all-zero
+    vectors get scale 0."""
+    from modware_loader_spark.operators.similarity import quantize_int8
+    from modware_loader_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    joined = quantize_int8(emb).join(emb, "vec_id")
+    checked = joined.select(
+        F.array_max(F.transform(F.col("codes"), lambda c: F.abs(c))).alias("maxc"),
+        F.array_max(
+            F.zip_with(
+                "codes",
+                "embedding",
+                lambda c, x: F.abs(x.cast("double") - c * F.col("scale")),
+            )
+        ).alias("maxerr"),
+        "scale",
+    ).collect()
+    for r in checked:
+        assert r.maxc <= 127
+        # scale was rounded to 6dp for output, allow that quantum too
+        assert r.maxerr <= r.scale / 2 + 127 * 1e-6 + 1e-9, (r.maxerr, r.scale)
+
+    zero = spark.createDataFrame(
+        [(1, [0.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    zr = quantize_int8(zero).collect()[0]
+    assert zr.scale == 0.0 and set(zr.codes) == {0}
