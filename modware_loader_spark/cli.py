@@ -318,7 +318,7 @@ def cmd_chado2dictygff3(args) -> dict:
         rows = de.dicty_canonical_rows(loader)
     elif args.variant == "noncanonical":
         rows = de.dicty_noncanonical_rows(
-            loader, source=args.source or "geneID reprediction"
+            loader, source=args.source or "Sequencing Center"
         )
     elif args.variant == "noncanonical-v2":
         rows = de.dicty_noncanonical_v2_rows(

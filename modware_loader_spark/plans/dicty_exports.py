@@ -11,12 +11,16 @@ their reader/writer handler swaps:
   pseudogenic_transcript, exon→pseudogenic_exon,
   ``FeatureWriter/GFF3/Canonical/Dicty.pm:33-98``); the gene row inherits
   its transcript's source (:71-74) and carries synonyms as Alias.
-- **noncanonical** (`chado2dictynoncanonicalgff3`): standalone
-  transcripts (no gene parent emitted) of one type/source — default mRNA /
-  ``geneID reprediction`` (``FeatureReader/Chado/NonCanonical/Dicty.pm``).
-- **noncanonical-v2** (`chado2dictynoncanonicalv2gff3`): same read, but
-  the ``is_obsolete``→``is_deleted`` column swap and the base-GFF3 writer
-  (subfeatures carry Parent, rows carry Dbxref + their own source) — see
+- **noncanonical** (`chado2dictynoncanonicalgff3`): the CANONICAL
+  gene-centric walk restricted to one source (default ``Sequencing
+  Center``) with the ``is_deleted`` column swap, written WITHOUT gene
+  rows or transcript Parents (``FeatureReader/Chado/Canonical/Dicty.pm``
+  reader + ``FeatureWriter/GFF3/NonCanonical/Dicty.pm`` writer).
+- **noncanonical-v2** (`chado2dictynoncanonicalv2gff3`): standalone
+  repredicted transcripts (no gene parent required — the
+  ``NonCanonical::Dicty`` READER, default ``geneID reprediction``) with
+  the ``is_deleted`` swap and the base-GFF3 writer (subfeatures carry
+  Parent, rows carry Dbxref + their own source) — see
   ``dicty_noncanonical_v2_rows``.
 - **noncoding** (`chado2dictynoncodinggff3`): gene models whose transcript
   type is one of the ncRNA family (``FeatureReader/Chado/NonCoding/
@@ -139,20 +143,36 @@ def _gene_models(
     loader: ChadoGFF3Loader,
     transcripts: DataFrame,
     include_gene: bool = True,
+    include_parent: bool = True,
+    include_polypeptide: bool = True,
 ) -> DataFrame:
     """transcripts (located rows + gene_id/gene_uniquename/gff_source) →
     gene + transcript + exon + polypeptide GFF3 rows with dicty pseudogene
-    re-typing."""
+    re-typing.
+
+    Writer parity notes (``FeatureWriter/GFF3/Canonical/Dicty.pm``):
+    both its hash builders source every row from the feature's OWN
+    GFF_source dbxref and carry secondary dbxrefs as ``Dbxref`` — so
+    exons/polypeptides emit their own source here (not NULL) and every
+    level gets its Dbxref attribute. ``include_parent=False`` is the
+    NonCanonical v1 writer (``write_transcript`` deletes Parent and
+    emits no gene row); ``include_polypeptide=False`` mirrors event
+    wirings that never fire a polypeptide read."""
     located = _located(loader)
     is_pseudo = F.col("type_name") == "pseudogene"
+    xrefs = _secondary_dbxrefs(loader)
+    dbx_entry = [
+        F.struct(F.lit("Dbxref").alias("key"), F.col("dbxrefs").alias("value"))
+    ]
 
     trans_rows = _gff3_row(
-        transcripts,
+        transcripts.join(xrefs, "feature_id", "left"),
         type_col=F.when(is_pseudo, "pseudogenic_transcript").otherwise(
             F.col("type_name")
         ),
         source_col=F.col("gff_source"),
-        parent_col=F.col("gene_uniquename"),
+        parent_col=F.col("gene_uniquename") if include_parent else None,
+        extra=dbx_entry,
     )
 
     out = trans_rows
@@ -185,19 +205,22 @@ def _gene_models(
             )
             .join(located.drop("type_name"), "feature_id")
             .join(syns, "feature_id", "left")
+            .join(xrefs, "feature_id", "left")
         )
         gene_rows = _gff3_row(
             genes,
             type_col=F.col("__gtype"),
             source_col=F.col("__gsource"),
             extra=[
-                F.struct(F.lit("Alias").alias("key"), F.col("aliases").alias("value"))
+                F.struct(F.lit("Alias").alias("key"), F.col("aliases").alias("value")),
+                *dbx_entry,
             ],
         )
         out = gene_rows.unionByName(out)
 
     # exons (exon | pseudogenic_exon) of kept transcripts, re-typed under
-    # pseudogenes (write_exon:83-98)
+    # pseudogenes (write_exon:83-98); source = the exon's OWN GFF_source
+    gff_src = _gff_sources(loader)
     exon_edges = _rel_children(loader, ["part_of"]).select(
         F.col("object_id").alias("trans_id"), F.col("subject_id").alias("feature_id")
     )
@@ -212,16 +235,22 @@ def _gene_models(
             ),
             "trans_id",
         )
+        .join(gff_src, "feature_id", "left")
+        .join(xrefs, "feature_id", "left")
     )
     exon_rows = _gff3_row(
         exons,
         type_col=F.when(F.col("__parent_pseudo"), "pseudogenic_exon").otherwise(
             F.col("type_name")
         ),
-        source_col=F.lit(None).cast("string"),
+        source_col=F.col("gff_source"),
         parent_col=F.col("trans_uniquename"),
+        extra=dbx_entry,
     )
     out = out.unionByName(exon_rows)
+
+    if not include_polypeptide:
+        return out
 
     # polypeptides derives_from kept transcripts
     poly_edges = _rel_children(loader, ["derives_from", "derived_from"]).select(
@@ -237,12 +266,15 @@ def _gene_models(
             ),
             "trans_id",
         )
+        .join(gff_src, "feature_id", "left")
+        .join(xrefs, "feature_id", "left")
     )
     poly_rows = _gff3_row(
         polys,
         type_col=F.col("type_name"),
-        source_col=F.lit(None).cast("string"),
+        source_col=F.col("gff_source"),
         parent_col=F.col("trans_uniquename"),
+        extra=dbx_entry,
     )
     return out.unionByName(poly_rows)
 
@@ -299,42 +331,35 @@ def dicty_canonical_rows(
 
 def dicty_noncanonical_rows(
     loader: ChadoGFF3Loader,
-    source: str = "geneID reprediction",
-    feature_type: str = "mRNA",
-    subfeature_type: str = "exon",
+    source: str = "Sequencing Center",
+    deleted_col: str = "is_deleted",
 ) -> DataFrame:
-    """chado2dictynoncanonicalgff3: standalone one-source transcripts +
-    their subfeatures, no gene rows."""
-    located = _located(loader)
-    trans = (
-        located.filter(F.col("type_name") == feature_type)
-        .join(_gff_sources(loader), "feature_id")
-        .filter(F.col("gff_source") == source)
-    )
-    trans_rows = _gff3_row(
-        trans, type_col=F.col("type_name"), source_col=F.col("gff_source")
-    )
-    edges = _rel_children(loader, ["part_of"]).select(
-        F.col("object_id").alias("trans_id"), F.col("subject_id").alias("feature_id")
-    )
-    subs = (
-        located.filter(F.col("type_name") == subfeature_type)
-        .join(edges, "feature_id")
-        .join(
-            trans.select(
-                F.col("feature_id").alias("trans_id"),
-                F.col("uniquename").alias("trans_uniquename"),
-            ),
-            "trans_id",
+    """chado2dictynoncanonicalgff3 (reference
+    ``Export/Command/chado2dictynoncanonicalgff3.pm:51-101``): the
+    CANONICAL gene-centric walk restricted to one source — transcripts
+    are (mRNA | pseudogene) children of genes whose GFF_source equals
+    ``--source`` (default ``Sequencing Center``,
+    ``FeatureReader/Chado/Canonical/Dicty.pm:29-48``), with the same
+    ``is_obsolete``→``is_deleted`` column swap as v2 — but written by
+    the NonCanonical writer: NO gene rows, NO ``Parent`` on transcripts
+    (``FeatureWriter/GFF3/NonCanonical/Dicty.pm:12-30`` deletes it),
+    pseudogene re-typing kept, exons written normally (Parent + own
+    source), no polypeptides (the command wires no polypeptide event).
+    """
+    kept = _transcripts_of_genes(
+        loader, F.col("type_name").isin("mRNA", "pseudogene")
+    ).filter(F.col("gff_source") == source)
+    if deleted_col in kept.columns:
+        kept = kept.filter(
+            ~F.coalesce(F.col(deleted_col).cast("boolean"), F.lit(False))
         )
+    return _gene_models(
+        loader,
+        kept,
+        include_gene=False,
+        include_parent=False,
+        include_polypeptide=False,
     )
-    sub_rows = _gff3_row(
-        subs,
-        type_col=F.col("type_name"),
-        source_col=F.lit(None).cast("string"),
-        parent_col=F.col("trans_uniquename"),
-    )
-    return trans_rows.unionByName(sub_rows)
 
 
 def _secondary_dbxrefs(loader) -> DataFrame:

@@ -58,17 +58,36 @@ def test_canonical_source_fallback(dicty_loader):
     assert (by_id["DDB_G1"].start, by_id["DDB_G1"].end) == (1000, 2000)
 
 
-def test_noncanonical_standalone(dicty_loader):
+def test_noncanonical_source_models(dicty_loader):
+    """Reference v1 semantics: the canonical gene-centric walk limited
+    to --source models (default Sequencing Center), transcripts emitted
+    WITHOUT gene rows or Parent, exons normally (Parent + own source);
+    standalone repredicted features (no gene parent) are v2's scope and
+    must NOT appear."""
     rows = dicty_noncanonical_rows(dicty_loader).collect()
-    assert _ids(rows, {"mRNA"}) == ["DDB_R1", "DDB_R2"]
-    assert _ids(rows, {"exon"}) == ["DDB_R1.e1", "DDB_R2.e1"]
+    assert _ids(rows, {"mRNA"}) == ["DDB_G1.t2", "DDB_G2.t1"]
+    assert _ids(rows, {"exon"}) == ["DDB_G1.t2.e1", "DDB_G2.t1.e1"]
     assert all(r.type in ("mRNA", "exon") for r in rows)  # no gene rows
     by_id = {r.attributes["ID"][0]: r for r in rows}
-    assert by_id["DDB_R1"].source == "geneID reprediction"
-    # v1 writer (Canonical::Dicty lineage) carries no Dbxref and nulls
-    # the subfeature source
-    assert "Dbxref" not in by_id["DDB_R1"].attributes
-    assert by_id["DDB_R1.e1"].source is None
+    assert "DDB_R1" not in by_id and "DDB_R2" not in by_id
+    assert by_id["DDB_G1.t2"].source == "Sequencing Center"
+    assert "Parent" not in by_id["DDB_G1.t2"].attributes
+    assert by_id["DDB_G1.t2.e1"].attributes["Parent"] == ["DDB_G1.t2"]
+    # exons carry their OWN GFF_source (base-hash writer semantics)
+    assert by_id["DDB_G1.t2.e1"].source == "dictyBase"
+
+    # the is_deleted column swap applies to v1 too
+    import copy
+
+    from pyspark.sql import functions as F
+
+    l2 = copy.copy(dicty_loader)
+    l2.tables = dict(dicty_loader.tables)
+    l2.tables["feature"] = dicty_loader.tables["feature"].withColumn(
+        "is_deleted", F.col("uniquename") == "DDB_G2.t1"
+    )
+    kept = dicty_noncanonical_rows(l2).collect()
+    assert _ids(kept, {"mRNA"}) == ["DDB_G1.t2"]
 
 
 def test_noncanonical_v2_writer_and_is_deleted(dicty_loader):
