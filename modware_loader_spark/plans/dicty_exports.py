@@ -350,9 +350,16 @@ def dicty_noncanonical_rows(
         loader, F.col("type_name").isin("mRNA", "pseudogene")
     ).filter(F.col("gff_source") == source)
     if deleted_col in kept.columns:
+        # the reader filters is_deleted on the gene query (read_gene:23)
+        # AND the transcript query (read_transcript_by_source:39) — but
+        # not on exons
         kept = kept.filter(
             ~F.coalesce(F.col(deleted_col).cast("boolean"), F.lit(False))
         )
+        live_genes = loader.tables["feature"].filter(
+            ~F.coalesce(F.col(deleted_col).cast("boolean"), F.lit(False))
+        ).select(F.col("feature_id").alias("gene_id"))
+        kept = kept.join(live_genes, "gene_id", "left_semi")
     return _gene_models(
         loader,
         kept,
@@ -411,10 +418,6 @@ def dicty_noncanonical_v2_rows(
       GFF_source as column 2 (v1 nulls the subfeature source).
     """
     located = _located(loader)
-    if deleted_col in located.columns:
-        located = located.filter(
-            ~F.coalesce(F.col(deleted_col).cast("boolean"), F.lit(False))
-        )
     xrefs = _secondary_dbxrefs(loader)
     gff_src = _gff_sources(loader)
     trans = (
@@ -422,6 +425,12 @@ def dicty_noncanonical_v2_rows(
         .join(gff_src, "feature_id")
         .filter(F.col("gff_source") == source)
     )
+    # the reader filters is_deleted on the FEATURE query only
+    # (read_subfeature carries no such predicate) — scope it to trans
+    if deleted_col in trans.columns:
+        trans = trans.filter(
+            ~F.coalesce(F.col(deleted_col).cast("boolean"), F.lit(False))
+        )
     dbx_entry = [
         F.struct(F.lit("Dbxref").alias("key"), F.col("dbxrefs").alias("value"))
     ]
