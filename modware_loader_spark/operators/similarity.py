@@ -380,8 +380,12 @@ def quantize_int8(
     codes = F.when(absmax == 0, F.transform(xdbl, lambda x: F.lit(0))).otherwise(
         F.transform(xdbl, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
     )
+    # scale is emitted UNROUNDED: max/127 is one IEEE division both
+    # engines compute identically, and rounding (e.g. to 6dp) would zero
+    # the scale of tiny-magnitude vectors — breaking both reconstruction
+    # and the scale==0 <=> all-zero-vector invariant
     return df.select(
         F.col(id_col),
-        F.round(scale, 6).alias("scale"),
+        scale.alias("scale"),
         codes.cast("array<int>").alias("codes"),
     )

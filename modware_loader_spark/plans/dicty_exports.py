@@ -86,6 +86,29 @@ def _gff_sources(loader) -> DataFrame:
     )
 
 
+def _gff_source_one(loader) -> DataFrame:
+    """ONE GFF_source per feature (deterministic min accession) — for
+    unconditioned source-attachment joins (exons/polypeptides), where a
+    feature carrying two GFF_source dbxrefs must not duplicate its output
+    row. The reference's ``->first`` picks an arbitrary one; min is the
+    deterministic stand-in."""
+    return (
+        _gff_sources(loader)
+        .groupBy("feature_id")
+        .agg(F.min("gff_source").alias("gff_source"))
+    )
+
+
+def _live(df: DataFrame, deleted_col: str) -> DataFrame:
+    """Rows whose deletion flag is unset/false (the is_obsolete→
+    is_deleted column swap applies only when the catalog carries it)."""
+    if deleted_col not in df.columns:
+        return df
+    return df.filter(
+        ~F.coalesce(F.col(deleted_col).cast("boolean"), F.lit(False))
+    )
+
+
 def _located(loader) -> DataFrame:
     """feature ⋈ rank-0 featureloc ⋈ srcfeature name."""
     t = loader.tables
@@ -220,7 +243,8 @@ def _gene_models(
 
     # exons (exon | pseudogenic_exon) of kept transcripts, re-typed under
     # pseudogenes (write_exon:83-98); source = the exon's OWN GFF_source
-    gff_src = _gff_sources(loader)
+    # (one per feature — see _gff_source_one)
+    gff_src = _gff_source_one(loader)
     exon_edges = _rel_children(loader, ["part_of"]).select(
         F.col("object_id").alias("trans_id"), F.col("subject_id").alias("feature_id")
     )
@@ -353,12 +377,10 @@ def dicty_noncanonical_rows(
         # the reader filters is_deleted on the gene query (read_gene:23)
         # AND the transcript query (read_transcript_by_source:39) — but
         # not on exons
-        kept = kept.filter(
-            ~F.coalesce(F.col(deleted_col).cast("boolean"), F.lit(False))
+        kept = _live(kept, deleted_col)
+        live_genes = _live(loader.tables["feature"], deleted_col).select(
+            F.col("feature_id").alias("gene_id")
         )
-        live_genes = loader.tables["feature"].filter(
-            ~F.coalesce(F.col(deleted_col).cast("boolean"), F.lit(False))
-        ).select(F.col("feature_id").alias("gene_id"))
         kept = kept.join(live_genes, "gene_id", "left_semi")
     return _gene_models(
         loader,
@@ -427,10 +449,7 @@ def dicty_noncanonical_v2_rows(
     )
     # the reader filters is_deleted on the FEATURE query only
     # (read_subfeature carries no such predicate) — scope it to trans
-    if deleted_col in trans.columns:
-        trans = trans.filter(
-            ~F.coalesce(F.col(deleted_col).cast("boolean"), F.lit(False))
-        )
+    trans = _live(trans, deleted_col)
     dbx_entry = [
         F.struct(F.lit("Dbxref").alias("key"), F.col("dbxrefs").alias("value"))
     ]
@@ -453,7 +472,7 @@ def dicty_noncanonical_v2_rows(
             ),
             "trans_id",
         )
-        .join(gff_src, "feature_id", "left")
+        .join(_gff_source_one(loader), "feature_id", "left")
         .join(xrefs, "feature_id", "left")
     )
     sub_rows = _gff3_row(

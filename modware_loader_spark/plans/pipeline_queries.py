@@ -808,7 +808,7 @@ def _ddb_pq_sql(m: int = 4, ksub: int = 8, dim: int = 64, n_queries: int = 20,
     s AS (SELECT vec_id, e,
                  list_max(list_transform(e, x -> abs(x))) / 127 AS scale
           FROM v)
-    SELECT vec_id, round(scale, 6) AS scale,
+    SELECT vec_id, scale,
            CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
                 ELSE list_transform(e, x -> CAST(floor(x / scale + 0.5) AS INT))
            END AS codes

@@ -280,8 +280,7 @@ def test_quantize_int8_reconstruction(spark, sf_dir):
     ).collect()
     for r in checked:
         assert r.maxc <= 127
-        # scale was rounded to 6dp for output, allow that quantum too
-        assert r.maxerr <= r.scale / 2 + 127 * 1e-6 + 1e-9, (r.maxerr, r.scale)
+        assert r.maxerr <= r.scale / 2 + 1e-12, (r.maxerr, r.scale)
 
     zero = spark.createDataFrame(
         [(1, [0.0] * 8)], "vec_id long, embedding array<float>"

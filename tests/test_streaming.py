@@ -270,14 +270,14 @@ def test_watermark_drops_late_events(spark, tmp_path):
     sink = "late_drop_t"
     schema = "user_id long, event_id long, ts timestamp, event_type string, value double"
 
-    def write_batch(name, rows):
+    def write_batch(rows):
         spark.createDataFrame(rows, schema).coalesce(1).write.mode(
             "append"
         ).parquet(feed)
 
     # batch 1: two on-time events at 10:05 and 12:05 — watermark advances
     # to 12:05 - 1h = 11:05, so the 10:00 window can finalize
-    write_batch("b1", [
+    write_batch([
         (1, 1, __import__("datetime").datetime(2024, 1, 1, 10, 5), "click", 1.0),
         (1, 2, __import__("datetime").datetime(2024, 1, 1, 12, 5), "click", 1.0),
     ])
@@ -299,7 +299,7 @@ def test_watermark_drops_late_events(spark, tmp_path):
             if spark.table(sink).count() >= 1:
                 break
         # batch 2: a LATE event for the already-finalized 10:00 window
-        write_batch("b2", [
+        write_batch([
             (1, 3, __import__("datetime").datetime(2024, 1, 1, 10, 10), "click", 9.0),
         ])
         q.processAllAvailable()
