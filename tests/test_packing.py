@@ -146,3 +146,22 @@ class TestMixtureRebalance:
             df.repartition(13), "src", "doc_id", weights
         ).collect()
         assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in kept)
+
+
+def test_mixture_rates_null_source(spark):
+    """Real corpora carry NULL lang/source tags: mixture_rates must not
+    crash sorting None against str; NULL-source rows get rate 0 and
+    rebalance drops them via the null join key."""
+    from modware_loader_spark.operators.sampling import (
+        mixture_rates,
+        rebalance_mixture,
+    )
+
+    rows = [(i, "en" if i % 3 == 0 else ("de" if i % 3 == 1 else None))
+            for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    rates = {r.src: r.rate for r in mixture_rates(df, "src", {"en": 1, "de": 1}).collect()}
+    assert rates[None] == 0.0
+    assert rates["en"] > 0 and rates["de"] > 0
+    kept = rebalance_mixture(df, "src", "doc_id", {"en": 1, "de": 1}).collect()
+    assert kept and all(r.src is not None for r in kept)
