@@ -29,13 +29,18 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q5_region_revenue"](spark, "/root/testdata/sf0.001")
 
 
-# The external driver records the FIRST 50 queries. Round-5 rotation
-# (VERDICT r04 item 2): the 24 queries deprioritized in round 4 are
-# promoted into the head so they earn driver-verified rows; in their
-# place, 24 queries with green CORRECTNESS_r04 rows yield their slot
-# (they stay green under tests/test_oracle_parity.py, which iterates the
-# full dict). Union of r4+r5 driver-green rows then covers all 74.
+# The external driver records the FIRST 50 queries. Round-6 rotation
+# (VERDICT r05 item 1): the three round-5 newcomers (text_pii_scrub,
+# similarity_ivfpq_topk, embed_quantize_int8) are promoted into the head
+# so they earn driver-verified rows; three queries green in BOTH r4 and
+# r5 yield their slot (they stay green under
+# tests/test_oracle_parity.py, which iterates the full dict). Union of
+# r4+r5+r6 driver-green rows then covers all 77 registered queries.
 _DEPRIORITIZED = [
+    # --- green in both r4 and r5, rotated out for round 6 ---
+    "q1_pricing_summary",           # r04+r05 green
+    "agg_rollup_priority_status",   # r04+r05 green
+    "text_langid",                  # r04+r05 green
     # --- r04 driver-green, rotated out for round 5 ---
     "q3_top_revenue_orders",        # r04 green
     "m1_new_keys_anti_join",        # r04 green
@@ -61,11 +66,6 @@ _DEPRIORITIZED = [
     "t6_blast_gbrowse_gff3",        # r04 green
     "s5_genbank_load_features",     # r04 green
     "s13_bibtex2chado_pub",         # r04 green
-    # --- new this round: start in the tail (pytest-green), rotate into
-    #     the head once an established query frees a slot ---
-    "text_pii_scrub",
-    "similarity_ivfpq_topk",
-    "embed_quantize_int8",
 ]
 
 
