@@ -177,7 +177,13 @@ def cosine_bucket_near_pairs(
             F.posexplode(sign_band_hashes(F.col(vec_col), bands, bits, stride)),
         )
         .withColumnsRenamed({"pos": "band_id", "col": "band_hash"})
-        .localCheckpoint()
+        # lazy: eager localCheckpoint would launch a job at *construction*
+        # time (before any action). Checkpointed blocks are not
+        # recomputable on executor loss — acceptable here because the
+        # band table is cheap to rebuild by re-running the query; the
+        # pinning exists only to avoid scanning the source twice within
+        # one job.
+        .localCheckpoint(eager=False)
     )
     cands = (
         bands_tbl.select(F.col(id_col).alias("vec_a"), "band_id", "band_hash")

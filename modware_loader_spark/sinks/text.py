@@ -39,8 +39,13 @@ def write_single_text(
     # narrow scan-side aggregate; executing the sorted plan twice would
     # double the export's heavy work)
     n = df.count()
+    # NULL text would make concat() NULL and the text datasource rejects
+    # NULL values (failing the whole write) — render NULLs as empty
+    # records instead.
     out = df.select(
-        F.concat(F.col(text_col), F.lit(record_separator)).alias("value"),
+        F.concat(
+            F.coalesce(F.col(text_col), F.lit("")), F.lit(record_separator)
+        ).alias("value"),
         *[F.col(c) for c in cols],
     )
     if cols:

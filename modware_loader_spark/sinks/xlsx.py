@@ -15,9 +15,23 @@ full-table collect.
 
 from __future__ import annotations
 
+import re
 import zipfile
 from collections.abc import Iterable, Sequence
 from xml.sax.saxutils import escape
+
+# Characters outside the XML 1.0 Char production (tab/LF/CR are the only
+# legal controls; \x00-\x08 etc. cannot be represented even as entities
+# and would make the workbook unparseable by Excel/ElementTree).
+_XML_INVALID = re.compile(
+    "[^\x09\x0a\x0d\x20-퟿-�\U00010000-\U0010ffff]"
+)
+
+
+def _xml_text(v) -> str:
+    """Escape a cell value for inline-string XML, dropping XML-invalid
+    control characters (the OOXML spec has no representation for them)."""
+    return escape(_XML_INVALID.sub("", str(v)))
 
 _CONTENT_TYPES = (
     '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -84,7 +98,7 @@ def _row_xml(r: int, values: Sequence) -> str:
             # through to an inline string so the workbook stays openable
             cells.append(
                 f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
-                f"{escape(str(v))}</t></is></c>"
+                f"{_xml_text(v)}</t></is></c>"
             )
     return f'<row r="{r}">' + "".join(cells) + "</row>"
 

@@ -134,6 +134,30 @@ def test_xlsx_nonfinite_and_scientific(tmp_path):
     assert rows[0][2] == 1e-05 and rows[0][3] == 3
 
 
+def test_xlsx_control_chars_stripped(tmp_path):
+    """XML-invalid control bytes in string cells are dropped (the OOXML
+    spec cannot represent them); legal controls (tab/newline) survive."""
+    path = str(tmp_path / "ctl.xlsx")
+    write_xlsx_rows([("a\x00b\x08c", "t\tn\nok", "\x1f\x7f")], path)
+    rows = read_xlsx_rows(path)
+    assert rows[0][0] == "abc"
+    assert rows[0][1] == "t\tn\nok"
+    assert rows[0][2] == "\x7f"  # DEL is XML-legal; \x1f is not
+
+
+def test_single_text_sink_null_rows(spark, tmp_path):
+    """NULL text renders as an empty record instead of failing the text
+    datasource write with a null-value error."""
+    from modware_loader_spark.sinks.text import write_single_text
+
+    df = spark.createDataFrame(
+        [("a", "first"), ("b", None), ("c", "third")], "k string, text string"
+    )
+    out = str(tmp_path / "n.txt")
+    assert write_single_text(df, "text", out, order_by="k") == 3
+    assert open(out).read() == "first\n\n\n\nthird\n"
+
+
 def test_single_text_sink_byte_format(spark, tmp_path):
     """Records separated by ONE blank line; file ends with a single
     newline (the join()-style byte format the collect writer produced)."""
