@@ -334,3 +334,215 @@ def resize_rgb_nearest(
 def encode_ppm(w: int, h: int, rgb: bytes) -> bytes:
     """Pack an RGB raster as binary PPM (P6) — the stdlib-writable format."""
     return b"P6\n%d %d\n255\n" % (w, h) + rgb
+
+
+# ------------------------------------------------------- video containers
+#
+# Container video is frame-*splittable* with the standard library even
+# though codec decode is not: AVI is a RIFF chunk stream whose video
+# chunks ARE the per-frame payloads (standalone JPEGs for MJPEG, the
+# dominant "simple AVI" codec), and animated GIF is a block stream whose
+# image blocks re-wrap into standalone single-frame GIFs byte-for-byte.
+# PyAV, when importable, takes over as the preferred decoder (any codec,
+# raster output); these splitters are the no-dependency path.
+
+
+def sniff_video_type(payload: bytes | None) -> str:
+    """Magic-byte sniff for frame-splittable containers: avi | gif | unknown."""
+    p = payload or b""
+    if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+        return "avi"
+    if p.startswith((b"GIF87a", b"GIF89a")):
+        return "gif"
+    return "unknown"
+
+
+def split_avi_frames(payload: bytes) -> list[bytes]:
+    """Ordered raw video-chunk payloads of an AVI (RIFF) container.
+
+    Walks the chunk tree to the ``movi`` LIST and collects ``##db`` /
+    ``##dc`` (uncompressed / compressed video) chunks, recursing into
+    ``rec `` grouping LISTs. For MJPEG AVIs each returned payload is a
+    standalone JPEG. Pure struct parsing — no codec work.
+    """
+    if sniff_video_type(payload) != "avi":
+        raise ValueError("not an AVI container")
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, lo: int, hi: int, in_movi: bool) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            ckid = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            body_lo, body_hi = pos + 8, min(pos + 8 + size, hi)
+            if ckid == b"LIST":
+                list_type = buf[body_lo : body_lo + 4]
+                walk(
+                    buf,
+                    body_lo + 4,
+                    body_hi,
+                    in_movi or list_type in (b"movi", b"rec "),
+                )
+            elif (
+                in_movi
+                and ckid[:2].isdigit()
+                and ckid[2:4] in (b"db", b"dc")
+            ):
+                frames.append(buf[body_lo:body_hi])
+            pos = body_hi + (size & 1)  # chunks are word-aligned
+    walk(payload, 12, len(payload), False)
+    return frames
+
+
+def encode_mjpeg_avi(
+    jpeg_frames: list[bytes], width: int, height: int, fps: int = 25
+) -> bytes:
+    """Minimal spec-valid MJPEG AVI container around standalone JPEGs.
+
+    Exists so the frame-sampling round-trip test has a real container to
+    split without shipping a binary fixture: writer and splitter are
+    independent code paths over the published RIFF/AVI layout.
+    """
+    n = len(jpeg_frames)
+    max_bytes = max((len(f) for f in jpeg_frames), default=0)
+
+    def chunk(ckid: bytes, body: bytes) -> bytes:
+        return ckid + struct.pack("<I", len(body)) + body + (b"\0" * (len(body) & 1))
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // max(fps, 1),  # dwMicroSecPerFrame
+        max_bytes * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX
+        n,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        max_bytes,  # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,  # dwReserved[4]
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIIi4H",
+            0, 0, 0,  # flags, priority, language
+            0,  # initial frames
+            1, fps,  # scale, rate → fps frames/sec
+            0, n,  # start, length
+            max_bytes,  # suggested buffer size
+            0xFFFFFFFF,  # quality (default)
+            0,  # sample size (varies per frame)
+            0, 0, width, height,  # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    )
+    movi_body = b"movi"
+    idx_entries = []
+    for f in jpeg_frames:
+        # idx1 offsets point at the chunk id, relative to the 'movi' fourcc
+        idx_entries.append(struct.pack("<4sII I", b"00dc", 0x10, len(movi_body), len(f)))
+        movi_body += chunk(b"00dc", f)
+    movi = chunk(b"LIST", movi_body)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def split_gif_frames(payload: bytes) -> list[bytes]:
+    """Each image block of an (animated) GIF, re-wrapped as a standalone
+    single-frame GIF: shared header + logical screen descriptor + global
+    color table, the frame's own graphic-control extension when present,
+    its image descriptor (+ local color table) and LZW data, trailer.
+    Byte-level block walking only — the LZW stream is copied, not decoded.
+    """
+    p = payload
+    if sniff_video_type(p) != "gif":
+        raise ValueError("not a GIF")
+    lsd_flags = p[10]
+    gct_len = 3 * (2 << (lsd_flags & 7)) if lsd_flags & 0x80 else 0
+    header = p[: 13 + gct_len]
+    pos = 13 + gct_len
+
+    def skip_subblocks(pos: int) -> int:
+        while p[pos]:
+            pos += 1 + p[pos]
+        return pos + 1
+
+    frames: list[bytes] = []
+    pending_gce = b""
+    while pos < len(p):
+        b0 = p[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = p[pos + 1]
+            end = skip_subblocks(pos + 2)
+            if label == 0xF9:  # graphic control: belongs to the next image
+                pending_gce = p[pos:end]
+            pos = end
+        elif b0 == 0x2C:  # image descriptor
+            desc_flags = p[pos + 9]
+            lct_len = 3 * (2 << (desc_flags & 7)) if desc_flags & 0x80 else 0
+            data_start = pos + 10 + lct_len
+            end = skip_subblocks(data_start + 1)  # +1: LZW min code size byte
+            frames.append(header + pending_gce + p[pos:end] + b"\x3b")
+            pending_gce = b""
+            pos = end
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x} at {pos}")
+    return frames
+
+
+def encode_gif_frames(
+    index_frames: list[bytes], width: int, height: int, palette: bytes
+) -> bytes:
+    """Minimal animated GIF from palette-index rasters (stdlib writer for
+    round-trip tests). LZW is emitted with the constant-width trick — a
+    clear code before every pixel code keeps the dictionary empty and the
+    code width fixed — spec-valid output without a dictionary encoder.
+    """
+    ncols = len(palette) // 3
+    depth = max(2, (ncols - 1).bit_length())
+    gct = palette + b"\0" * (3 * ((1 << depth) - ncols))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (depth - 1), 0, 0)
+    out += gct
+    clear, end_code = 1 << depth, (1 << depth) + 1
+    for idxs in index_frames:
+        out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"  # GCE: 10 cs delay
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out += bytes([depth])
+        # pack codes LSB-first at fixed width depth+1
+        bits = bitpos = 0
+        acc = bytearray()
+        codes = [clear]
+        for px in idxs:
+            codes += [px, clear]
+        codes[-1] = end_code
+        for code in codes:
+            bits |= code << bitpos
+            bitpos += depth + 1
+            while bitpos >= 8:
+                acc.append(bits & 0xFF)
+                bits >>= 8
+                bitpos -= 8
+        if bitpos:
+            acc.append(bits & 0xFF)
+        for i in range(0, len(acc), 255):
+            block = acc[i : i + 255]
+            out += bytes([len(block)]) + block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)

@@ -158,7 +158,11 @@ FRAME_SCHEMA = T.StructType(
 
 
 def resize_media(
-    df: DataFrame, width: int, height: int, fake: bool = False
+    df: DataFrame,
+    width: int,
+    height: int,
+    fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Arrow-batched resize: payload → payload at (width, height).
 
@@ -166,35 +170,44 @@ def resize_media(
     as PNG when Pillow is importable; otherwise a genuine stdlib resize —
     decode to RGB (png/bmp/ppm), nearest-neighbor resample, re-encode as
     binary PPM. ``fake=True`` keeps the byte-truncation stub (payloads
-    that aren't images at all).
+    that aren't images at all). ``on_error='null'`` nulls the payload and
+    output dims of corrupt/NULL inputs instead of failing the stage —
+    same policy as ``decode_media``; one bad payload in a 100 TB curation
+    run must not kill the job.
 
     The Spark-side contract — same row count, binary in/binary out,
     metadata rewritten — is identical on every path.
     """
 
-    def real_resize(p: bytes) -> tuple[bytes, str]:
-        """(payload, media_type) — the type column must describe the
-        re-encoded bytes, not the input (PIL emits PNG, stdlib PPM; a
-        cluster with heterogeneous PIL installs would otherwise mix
-        formats under one stale label)."""
+    def real_resize(p: bytes) -> tuple[bytes | None, str | None, int | None]:
+        """(payload, media_type, target_dim_or_null) — the type column
+        must describe the re-encoded bytes, not the input (PIL emits PNG,
+        stdlib PPM; a cluster with heterogeneous PIL installs would
+        otherwise mix formats under one stale label)."""
         from modware_loader_spark.functions import media_codecs as MC
 
-        if MC.pil_available():
-            import io
+        try:
+            if MC.pil_available():
+                import io
 
-            import PIL.Image
+                import PIL.Image
 
-            img = PIL.Image.open(io.BytesIO(p)).convert("RGB")
-            out = io.BytesIO()
-            img.resize((width, height), PIL.Image.LANCZOS).save(out, "PNG")
-            return out.getvalue(), "image/png"
-        w, h, rgb = MC.decode_rgb(p)
-        return (
-            MC.encode_ppm(
-                width, height, MC.resize_rgb_nearest(w, h, rgb, width, height)
-            ),
-            "image/x-portable-pixmap",
-        )
+                img = PIL.Image.open(io.BytesIO(p)).convert("RGB")
+                out = io.BytesIO()
+                img.resize((width, height), PIL.Image.LANCZOS).save(out, "PNG")
+                return out.getvalue(), "image/png", 1
+            w, h, rgb = MC.decode_rgb(p)
+            return (
+                MC.encode_ppm(
+                    width, height, MC.resize_rgb_nearest(w, h, rgb, width, height)
+                ),
+                "image/x-portable-pixmap",
+                1,
+            )
+        except Exception:
+            if on_error == "null":
+                return None, None, None
+            raise
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
@@ -204,50 +217,109 @@ def resize_media(
                     lambda p: (p or b"")[:target].ljust(target, b"\0")
                 )
                 mtype = pdf["media_type"]
+                out_w = pd.Series([width] * len(pdf), index=pdf.index)
+                out_h = pd.Series([height] * len(pdf), index=pdf.index)
             else:
                 resized = pdf["payload"].map(real_resize)
                 payload = resized.map(lambda t: t[0])
                 mtype = resized.map(lambda t: t[1])
+                ok = resized.map(lambda t: t[2])
+                out_w = ok.map(lambda v: width if v else None)
+                out_h = ok.map(lambda v: height if v else None)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": mtype,
                     "payload": payload,
-                    "meta_width": width,
-                    "meta_height": height,
+                    "meta_width": out_w,
+                    "meta_height": out_h,
                 }
             )
 
     return df.mapInPandas(batches, RESIZED_SCHEMA)
 
 
-def sample_frames(df: DataFrame, n_frames: int, fake: bool = False) -> DataFrame:
-    """Arrow-batched frame sampling: one video row → ``n_frames`` frame
-    rows (uniform stride). The 1→N row expansion inside ``mapInPandas``
-    is the shape real ffmpeg-backed samplers use; ``fake=True`` splits
-    the payload bytes into ``n_frames`` even chunks deterministically.
-    This is the one remaining stub-only operator: container video decode
-    needs ffmpeg/PyAV, which have no stdlib substitute.
+def sample_frames(
+    df: DataFrame, n_frames: int, fake: bool = False, on_error: str = "raise"
+) -> DataFrame:
+    """Arrow-batched frame sampling: one video row → up to ``n_frames``
+    frame rows (uniform stride). The 1→N row expansion inside
+    ``mapInPandas`` is the shape real ffmpeg-backed samplers use.
+
+    The REAL path (``fake=False``) mirrors the Pillow-preferred pattern
+    of ``functions/media_codecs.py``: PyAV when importable (any codec;
+    frames re-encoded as binary PPM rasters), else the stdlib container
+    splitters — AVI (RIFF ``##dc``/``##db`` chunk walk; MJPEG frames ARE
+    standalone JPEGs) and animated GIF (image blocks re-wrapped as
+    standalone GIFs). A container with more than ``n_frames`` frames is
+    sampled at uniform stride; with fewer, all frames are emitted.
+    ``on_error='null'`` turns an unsplittable payload into a single
+    NULL-payload frame row instead of failing the stage. ``fake=True``
+    keeps the deterministic byte-chunk stub (exactly ``n_frames`` chunks)
+    used by non-video payloads and the oracle query.
 
     Scale: output partitioning follows the input (no shuffle); frames of
     one video stay in one partition, so a per-video downstream groupBy
     keys on ``media_id`` with map-side combine.
     """
 
+    def real_split(p: bytes) -> list[bytes]:
+        from modware_loader_spark.functions import media_codecs as MC
+
+        try:
+            import av  # noqa: F401  (optional; absent in this container)
+
+            import io as _io
+
+            with av.open(_io.BytesIO(p)) as container:
+                rasters = [
+                    f.to_ndarray(format="rgb24")
+                    for f in container.decode(video=0)
+                ]
+            return [
+                MC.encode_ppm(r.shape[1], r.shape[0], r.tobytes())
+                for r in rasters
+            ]
+        except ImportError:
+            pass
+        kind = MC.sniff_video_type(p)
+        if kind == "avi":
+            return MC.split_avi_frames(p)
+        if kind == "gif":
+            return MC.split_gif_frames(p)
+        raise ValueError("unsupported video container (no PyAV; not AVI/GIF)")
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "frame sampling requires ffmpeg; pass fake=True for the stub"
-                )
             ids, idxs, frames = [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                p = p or b""
-                step = max(len(p) // n_frames, 1)
-                for i in range(n_frames):
+                if fake:
+                    p = p or b""
+                    step = max(len(p) // n_frames, 1)
+                    for i in range(n_frames):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(p[i * step : (i + 1) * step])
+                    continue
+                try:
+                    all_frames = real_split(p)
+                except Exception:
+                    if on_error != "null":
+                        raise
                     ids.append(mid)
-                    idxs.append(i)
-                    frames.append(p[i * step : (i + 1) * step])
+                    idxs.append(0)
+                    frames.append(None)
+                    continue
+                m = len(all_frames)
+                take = (
+                    range(m)
+                    if m <= n_frames
+                    else (i * m // n_frames for i in range(n_frames))
+                )
+                for out_i, src_i in enumerate(take):
+                    ids.append(mid)
+                    idxs.append(out_i)
+                    frames.append(all_frames[src_i])
             yield pd.DataFrame(
                 {"media_id": ids, "frame_index": idxs, "payload": frames}
             )

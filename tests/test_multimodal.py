@@ -250,12 +250,131 @@ def test_sample_frames_fake_expands_rows(spark, sf_dir):
     assert all(sorted(v) == [0, 1, 2, 3] for v in by_id.values())
 
 
-def test_frames_real_path_raises(spark, sf_dir):
-    """Video frame sampling is the one remaining stub-only operator
-    (ffmpeg has no stdlib substitute)."""
+def test_frames_real_path_rejects_non_video(spark, sf_dir):
+    """Non-container payloads fail the strict real path but null under
+    on_error='null' (one corrupt video must not kill a 100 TB stage)."""
     from modware_loader_spark.operators.multimodal import sample_frames
 
     docs = load_tables(spark, sf_dir)["documents"].limit(2)
     media = attach_binary_payload(docs)
-    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+    with pytest.raises(Exception, match="unsupported video container"):
         sample_frames(media, 2, fake=False).collect()
+    rows = sample_frames(media, 2, fake=False, on_error="null").collect()
+    assert len(rows) == 2
+    assert all(r.payload is None and r.frame_index == 0 for r in rows)
+
+
+def test_resize_media_real_on_error_null(spark):
+    """resize_media matches decode_media's corrupt-payload policy."""
+    from modware_loader_spark.operators.multimodal import resize_media
+
+    png = _png(2, 2, [[255, 0, 0, 0, 255, 0], [0, 0, 255, 255, 255, 255]])
+    media = spark.createDataFrame(
+        [
+            (1, "image/png", bytearray(png)),
+            (2, "application/junk", bytearray(b"not an image")),
+            (3, "image/png", None),
+        ],
+        "media_id long, media_type string, payload binary",
+    )
+    with pytest.raises(Exception):
+        resize_media(media, 4, 4, fake=False).collect()
+    rows = {r.media_id: r for r in resize_media(media, 4, 4, fake=False, on_error="null").collect()}
+    assert len(rows) == 3
+    assert rows[1].payload is not None and (rows[1].meta_width, rows[1].meta_height) == (4, 4)
+    for bad in (2, 3):
+        assert rows[bad].payload is None
+        assert rows[bad].meta_width is None and rows[bad].meta_height is None
+
+
+# ------------------------------------------------------- video containers
+
+
+def _mjpeg_avi(n=6, w=8, h=6):
+    from modware_loader_spark.functions import media_codecs as MC
+
+    frames = [_jpeg_header(w, h) + bytes([i]) * 11 for i in range(n)]
+    return frames, MC.encode_mjpeg_avi(frames, w, h, fps=10)
+
+
+def test_video_container_codecs_unit():
+    """AVI writer→splitter round-trip and GIF frame split, stdlib only.
+
+    Writer and splitter are independent walks over the published RIFF /
+    GIF89a layouts, so agreement is evidence, not tautology."""
+    from modware_loader_spark.functions import media_codecs as MC
+
+    frames, avi = _mjpeg_avi(7)
+    assert MC.sniff_video_type(avi) == "avi"
+    assert MC.split_avi_frames(avi) == frames
+
+    # odd-length frames exercise RIFF word alignment
+    odd = [b"\xff\xd8\xffabc", b"\xff\xd8\xffde"]
+    assert MC.split_avi_frames(MC.encode_mjpeg_avi(odd, 2, 2)) == odd
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    idx_frames = [bytes([0, 1, 2, 3]), bytes([3, 2, 1, 0]), bytes([1, 1, 2, 2])]
+    gif = MC.encode_gif_frames(idx_frames, 2, 2, pal)
+    singles = MC.split_gif_frames(gif)
+    assert len(singles) == 3
+    for s in singles:
+        assert s.startswith(b"GIF89a") and s.endswith(b"\x3b")
+        assert MC.decode_dims(s) == (2, 2)
+
+
+def test_sample_frames_real_avi_round_trip(spark):
+    """A real container through the Spark operator: MJPEG AVI in, the
+    container's own JPEG frame payloads out, uniform-stride sampled."""
+    from modware_loader_spark.operators.multimodal import sample_frames
+
+    frames, avi = _mjpeg_avi(n=6)
+    _, short_avi = _mjpeg_avi(n=2)
+    media = spark.createDataFrame(
+        [(1, "video/avi", bytearray(avi)), (2, "video/avi", bytearray(short_avi))],
+        "media_id long, media_type string, payload binary",
+    )
+    rows = sample_frames(media, 3, fake=False).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.media_id, {})[r.frame_index] = bytes(r.payload)
+    # 6 frames sampled to 3 at uniform stride → source indices 0, 2, 4
+    assert got[1] == {0: frames[0], 1: frames[2], 2: frames[4]}
+    # fewer frames than requested → all frames, no padding
+    assert sorted(got[2]) == [0, 1]
+    # frame payloads are standalone JPEGs (header dims survive)
+    from modware_loader_spark.functions import media_codecs as MC
+
+    assert MC.decode_dims(got[1][0]) == (8, 6)
+
+
+def test_sample_frames_real_gif(spark):
+    from modware_loader_spark.functions import media_codecs as MC
+    from modware_loader_spark.operators.multimodal import sample_frames
+
+    pal = bytes([0, 0, 0, 255, 255, 255])
+    gif = MC.encode_gif_frames(
+        [bytes([0, 1, 1, 0]), bytes([1, 0, 0, 1])], 2, 2, pal
+    )
+    media = spark.createDataFrame(
+        [(9, "image/gif", bytearray(gif))],
+        "media_id long, media_type string, payload binary",
+    )
+    rows = sample_frames(media, 8, fake=False).collect()
+    assert len(rows) == 2  # container has 2 frames; no synthetic padding
+    for r in rows:
+        assert MC.decode_dims(bytes(r.payload)) == (2, 2)
+
+
+def test_sample_frames_pyav_path(spark):
+    """PyAV-preferred decode (any codec → PPM rasters); exercised only
+    where PyAV is installed — this container ships without it."""
+    pytest.importorskip("av")
+    from modware_loader_spark.operators.multimodal import sample_frames
+
+    frames, avi = _mjpeg_avi(n=4)
+    media = spark.createDataFrame(
+        [(1, "video/avi", bytearray(avi))],
+        "media_id long, media_type string, payload binary",
+    )
+    rows = sample_frames(media, 2, fake=False).collect()
+    assert all(bytes(r.payload).startswith(b"P6") for r in rows)
