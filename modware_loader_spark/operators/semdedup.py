@@ -47,24 +47,19 @@ def semantic_near_pairs(
     edges (the banded-LSH path in ``operators/similarity`` is the
     complementary oblivious-hash variant).
     """
-    # ivf_train returns a driver-local relation (KBs): the self-joined
-    # assignment below re-derives cells map-side on each branch without
-    # re-running (or checkpointing) the training chain.
-    cents = ivf_train(
-        df, nlist=nlist, lloyd_iters=lloyd_iters, id_col=id_col, vec_col=vec_col
+    # ivf_train materializes the trained assignment (persisted): the
+    # self-join below reads the cached (id, vec, cell) blocks on BOTH
+    # branches instead of re-deriving the argmin per branch — one corpus
+    # argmin pass total, not two.
+    _cents, assigned = ivf_train(
+        df, nlist=nlist, lloyd_iters=lloyd_iters, id_col=id_col, vec_col=vec_col,
+        return_assignment=True,
     )
-    # assignment + norms are map stages over the source scan — rebalance
-    # so the argmin work uses the whole machine (guarded; see ivf helper)
-    from modware_loader_spark.operators.ivf import ensure_min_partitions
-
-    df = ensure_min_partitions(df)
     # norms attach once per vector (map-side, before the pair explosion):
     # the per-pair work drops from three array folds (dot + two norms) to
     # one dot product — same doubles, same rounding, ~3x less fold work
     # on the n²/nlist pair set.
-    cells = ivf_assign(df, cents, id_col=id_col, vec_col=vec_col).withColumn(
-        "__nrm", norm(F.col(vec_col))
-    )
+    cells = assigned.withColumn("__nrm", norm(F.col(vec_col)))
     a = cells.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
         F.col("__nrm").alias("__na"), "cell",

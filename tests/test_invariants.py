@@ -176,6 +176,51 @@ def test_ivf_recall(spark, sf_dir):
     assert recall >= 1.5 * scan_fraction
 
 
+def test_ivf_hash_seeding_quality(spark):
+    """Production IVF training (hash-sampled seeding, larger nlist):
+    recall well above the scanned fraction, balanced cells, and fully
+    deterministic — the regression pin for the SCALE.md §IVF sweep
+    (tests/ivf_sweep.py; measured recall 0.63 / max cell share 0.026 at
+    this config on sf0.01)."""
+    from pyspark.sql import functions as F
+
+    from modware_loader_spark.operators.ivf import ivf_topk, ivf_train
+    from modware_loader_spark.operators.similarity import brute_force_topk
+    from modware_loader_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.01")["embeddings"]
+    n = emb.count()
+    nlist, nprobe = 64, 8
+    # hash-drawn query sample — an id-prefix sample overlaps the id
+    # strategy's seeds and would bias any recall comparison
+    q = emb.filter(F.pmod(F.xxhash64(F.col("vec_id") + 7), F.lit(20)) == 0)
+    exact = {(r.query_id, r.target_id) for r in brute_force_topk(q, emb, k=5).collect()}
+
+    _cents, assigned = ivf_train(
+        emb, nlist=nlist, seed_strategy="hash", return_assignment=True
+    )
+    sizes = [r.c for r in assigned.groupBy("cell").agg(F.count("*").alias("c")).collect()]
+    assigned.unpersist()
+    assert max(sizes) / n <= 0.05  # no hot cell (mean share = 1/64 ≈ 0.016)
+    assert len(sizes) == nlist  # no empty cells at n≫nlist
+
+    def run():
+        return {
+            (r.query_id, r.target_id)
+            for r in ivf_topk(
+                q, emb, k=5, nlist=nlist, nprobe=nprobe, seed_strategy="hash"
+            ).collect()
+        }
+
+    got = run()
+    recall = len(got & exact) / len(exact)
+    # 1/8 of the corpus scanned; require ≥4x the recall of a random
+    # same-size scan (measured 0.63 — threshold leaves noise headroom)
+    assert recall >= 4 * nprobe / nlist
+    # deterministic end to end: hash seeding is a pure function of ids
+    assert run() == got
+
+
 def test_pq_recall_and_rerank(spark, sf_dir):
     """PQ ADC recall@5 vs exact squared-L2, raw and after exact re-rank
     of the ADC top-50 shortlist (ground truth recomputed in numpy)."""
