@@ -28,6 +28,7 @@ def transitive_closure(
     max_iterations: int = 100,
     num_partitions: int | None = None,
     method: str = "doubling",
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """All (subject, object, pathdistance) pairs reachable through edges.
 
@@ -45,6 +46,19 @@ def transitive_closure(
     iterations, smallest per-step joins). Doubling wins when per-iteration
     scheduling overhead dominates (deep DAGs, small data); frontier wins
     when the closure is huge and squaring it is the expensive part.
+
+    ``salt_buckets``: hot-key mitigation for hub terms (an ontology root
+    is the ``object`` of nearly every path, so the per-iteration join key
+    is intrinsically skewed). The probe side is salted with
+    ``hash(subject) % N`` and the step-edge side replicated ×N, spreading
+    one hub's rows over N tasks — same output, N× smaller max task (the
+    same replicate-one-side shape as ``operators/skew.salted_join`` and
+    the time-bucket chaining of ``asof.py``). Costs ×N of the *edge*
+    side only under 'frontier' (cheap; use it for hub-skewed graphs);
+    under 'doubling' the replicated side is the closure itself — prefer
+    ``method='frontier'`` when salting. AQE's skew-split covers moderate
+    skew without salting; this handles the pathological single-hub case
+    where one key exceeds an executor's memory.
     """
     # Each frontier is localCheckpoint()ed (eager) to truncate lineage —
     # without it the logical plan doubles per step and the driver OOMs while
@@ -56,7 +70,9 @@ def transitive_closure(
 
     npart = num_partitions or 8
     if method == "doubling":
-        return _closure_by_doubling(edges, subject_col, object_col, max_iterations, npart)
+        return _closure_by_doubling(
+            edges, subject_col, object_col, max_iterations, npart, salt_buckets
+        )
     step_edges = (
         edges.select(
             F.col(subject_col).alias("__mid"), F.col(object_col).alias("__obj")
@@ -65,6 +81,13 @@ def transitive_closure(
         .distinct()
         .localCheckpoint()
     )
+    if salt_buckets:
+        step_edges = step_edges.select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+            ).alias("__esalt"),
+        )
     parts = [
         edges.select(subject_col, object_col)
         .repartition(npart, object_col)
@@ -74,10 +97,19 @@ def transitive_closure(
     ]
     frontier = parts[0]
     for _ in range(max_iterations):
-        # frontier(s->o) ⋈ edges(o->o2) ⇒ s->o2 at distance+1
+        # frontier(s->o) ⋈ edges(o->o2) ⇒ s->o2 at distance+1; salted:
+        # the frontier row's bucket is a pure function of its subject, so
+        # it matches exactly one of the N edge replicas — output identical
+        probe = frontier.alias("f")
+        cond = F.col(f"f.{object_col}") == F.col("__mid")
+        if salt_buckets:
+            probe = probe.withColumn(
+                "__salt",
+                F.pmod(F.xxhash64(F.col(f"f.{subject_col}")), F.lit(salt_buckets)),
+            )
+            cond = cond & (F.col("__salt") == F.col("__esalt"))
         stepped = (
-            frontier.alias("f")
-            .join(step_edges, F.col(f"f.{object_col}") == F.col("__mid"))
+            probe.join(step_edges, cond)
             .select(
                 F.col(f"f.{subject_col}").alias(subject_col),
                 F.col("__obj").alias(object_col),
@@ -104,6 +136,7 @@ def _closure_by_doubling(
     object_col: str,
     max_iterations: int,
     npart: int,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Path-doubling closure: repeatedly join the current closure with
     itself (s→m ⋈ m→o ⇒ s→o at dist_a+dist_b), keep the min distance.
@@ -122,8 +155,23 @@ def _closure_by_doubling(
             F.col(object_col).alias("__obj"),
             F.col("pathdistance").alias("__pd"),
         )
+        probe = closure
+        if salt_buckets:
+            right = right.select(
+                "*",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+                ).alias("__esalt"),
+            )
+            probe = probe.withColumn(
+                "__salt",
+                F.pmod(F.xxhash64(F.col(subject_col)), F.lit(salt_buckets)),
+            )
+        cond = probe[object_col] == right["__mid"]
+        if salt_buckets:
+            cond = cond & (probe["__salt"] == right["__esalt"])
         stepped = (
-            closure.join(right, closure[object_col] == right["__mid"])
+            probe.join(right, cond)
             .select(
                 F.col(subject_col),
                 F.col("__obj").alias(object_col),

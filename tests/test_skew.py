@@ -29,6 +29,34 @@ def test_salted_join_matches_plain(spark):
     assert len(a) > 1000
 
 
+def test_salted_closure_matches_plain(spark):
+    """Hub-skewed DAG (every leaf's paths funnel through one hub, the
+    ontology-root shape): salted closure must be output-identical to the
+    unsalted operator under both iteration methods."""
+    from modware_loader_spark.operators.closure import transitive_closure
+
+    leaves = spark.range(2000).select(
+        (F.col("id") + 100).alias("subject"), F.lit(1).alias("object")
+    )
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "subject long, object long"
+    )
+    edges = leaves.unionByName(chain)
+    plain = {
+        tuple(r)
+        for r in transitive_closure(edges, method="frontier").collect()
+    }
+    assert len(plain) == 2000 * 4 + 3 + 2 + 1  # leaves×{1..4} + chain tails
+    for method in ("frontier", "doubling"):
+        salted = {
+            tuple(r)
+            for r in transitive_closure(
+                edges, method=method, salt_buckets=4
+            ).collect()
+        }
+        assert salted == plain, method
+
+
 def test_salted_aggregate_matches_plain(spark):
     fact = _skewed(spark)
     plain = {
