@@ -574,11 +574,28 @@ def cmd_chadopub2bib(args) -> dict:
                         pubmed_xml_to_bibtex(fh.read(), pmids=pmids, xslt_path=args.xslt)
                     )
         return {"pages": len(files)}
-    rows = pub2bib_rows(spark, args.xml, pmids=pmids).orderBy("file").collect()
-    with open(args.output, "w") as fh:
-        for r in rows:
-            fh.write(r.bibtex)
-    return {"pages": len(rows)}
+    # Streamed like dictynonpub2bib: no result-set collect. Byte format
+    # is identical to concatenating page texts — every non-empty page
+    # ends "\n\n" (plans/pub2bib.py::_entry), so we strip one trailing
+    # newline and let the text datasource's own row newline restore it;
+    # pages whose every entry was pmid-filtered away contribute nothing.
+    from modware_loader_spark.sinks.text import write_single_text
+
+    pages = (
+        pub2bib_rows(spark, args.xml, pmids=pmids)
+        .filter(F.length("bibtex") > 0)
+        .withColumn(
+            "bibtex",
+            F.when(
+                F.col("bibtex").endswith("\n"),
+                F.expr("substring(bibtex, 1, length(bibtex) - 1)"),
+            ).otherwise(F.col("bibtex")),
+        )
+    )
+    n = write_single_text(
+        pages, "bibtex", args.output, order_by="file", record_separator=""
+    )
+    return {"pages": n}
 
 
 def cmd_pubmedpatch(args) -> dict:
