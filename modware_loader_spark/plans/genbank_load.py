@@ -299,45 +299,75 @@ def genbank_to_gff3_rows(
     scaffold_named = scaffold_seq.select(
         F.lit(locus).alias("seq_id"), F.col("sequence")
     )
-    ref_seq = F.broadcast(scaffold_named)
-    gene_seq = (
-        body.filter(is_gene)
-        .crossJoin(ref_seq.select(F.col("sequence").alias("__ref")))
-        .select(
-            F.col("gene_uq").alias("seq_id"),
-            F.expr("substring(__ref, start, end - start + 1)").alias("__sub"),
-            "strand",
+    # Chunked slicing (VERDICT r05 item 6): the scaffold string is split
+    # ONCE into fixed-size chunks and each interval equi-joins only the
+    # chunk numbers it overlaps — the whole-scaffold string is never
+    # broadcast, so a chromosome-scale scaffold no longer replicates
+    # ~100 MB per task (the chunked shape ``sources/stitch.py``
+    # established for parsers, applied to residue slicing).
+    CHUNK = 65536
+    chunks = scaffold_named.select(
+        F.posexplode(
+            F.expr(f"regexp_extract_all(sequence, '.{{1,{CHUNK}}}', 0)")
+        ).alias("__chunk_no", "__chunk")
+    )
+
+    def chunk_sliced(intervals, start_col, end_col, group_cols, order_cols):
+        """Concat of substring pieces per group, ordered by
+        (*order_cols, chunk_no) — identical bytes to slicing the whole
+        string, without shipping it whole."""
+        lo = F.floor((F.col(start_col) - 1) / CHUNK).cast("int")
+        hi = F.floor((F.col(end_col) - 1) / CHUNK).cast("int")
+        return (
+            intervals.withColumn("__chunk_no", F.explode(F.sequence(lo, hi)))
+            .join(chunks, "__chunk_no")
+            .withColumn(
+                "__piece",
+                F.expr(
+                    f"substring(__chunk, greatest({start_col} - __chunk_no * {CHUNK}L, 1), "
+                    f"least({end_col} - __chunk_no * {CHUNK}L, {CHUNK}) "
+                    f"- greatest({start_col} - __chunk_no * {CHUNK}L, 1) + 1)"
+                ),
+            )
+            .groupBy(*group_cols)
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    *order_cols,
+                                    "__chunk_no",
+                                    F.col("__piece").alias("piece"),
+                                )
+                            )
+                        ),
+                        lambda s: s.piece,
+                    ),
+                    "",
+                ).alias("__joined")
+            )
         )
-        .select(
-            "seq_id",
-            F.when(F.col("strand") == -1, _revcomp(F.col("__sub")))
-            .otherwise(F.col("__sub"))
-            .alias("sequence"),
-        )
+
+    gene_seq = chunk_sliced(
+        body.filter(is_gene).select("gene_uq", "start", "end", "strand"),
+        "start", "end", ["gene_uq", "strand"], [],
+    ).select(
+        F.col("gene_uq").alias("seq_id"),
+        F.when(F.col("strand") == -1, _revcomp(F.col("__joined")))
+        .otherwise(F.col("__joined"))
+        .alias("sequence"),
     )
     # transcript spliced seq: ordered segment substrings concatenated,
     # revcomp on minus strand (BioPerl spliced_seq, :633-637)
-    tr_seq = (
-        segs.crossJoin(ref_seq.select(F.col("sequence").alias("__ref")))
-        .withColumn(
-            "piece", F.expr("substring(__ref, seg_start, seg_end - seg_start + 1)")
-        )
-        .groupBy("tr_uq", "strand")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seg_n", "piece"))),
-                    lambda s: s.piece,
-                ),
-                "",
-            ).alias("__joined")
-        )
-        .select(
-            F.col("tr_uq").alias("seq_id"),
-            F.when(F.col("strand") == -1, _revcomp(F.col("__joined")))
-            .otherwise(F.col("__joined"))
-            .alias("sequence"),
-        )
+    tr_seq = chunk_sliced(
+        segs.select("tr_uq", "strand", "seg_n", "seg_start", "seg_end"),
+        "seg_start", "seg_end", ["tr_uq", "strand"], ["seg_n"],
+    ).select(
+        F.col("tr_uq").alias("seq_id"),
+        F.when(F.col("strand") == -1, _revcomp(F.col("__joined")))
+        .otherwise(F.col("__joined"))
+        .alias("sequence"),
     )
     poly_seq = polys.filter(
         F.element_at(q, "translation").isNotNull()
