@@ -116,7 +116,9 @@ class ChadoCatalog:
                 out[name] = self.spark.read.parquet(path)
         return out
 
-    # -- JDBC mirror (untested in this container: no database server) ----
+    # -- JDBC mirror (round-trip-tested in-JVM via embedded Derby,
+    #    tests/test_jdbc.py; Postgres/Oracle differ only by driver jar
+    #    + url, which Spark's JDBC dialects handle) -----------------------
     def save_jdbc(self, tables: dict[str, DataFrame], url: str,
                   properties: dict | None = None, batchsize: int = 4000) -> None:
         """Write each table over JDBC. ``batchsize`` default mirrors the
