@@ -1,0 +1,205 @@
+"""Corpus-curation operators: Gopher document-quality rules, CCNet-style
+line-level deduplication, and corpus n-gram frequency reports.
+
+These complete the curation family around ``operators/text.py`` (which
+holds the per-document scoring/fingerprinting primitives) with the
+corpus-level verbs an LLM training-data pipeline runs before training:
+
+- **Gopher quality rules** (Rae et al. 2021, "Scaling Language Models",
+  appendix A1.1): word-count bounds, mean-word-length bounds, minimum
+  alphabetic-word fraction, minimum distinct-stopword hits, boilerplate
+  markers. Pure column expressions — a zero-shuffle map stage at any
+  scale. (The *repetition* half of Gopher's filters lives in
+  ``text.repetition_stats``; this is the quality half.)
+- **Line-level dedup** (CCNet, Wenzek et al. 2020; RefinedWeb): drop
+  every line that occurs verbatim in >= ``min_docs`` distinct documents
+  (navigation chrome, cookie banners, boilerplate headers), keeping
+  per-document line order. One shuffle on the md5 line key (uniform by
+  construction) to count document frequency, one to reassemble — the
+  same two-shuffle shape at 100 TB, with AQE free to pick the join.
+- **n-gram top-k**: corpus-wide most-frequent word n-grams with total
+  and document frequency — the report that drives stopword lists,
+  contamination screens, and boilerplate discovery. explode → groupBy
+  (uniform md5-free string keys, map-side partial aggregation) → one
+  small ordered head.
+
+Everything is built-in ``pyspark.sql.functions``; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from modware_loader_spark.operators.text import tokens
+
+# Gopher's "must contain >= 2 of these" stopword list (Rae et al. 2021
+# A1.1 — the eight common English words the rule is defined over).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_stats(text_col: Column) -> dict[str, Column]:
+    """Per-document inputs to the Gopher quality rules, as columns.
+
+    ``mean_word_len`` is computed as one double division at the end
+    (exact integer sum of lengths / exact count) so an external oracle
+    reproduces it bit-for-bit.
+    """
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(toks, F.lower),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    lowered = F.lower(text_col)
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.round(sum_len.cast("double") / n_words, 6),
+        "frac_alpha_words": F.round(n_alpha.cast("double") / n_words, 6),
+        "stopword_hits": stop_hits,
+        "has_lorem": lowered.contains("lorem ipsum").cast("int"),
+        "has_brace": lowered.contains("{").cast("int"),
+    }
+
+
+def gopher_quality_keep(
+    stats: dict[str, Column],
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """The Gopher keep decision over ``gopher_quality_stats`` columns.
+
+    Thresholds default to the published values; they are parameters
+    because every corpus re-tunes them.
+    """
+    return (
+        stats["n_words"].between(min_words, max_words)
+        & stats["mean_word_len"].between(min_mean_word_len, max_mean_word_len)
+        & (stats["frac_alpha_words"] >= min_alpha_frac)
+        & (stats["stopword_hits"] >= min_stopword_hits)
+        & (stats["has_lorem"] == 0)
+        & (stats["has_brace"] == 0)
+    )
+
+
+def reline(text_col: Column, words_per_line: int) -> Column:
+    """Deterministically re-wrap whitespace text into ``words_per_line``-
+    word lines joined by ``\\n``.
+
+    Line-level operators act on real newlines; corpora that arrive as
+    single-line text (like the synthetic test tables) get a reproducible
+    line structure from this pure column expression so the line-level
+    machinery is exercised end to end.
+    """
+    toks = tokens(text_col)
+    n_lines = F.ceil(F.size(toks) / F.lit(words_per_line)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(1), n_lines),
+        lambda i: F.array_join(
+            F.slice(toks, (i - F.lit(1)) * words_per_line + 1, words_per_line),
+            " ",
+        ),
+    )
+    return F.array_join(lines, "\n")
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_delim: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Drop every line occurring in >= ``min_docs`` distinct documents.
+
+    Returns one row per document: ``(id, n_lines, n_kept, n_dropped,
+    cleaned_fp)`` where ``cleaned_fp`` is the md5 of the document with
+    its duplicated lines removed (order of surviving lines preserved).
+    Comparison happens on the fingerprint so the result stays narrow at
+    any corpus size.
+
+    Scale shape: lines explode map-side; document frequency is one
+    groupBy on the md5 line hash (uniform key); the count joins back on
+    the same hash (AQE may broadcast it when the distinct-line set is
+    small); reassembly is one groupBy on the document id. A line that
+    appears on *every* page of a crawl is a hot hash in the doc-frequency
+    aggregation — two-phase partial aggregation (Spark's default here)
+    absorbs it because counts combine associatively.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_delim)).alias(
+            "__line_no", "__line"
+        ),
+    ).withColumn("__lh", F.md5(F.lower(F.trim(F.col("__line")))))
+    doc_freq = lines.groupBy("__lh").agg(
+        F.count_distinct(F.col(id_col)).alias("__df")
+    )
+    flagged = lines.join(doc_freq, "__lh").withColumn(
+        "__dup", (F.col("__df") >= min_docs).cast("int")
+    )
+    kept_struct = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("__dup") == 0,
+                F.struct(F.col("__line_no"), F.col("__line")),
+            )
+        )
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(1 - F.col("__dup")).cast("long").alias("n_kept"),
+        F.sum("__dup").cast("long").alias("n_dropped"),
+        F.md5(
+            F.array_join(
+                F.transform(kept_struct, lambda s: s["__line"]), "\n"
+            )
+        ).alias("cleaned_fp"),
+    )
+
+
+def ngram_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-wide top-``k`` word ``n``-grams: ``(gram, total, doc_freq)``
+    ordered by (total desc, gram asc) — fully deterministic.
+
+    ``doc_freq`` piggybacks on the same shuffle (count_distinct over the
+    exploded (gram, doc) pairs). The final global head is a TakeOrdered
+    over per-partition heads — no single-partition sort of the full gram
+    table.
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    return (
+        exploded.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total"),
+            F.count_distinct(F.col(id_col)).alias("doc_freq"),
+        )
+        .orderBy(F.desc("total"), F.asc("gram"))
+        .limit(k)
+    )

@@ -337,3 +337,131 @@ def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.rebalance_mixture(
         t["documents"], "lang", "doc_id", _MIX_WEIGHTS, salt="mix"
     ).select("doc_id", "lang", "source")
+
+
+@query(
+    "text_gopher_quality_keep",
+    """
+    WITH d AS (SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents),
+    s AS (SELECT doc_id, len(w) AS n_words,
+            round(list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w), 6) AS mean_word_len,
+            round(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(w), 6) AS frac_alpha_words,
+            len(list_intersect(list_transform(w, x -> lower(x)),
+                ['the','be','to','of','and','that','have','with'])) AS stopword_hits,
+            CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END AS has_lorem,
+            CASE WHEN contains(lower(text), '{') THEN 1 ELSE 0 END AS has_brace
+          FROM d)
+    SELECT doc_id, n_words, mean_word_len, frac_alpha_words, stopword_hits,
+           CASE WHEN n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+                 AND frac_alpha_words >= 0.8 AND stopword_hits >= 1
+                 AND has_lorem = 0 AND has_brace = 0 THEN 1 ELSE 0 END AS keep
+    FROM s
+    """,
+)
+def text_gopher_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021 A1.1) — the
+    quality half complementing ``text_repetition_gopher``. Zero-shuffle
+    map stage: every rule is a column expression over the token array.
+    ``min_stopword_hits=1`` because the synthetic vocabulary contains
+    only one of Gopher's eight stopwords; the published default (2)
+    stays the library default (``operators/curation.py``)."""
+    from modware_loader_spark.operators import curation as CU
+
+    t = load_tables(spark, sf_dir)
+    stats = CU.gopher_quality_stats(F.col("text"))
+    return t["documents"].select(
+        "doc_id",
+        stats["n_words"].alias("n_words"),
+        stats["mean_word_len"].alias("mean_word_len"),
+        stats["frac_alpha_words"].alias("frac_alpha_words"),
+        stats["stopword_hits"].alias("stopword_hits"),
+        CU.gopher_quality_keep(stats, min_stopword_hits=1)
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+@query(
+    "dedup_line_level",
+    """
+    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    l AS (SELECT doc_id, i AS line_no, array_to_string(w[(i-1)*3+1:i*3], ' ') AS line
+          FROM w, unnest(generate_series(1, cast(ceil(len(w)/3.0) AS int))) AS t(i)),
+    h AS (SELECT doc_id, line_no, line, md5(lower(trim(line))) AS lh FROM l),
+    f AS (SELECT lh, count(distinct doc_id) AS df FROM h GROUP BY lh),
+    j AS (SELECT h.*, CASE WHEN f.df >= 2 THEN 1 ELSE 0 END AS dup FROM h JOIN f USING (lh))
+    SELECT doc_id, count(*)::BIGINT AS n_lines, sum(1-dup)::BIGINT AS n_kept,
+           sum(dup)::BIGINT AS n_dropped,
+           md5(coalesce(array_to_string(array_agg(CASE WHEN dup=0 THEN line END ORDER BY line_no)
+                 FILTER (WHERE dup=0), chr(10)), '')) AS cleaned_fp
+    FROM j GROUP BY doc_id
+    """,
+)
+def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb line-level dedup: drop every line occurring in
+    >= 2 distinct documents (boilerplate removal), preserving the order
+    of surviving lines; compare on the md5 of the cleaned document.
+
+    The single-line synthetic corpus is deterministically re-wrapped
+    into 3-word lines first (``curation.reline``) so the line machinery
+    — explode, uniform-hash doc-frequency shuffle, join-back, ordered
+    reassembly — runs end to end exactly as it would on real newline
+    text (at sf0.01 ~34% of lines are corpus-duplicated)."""
+    from modware_loader_spark.operators import curation as CU
+
+    t = load_tables(spark, sf_dir)
+    relined = t["documents"].select(
+        "doc_id", CU.reline(F.col("text"), 3).alias("text")
+    )
+    return CU.line_dedup(relined, min_docs=2).select(
+        "doc_id", "n_lines", "n_kept", "n_dropped", "cleaned_fp"
+    )
+
+
+@query(
+    "text_ngram_topk",
+    """
+    WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN
+            list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+            ELSE [] END) AS gram FROM d)
+    SELECT gram, count(*)::BIGINT AS total, count(distinct doc_id)::BIGINT AS doc_freq
+    FROM g GROUP BY gram ORDER BY total DESC, gram ASC LIMIT 20
+    """,
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word 3-grams with total and document frequency
+    — the boilerplate-discovery / stopword-curation report. Map-side
+    partial aggregation absorbs hot grams; the global head is a
+    TakeOrdered over per-partition heads, never a full sort."""
+    from modware_loader_spark.operators import curation as CU
+
+    t = load_tables(spark, sf_dir)
+    return CU.ngram_topk(t["documents"], n=3, k=20)
+
+
+@query(
+    "similarity_hamming_topk",
+    """
+    WITH p AS (SELECT vec_id,
+            list_transform(range(2), wi -> list_sum(list_transform(range(32),
+              j -> CASE WHEN embedding[wi*32+j+1] >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT)
+            AS bits FROM embeddings),
+    s AS (SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+            (bit_count(xor(q.bits[1], t.bits[1])) + bit_count(xor(q.bits[2], t.bits[2]))) AS hamming
+          FROM p q JOIN p t ON q.vec_id < 20 AND q.vec_id <> t.vec_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, target_id) AS rank FROM s)
+    SELECT query_id, target_id, hamming, rank FROM r WHERE rank <= 5
+    """,
+)
+def similarity_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-embedding ANN: sign bits packed into 32-bit words, exact
+    Hamming top-5 for 20 queries (XOR + popcount per word pair) — the
+    1-bit/dim point on the compression curve after int8 and PQ; the
+    32x-smaller scan is the production fallback when no index fits
+    (``operators/binary_embed.py``)."""
+    from modware_loader_spark.operators import binary_embed as BE
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return BE.hamming_topk(emb.filter(F.col("vec_id") < 20), emb, k=5, dim=64)

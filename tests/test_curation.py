@@ -154,3 +154,118 @@ def test_semantic_dedup_drops_near_duplicates(spark):
     kept = set(r.vec_id for r in semantic_dedup(df, nlist=8, threshold=0.999999).collect())
     assert 200 in kept and 3 in kept
     assert 100 not in kept and 101 not in kept
+
+
+def test_gopher_quality_rules_handcrafted(spark):
+    """Each Gopher rule (Rae et al. 2021 A1.1) trips on a doc crafted to
+    violate exactly that rule; a compliant doc passes."""
+    from modware_loader_spark.operators import curation as CU
+
+    good = "the " + " ".join(f"word{i} and of" for i in range(20))  # 61 words
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "the of and short text"),  # < 50 words
+            (3, "the of and " + "a " * 60),  # mean word len < 3
+            (4, "the of and " + "superlongtokenword " * 60),  # mean > 10
+            (5, "the of and " + "123 456 " * 40),  # alpha fraction < .8
+            (6, " ".join(f"w{i}" for i in range(60))),  # 0 stopword hits
+            (7, good + " lorem ipsum dolor"),
+            (8, good + " {code}"),
+        ],
+        "doc_id long, text string",
+    )
+    stats = CU.gopher_quality_stats(F.col("text"))
+    out = {
+        r.doc_id: r.keep
+        for r in docs.select(
+            "doc_id", CU.gopher_quality_keep(stats).cast("int").alias("keep")
+        ).collect()
+    }
+    assert out == {1: 1, 2: 0, 3: 0, 4: 0, 5: 0, 6: 0, 7: 0, 8: 0}
+
+
+def test_line_dedup_handcrafted(spark):
+    """Boilerplate lines (>= min_docs docs) drop; unique lines survive in
+    order; a doc of only boilerplate keeps md5('') as its fingerprint."""
+    import hashlib
+
+    from modware_loader_spark.operators import curation as CU
+
+    banner = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\nunique first\nunique second"),
+            (2, f"unique third\n{banner}"),
+            (3, banner),
+            (4, "all original here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in CU.line_dedup(docs, min_docs=2).collect()}
+    assert (out[1].n_lines, out[1].n_kept, out[1].n_dropped) == (3, 2, 1)
+    assert out[1].cleaned_fp == hashlib.md5(
+        b"unique first\nunique second"
+    ).hexdigest()
+    assert (out[3].n_kept, out[3].n_dropped) == (0, 1)
+    assert out[3].cleaned_fp == hashlib.md5(b"").hexdigest()
+    assert out[4].n_dropped == 0
+
+
+def test_reline_word_grouping(spark):
+    from modware_loader_spark.operators import curation as CU
+
+    df = spark.createDataFrame([("a b c d e",)], "text string")
+    assert df.select(CU.reline(F.col("text"), 2).alias("t")).first().t == (
+        "a b\nc d\ne"
+    )
+
+
+def test_ngram_topk_deterministic_order(spark):
+    """Ties break on the gram string; counts and doc frequency agree with
+    a hand count."""
+    from modware_loader_spark.operators import curation as CU
+
+    docs = spark.createDataFrame(
+        [(1, "x y z x y z"), (2, "x y z only"), (3, "b b b b")],
+        "doc_id long, text string",
+    )
+    rows = [tuple(r) for r in CU.ngram_topk(docs, n=3, k=3).collect()]
+    # 'x y z': doc1 twice + doc2 once = 3 total / 2 docs; 'b b b': 2/1;
+    # among the total=1 grams 'y z only' sorts first ('o' < 'x')
+    assert rows == [("x y z", 3, 2), ("b b b", 2, 1), ("y z only", 1, 1)]
+
+
+def test_hamming_topk_handcrafted(spark):
+    """Known sign patterns give known distances; self excluded; ties on
+    distance break by target id."""
+    from modware_loader_spark.operators import binary_embed as BE
+
+    def vec(signs):
+        return [float(s) for s in signs]
+
+    base = [1] * 8
+    flip2 = [1, -1, 1, 1, -1, 1, 1, 1]
+    flip4 = [-1, -1, 1, 1, -1, -1, 1, 1]
+    emb = spark.createDataFrame(
+        [(0, vec(base)), (1, vec(flip2)), (2, vec(flip4)), (3, vec(base))],
+        "vec_id long, embedding array<float>",
+    )
+    out = BE.hamming_topk(
+        emb.filter(F.col("vec_id") == 0), emb, k=3, dim=8
+    ).collect()
+    got = [(r.target_id, r.hamming, r.rank) for r in out]
+    assert got == [(3, 0, 1), (1, 2, 2), (2, 4, 3)]
+
+
+def test_pack_sign_bits_matches_manual(spark):
+    """Word packing is little-endian within each 32-bit word and pads the
+    tail with zero bits."""
+    from modware_loader_spark.operators import binary_embed as BE
+
+    v = [1.0 if i in (0, 5, 33) else -1.0 for i in range(40)]
+    df = spark.createDataFrame([(v,)], "embedding array<float>")
+    words = df.select(
+        BE.pack_sign_bits(F.col("embedding"), 40).alias("w")
+    ).first().w
+    assert words == [(1 << 0) + (1 << 5), (1 << 1)]
