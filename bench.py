@@ -63,6 +63,15 @@ BENCH_QUERIES = [
     "text_chunk_windows",
     "pack_token_budget",
     "sample_mixture_rebalance",
+    # round-5 additions
+    "text_pii_scrub",
+    "similarity_ivfpq_topk",
+    "embed_quantize_int8",
+    # round-6 additions
+    "text_gopher_quality_keep",
+    "dedup_line_level",
+    "text_ngram_topk",
+    "similarity_hamming_topk",
 ]
 
 
