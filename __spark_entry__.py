@@ -32,12 +32,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # The external driver records the FIRST 50 queries. Round-6 rotation
 # (VERDICT r05 item 1): the three round-5 newcomers (text_pii_scrub,
 # similarity_ivfpq_topk, embed_quantize_int8) are promoted into the head
-# so they earn driver-verified rows, as are the four queries new in
+# so they earn driver-verified rows, as are the five queries new in
 # round 6 (text_gopher_quality_keep, dedup_line_level, text_ngram_topk,
-# similarity_hamming_topk); seven queries green in BOTH r4 and r5 yield
-# their slots (they stay green under tests/test_oracle_parity.py, which
-# iterates the full dict). Union of r4+r5+r6 driver-green rows then
-# covers all 81 registered queries.
+# similarity_hamming_topk, similarity_hamming_rerank_topk); eight
+# queries green in BOTH r4 and r5 yield their slots (they stay green
+# under tests/test_oracle_parity.py, which iterates the full dict). Union of r4+r5+r6 driver-green rows then
+# covers all 82 registered queries.
 _DEPRIORITIZED = [
     # --- green in both r4 and r5, rotated out for round 6 ---
     "q1_pricing_summary",           # r04+r05 green
@@ -47,6 +47,7 @@ _DEPRIORITIZED = [
     "text_bpe_token_count",         # r04+r05 green
     "text_chunk_windows",           # r04+r05 green
     "decontam_ngram_overlap",       # r04+r05 green
+    "dedup_ngram_jaccard",          # r04+r05 green
     # --- r04 driver-green, rotated out for round 5 ---
     "q3_top_revenue_orders",        # r04 green
     "m1_new_keys_anti_join",        # r04 green

@@ -105,3 +105,56 @@ def hamming_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "target_id", "hamming", "rank")
     )
+
+
+def hamming_rerank_topk(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 5,
+    shortlist: int = 32,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production binary-ANN composition: Hamming shortlist → exact
+    cosine re-rank (same two-stage shape as ``pq.pq_rerank_topk``).
+
+    Stage 1 scans only packed words (8 bytes per 64-d vector) and keeps
+    the ``shortlist`` Hamming-nearest candidates per query; stage 2
+    fetches float vectors for shortlist rows alone and re-ranks by exact
+    cosine. At corpus scale the float table is touched for
+    |queries|·shortlist rows instead of |corpus| — the re-rank join
+    broadcasts the shortlist pairs, so the corpus side never shuffles.
+    """
+    from modware_loader_spark.operators.similarity import dot, norm
+
+    short = hamming_topk(
+        queries, targets, k=shortlist, dim=dim, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "target_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    tv = targets.select(
+        F.col(id_col).alias("target_id"),
+        F.col(vec_col).alias("t_vec"),
+        norm(F.col(vec_col)).alias("t_norm"),
+    )
+    scored = (
+        tv.join(F.broadcast(short.join(F.broadcast(qv), "query_id")), "target_id")
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("q_vec"), F.col("t_vec"))
+                / (F.col("q_norm") * F.col("t_norm")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("target_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "target_id", "cos", "rank")
+    )

@@ -465,3 +465,40 @@ def similarity_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
     return BE.hamming_topk(emb.filter(F.col("vec_id") < 20), emb, k=5, dim=64)
+
+
+@query(
+    "similarity_hamming_rerank_topk",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e,
+            list_transform(range(2), wi -> list_sum(list_transform(range(32),
+              j -> CASE WHEN embedding[wi*32+j+1] >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT)
+            AS bits FROM embeddings),
+    s AS (SELECT q.vec_id AS query_id, t.vec_id AS target_id, q.e AS qe, t.e AS te,
+            (bit_count(xor(q.bits[1], t.bits[1])) + bit_count(xor(q.bits[2], t.bits[2]))) AS hamming
+          FROM v q JOIN v t ON q.vec_id < 20 AND q.vec_id <> t.vec_id),
+    short AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, target_id) AS hrank
+              FROM s QUALIFY hrank <= 32),
+    scored AS (SELECT query_id, target_id,
+            round(list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * te[i]))
+              / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+                 * sqrt(list_sum(list_transform(te, x -> x * x)))), 6) AS cos
+          FROM short),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, target_id) AS rank
+          FROM scored)
+    SELECT query_id, target_id, cos, rank FROM r WHERE rank <= 5
+    """,
+)
+def similarity_hamming_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-ANN production composition: Hamming shortlist (32) over
+    sign-packed words, exact cosine re-rank of the shortlist only — the
+    packed scan touches 8 bytes/vector, the float table is read for
+    |queries|x32 rows instead of the whole corpus
+    (``binary_embed.hamming_rerank_topk``)."""
+    from modware_loader_spark.operators import binary_embed as BE
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return BE.hamming_rerank_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=5, shortlist=32, dim=64
+    )
