@@ -107,3 +107,29 @@ def stream_decontaminate(
 
     toks = F.split(F.trim(F.col(text_col)), " ")
     return docs.filter(~F.arrays_overlap(ngrams(toks, n), F.lit(bench_grams)))
+
+
+def stream_quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Streaming Gopher quality gate: keep documents passing the
+    A1.1 quality rules — the streaming twin of the batch
+    ``text_gopher_quality_keep`` query.
+
+    STATELESS like ``stream_decontaminate``: every rule is a column
+    expression over the document itself (``operators.curation``), so
+    this runs in append mode with no state store, no watermark and no
+    shuffle — quality gating belongs on the ingest stream, before
+    anything stateful pays for the rejected rows.
+    """
+    from modware_loader_spark.operators.curation import (
+        gopher_quality_keep,
+        gopher_quality_stats,
+    )
+
+    stats = gopher_quality_stats(F.col(text_col))
+    return docs.filter(
+        gopher_quality_keep(stats, min_stopword_hits=min_stopword_hits)
+    )

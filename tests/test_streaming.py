@@ -313,3 +313,38 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # not re-emit or grow it
     assert (10, 1) in rows
     assert (10, 2) not in rows
+
+
+def test_stream_quality_filter_matches_batch(spark, tmp_path):
+    """Streaming Gopher quality gate keeps exactly the documents the
+    batch rule evaluation keeps, in append mode with no state."""
+    from modware_loader_spark.operators.curation import (
+        gopher_quality_keep,
+        gopher_quality_stats,
+    )
+    from modware_loader_spark.streaming.events import stream_quality_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stats = gopher_quality_stats(F.col("text"))
+    batch_kept = sorted(
+        r.doc_id
+        for r in docs.filter(
+            gopher_quality_keep(stats, min_stopword_hits=1)
+        ).select("doc_id").collect()
+    )
+    path = str(tmp_path / "docs_q_stream")
+    docs.write.parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    q = (
+        stream_quality_filter(stream, min_stopword_hits=1)
+        .writeStream.format("memory")
+        .queryName("quality_t")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    stream_kept = sorted(
+        r.doc_id for r in spark.sql("SELECT doc_id FROM quality_t").collect()
+    )
+    assert stream_kept == batch_kept and len(stream_kept) > 0
