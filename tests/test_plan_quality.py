@@ -123,3 +123,39 @@ def test_no_single_partition_exchange_anywhere(spark, sf_dir):
         if n:
             offenders[name] = n
     assert not offenders, offenders
+
+
+def test_line_dedup_plan_equi_joins_only(spark, sf_dir):
+    """Line-level dedup: the doc-frequency join-back must be an equi-join
+    on the line hash (broadcastable under AQE), never a product; the
+    documents scan prunes to (doc_id, text)."""
+    plan = _plan(spark, "dedup_line_level", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    docs = [s for s in schemas if "text" in s]
+    assert docs and len(docs[0].split(",")) <= 2
+
+
+def test_ngram_topk_plan_take_ordered(spark, sf_dir):
+    """The corpus n-gram head must plan as TakeOrdered over partial
+    aggregates — a global Sort of the full gram table is the 100 TB
+    failure mode."""
+    plan = _plan(spark, "text_ngram_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_hamming_scan_broadcasts_queries(spark, sf_dir):
+    """Binary-ANN scans: the query batch broadcasts; the corpus side
+    must never shuffle for candidate generation."""
+    for name in ("similarity_hamming_topk", "similarity_hamming_rerank_topk"):
+        plan = _plan(spark, name, sf_dir)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_gopher_quality_zero_shuffle(spark, sf_dir):
+    """The quality gate is a pure map stage: no exchange anywhere."""
+    plan = _plan(spark, "text_gopher_quality_keep", sf_dir)
+    assert "Exchange" not in plan
