@@ -107,3 +107,104 @@ def decontaminate(
     return documents.join(
         F.broadcast(dirty.select(id_col)), id_col, "left_anti"
     )
+
+
+# --------------------------------------------------------- Bloom filter
+#
+# The probe-side scale path promised above: instead of shipping the
+# benchmark gram set (strings or hashes) into every task, ship an m-bit
+# Bloom filter packed into array<long>. The probe stays a stateless
+# map-side column expression (bit_get over a literal word array), the
+# broadcast payload drops to m/8 bytes, and false positives only make
+# the gate MORE conservative (a clean doc dropped), never less — the
+# right failure direction for decontamination.
+
+
+def bloom_build(
+    bench: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    m_bits: int = 1 << 17,
+    k_hashes: int = 4,
+) -> list[int]:
+    """Build the benchmark-gram Bloom filter: ``m_bits/64`` longs.
+
+    Bit positions come from ``xxhash64(gram || '#' || i)`` computed BY
+    SPARK (one job over the eval-sized benchmark set), so the probe plan
+    reproduces them exactly — xxhash64 has no portable Python twin.
+    """
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    pos_rows = (
+        bench.select(F.explode(ngrams(toks, n)).alias("gram"))
+        .distinct()
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(k_hashes - 1)),
+                    lambda i: F.pmod(
+                        F.xxhash64(
+                            F.concat(F.col("gram"), F.lit("#"), i.cast("string"))
+                        ),
+                        F.lit(m_bits),
+                    ),
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * ((m_bits + 63) // 64)
+    for r in pos_rows:
+        p = r.pos
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement into signed 64-bit (Spark longs)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_probe(gram: Column, words: list[int], m_bits: int, k_hashes: int) -> Column:
+    """True iff every one of the gram's ``k_hashes`` bits is set."""
+    lit_words = F.array(*[F.lit(w).cast("long") for w in words])
+    return F.forall(
+        F.sequence(F.lit(0), F.lit(k_hashes - 1)),
+        lambda i: F.bit_get(
+            F.element_at(
+                lit_words,
+                (
+                    F.floor(
+                        F.pmod(
+                            F.xxhash64(F.concat(gram, F.lit("#"), i.cast("string"))),
+                            F.lit(m_bits),
+                        )
+                        / 64
+                    )
+                    + 1
+                ).cast("int"),
+            ),
+            F.pmod(
+                F.xxhash64(F.concat(gram, F.lit("#"), i.cast("string"))),
+                F.lit(m_bits),
+            ).cast("int")
+            % 64,
+        )
+        == 1,
+    )
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    bloom_words: list[int],
+    text_col: str = "text",
+    n: int = 8,
+    m_bits: int = 1 << 17,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Keep documents none of whose n-grams hit the benchmark Bloom
+    filter. Sound (never keeps a contaminated doc the exact gate would
+    drop); false positives drop extra clean docs at the configured rate
+    (~(1-e^{-kn/m})^k). Stateless map stage — works identically under
+    Structured Streaming (same shape as ``stream_decontaminate``)."""
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    hit = F.exists(
+        ngrams(toks, n), lambda g: bloom_probe(g, bloom_words, m_bits, k_hashes)
+    )
+    return df.filter(~hit)

@@ -290,3 +290,30 @@ def test_hamming_rerank_recall(spark):
     # 1-bit sketches on near-isotropic vectors: generous floor, pinned to
     # catch packing/distance regressions rather than to certify recall
     assert recall >= 0.5, recall
+
+
+def test_bloom_decontaminate_sound_and_tight(spark):
+    """Bloom gate is sound vs the exact gate (no contaminated doc
+    survives) and, at the default sizing, drops no extra docs on the
+    sf0.001 corpus (false-positive rate ~1e-5 at k=4, m=128Ki bits)."""
+    from modware_loader_spark.operators.decontam import (
+        bloom_build,
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    exact_kept = {
+        r.doc_id for r in decontaminate(docs, bench, n=5).select("doc_id").collect()
+    }
+    words = bloom_build(bench, n=5)
+    bloom_kept = {
+        r.doc_id
+        for r in bloom_decontaminate(docs, words, n=5).select("doc_id").collect()
+    }
+    # soundness: bloom never keeps what exact drops
+    assert bloom_kept <= exact_kept
+    # tightness at this sizing: no false positives on this corpus
+    assert bloom_kept == exact_kept
+    assert len(bloom_kept) > 0
