@@ -162,29 +162,25 @@ def bloom_build(
 
 
 def bloom_probe(gram: Column, words: list[int], m_bits: int, k_hashes: int) -> Column:
-    """True iff every one of the gram's ``k_hashes`` bits is set."""
+    """True iff every one of the gram's ``k_hashes`` bits is set.
+
+    The bit positions materialize once into a small array (one xxhash64
+    per seed) and the word/bit lookups run over that — the hash is not
+    re-evaluated per lookup operand.
+    """
     lit_words = F.array(*[F.lit(w).cast("long") for w in words])
-    return F.forall(
+    positions = F.transform(
         F.sequence(F.lit(0), F.lit(k_hashes - 1)),
-        lambda i: F.bit_get(
-            F.element_at(
-                lit_words,
-                (
-                    F.floor(
-                        F.pmod(
-                            F.xxhash64(F.concat(gram, F.lit("#"), i.cast("string"))),
-                            F.lit(m_bits),
-                        )
-                        / 64
-                    )
-                    + 1
-                ).cast("int"),
-            ),
-            F.pmod(
-                F.xxhash64(F.concat(gram, F.lit("#"), i.cast("string"))),
-                F.lit(m_bits),
-            ).cast("int")
-            % 64,
+        lambda i: F.pmod(
+            F.xxhash64(F.concat(gram, F.lit("#"), i.cast("string"))),
+            F.lit(m_bits),
+        ),
+    )
+    return F.forall(
+        positions,
+        lambda p: F.bit_get(
+            F.element_at(lit_words, (F.floor(p / 64) + 1).cast("int")),
+            (p % 64).cast("int"),
         )
         == 1,
     )
