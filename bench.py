@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "dedup_line_level",
     "text_ngram_topk",
     "similarity_hamming_topk",
+    "similarity_hamming_rerank_topk",
 ]
 
 

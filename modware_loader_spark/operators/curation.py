@@ -92,6 +92,23 @@ def gopher_quality_keep(
     )
 
 
+def reline_tokens(tokens_col: Column, words_per_line: int) -> Column:
+    """``reline`` over an already-materialized token array — use this
+    form when the tokens live in a projected column, so the split is not
+    re-inlined (and re-evaluated) once per output line."""
+    n_lines = F.ceil(F.size(tokens_col) / F.lit(words_per_line)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(1), n_lines),
+        lambda i: F.array_join(
+            F.slice(
+                tokens_col, (i - F.lit(1)) * words_per_line + 1, words_per_line
+            ),
+            " ",
+        ),
+    )
+    return F.array_join(lines, "\n")
+
+
 def reline(text_col: Column, words_per_line: int) -> Column:
     """Deterministically re-wrap whitespace text into ``words_per_line``-
     word lines joined by ``\\n``.
@@ -99,18 +116,10 @@ def reline(text_col: Column, words_per_line: int) -> Column:
     Line-level operators act on real newlines; corpora that arrive as
     single-line text (like the synthetic test tables) get a reproducible
     line structure from this pure column expression so the line-level
-    machinery is exercised end to end.
+    machinery is exercised end to end. Prefer projecting ``tokens(...)``
+    first and calling ``reline_tokens`` in hot paths.
     """
-    toks = tokens(text_col)
-    n_lines = F.ceil(F.size(toks) / F.lit(words_per_line)).cast("int")
-    lines = F.transform(
-        F.sequence(F.lit(1), n_lines),
-        lambda i: F.array_join(
-            F.slice(toks, (i - F.lit(1)) * words_per_line + 1, words_per_line),
-            " ",
-        ),
-    )
-    return F.array_join(lines, "\n")
+    return reline_tokens(tokens(text_col), words_per_line)
 
 
 def line_dedup(
@@ -183,17 +192,19 @@ def ngram_topk(
     over per-partition heads — no single-partition sort of the full gram
     table.
     """
-    toks = tokens(F.col(text_col))
+    # materialize the token array through a projection so the split runs
+    # once per row — element-wise gram construction referencing the raw
+    # split expression would re-inline (and re-evaluate) it per position
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
-            ),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    exploded = toked.select(F.col(id_col), F.explode(grams).alias("gram"))
     return (
         exploded.groupBy("gram")
         .agg(

@@ -408,10 +408,14 @@ def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassembly — runs end to end exactly as it would on real newline
     text (at sf0.01 ~34% of lines are corpus-duplicated)."""
     from modware_loader_spark.operators import curation as CU
+    from modware_loader_spark.operators.text import tokens
 
     t = load_tables(spark, sf_dir)
-    relined = t["documents"].select(
-        "doc_id", CU.reline(F.col("text"), 3).alias("text")
+    toked = t["documents"].select(
+        "doc_id", tokens(F.col("text")).alias("__toks")
+    )
+    relined = toked.select(
+        "doc_id", CU.reline_tokens(F.col("__toks"), 3).alias("text")
     )
     return CU.line_dedup(relined, min_docs=2).select(
         "doc_id", "n_lines", "n_kept", "n_dropped", "cleaned_fp"
