@@ -214,3 +214,46 @@ def ngram_topk(
         .orderBy(F.desc("total"), F.asc("gram"))
         .limit(k)
     )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_delim: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """The md5 hashes of lines occurring in >= ``min_docs`` distinct
+    documents — the batch half of the batch-then-stream line-dedup
+    pattern (CCNet runs this over a crawl snapshot; the stream then
+    scrubs against the frozen list)."""
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), line_delim)).alias("__line"),
+    ).select(id_col, F.md5(F.lower(F.trim(F.col("__line")))).alias("lh"))
+    return (
+        lines.groupBy("lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_docs)
+        .select("lh", "doc_freq")
+    )
+
+
+def scrub_lines(
+    df: DataFrame,
+    boilerplate_hashes: list[str],
+    text_col: str = "text",
+    line_delim: str = "\n",
+) -> DataFrame:
+    """Remove every line whose normalized md5 is in the boilerplate list,
+    preserving the order of survivors. Stateless column expression —
+    identical under Structured Streaming. The list is snapshot-sized
+    (distinct boilerplate lines, not corpus lines); at the high end swap
+    the literal array for the Bloom probe in ``operators.decontam``.
+    """
+    lit_set = F.array(*[F.lit(h) for h in boilerplate_hashes])
+    kept = F.filter(
+        F.split(F.col(text_col), line_delim),
+        lambda ln: ~F.array_contains(lit_set, F.md5(F.lower(F.trim(ln)))),
+    )
+    return df.withColumn(text_col, F.array_join(kept, line_delim))

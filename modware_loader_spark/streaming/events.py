@@ -133,3 +133,19 @@ def stream_quality_filter(
     return docs.filter(
         gopher_quality_keep(stats, min_stopword_hits=min_stopword_hits)
     )
+
+
+def stream_line_scrub(
+    docs: DataFrame,
+    boilerplate_hashes: list[str],
+    text_col: str = "text",
+    line_delim: str = "\n",
+) -> DataFrame:
+    """Streaming boilerplate-line removal: scrub each arriving document
+    against a batch-computed boilerplate list
+    (``operators.curation.boilerplate_lines``) — the batch-then-stream
+    CCNet pattern. Stateless append-mode map stage like the other
+    ingest-side gates."""
+    from modware_loader_spark.operators.curation import scrub_lines
+
+    return scrub_lines(docs, boilerplate_hashes, text_col, line_delim)

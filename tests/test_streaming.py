@@ -348,3 +348,47 @@ def test_stream_quality_filter_matches_batch(spark, tmp_path):
         r.doc_id for r in spark.sql("SELECT doc_id FROM quality_t").collect()
     )
     assert stream_kept == batch_kept and len(stream_kept) > 0
+
+
+def test_stream_line_scrub_matches_batch(spark, tmp_path):
+    """Batch-then-stream line dedup: the boilerplate list computed by the
+    batch job, applied statelessly on the stream, yields exactly the
+    cleaned documents the batch operator fingerprints."""
+    import hashlib
+
+    from modware_loader_spark.operators.curation import (
+        boilerplate_lines,
+        line_dedup,
+    )
+    from modware_loader_spark.streaming.events import stream_line_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "subscribe now\nunique first\nunique second"),
+            (2, "unique third\nsubscribe now"),
+            (3, "subscribe now"),
+            (4, "all original here"),
+        ],
+        "doc_id long, text string",
+    )
+    batch_fp = {
+        r.doc_id: r.cleaned_fp for r in line_dedup(docs, min_docs=2).collect()
+    }
+    hashes = [r.lh for r in boilerplate_lines(docs, min_docs=2).collect()]
+    path = str(tmp_path / "docs_line_stream")
+    docs.write.parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    q = (
+        stream_line_scrub(stream, hashes)
+        .writeStream.format("memory")
+        .queryName("line_scrub_t")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.doc_id: hashlib.md5(r.text.encode()).hexdigest()
+        for r in spark.sql("SELECT doc_id, text FROM line_scrub_t").collect()
+    }
+    assert got == batch_fp
