@@ -159,3 +159,19 @@ def test_gopher_quality_zero_shuffle(spark, sf_dir):
     """The quality gate is a pure map stage: no exchange anywhere."""
     plan = _plan(spark, "text_gopher_quality_keep", sf_dir)
     assert "Exchange" not in plan
+
+
+def test_genbank_splicing_no_cartesian(spark):
+    """GenBank residue slicing must equi-join intervals to scaffold
+    chunks — the whole-scaffold crossJoin (one ~100 MB string replicated
+    per task on chromosome-scale records) is the regression this pins."""
+    from modware_loader_spark.plans.genbank_load import genbank_to_gff3_rows
+    from modware_loader_spark.sources.genbank import parse_genbank
+
+    parsed = parse_genbank(spark, "tests/fixtures/mini.genbank")
+    _feats, seqs = genbank_to_gff3_rows(parsed)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        seqs.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
