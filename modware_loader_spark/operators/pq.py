@@ -270,6 +270,7 @@ def ivfpq_topk(
     lloyd_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Classic IVF-PQ (Jégou et al. 2011 §V): coarse IVF cells bound the
     scan, PQ codes bound the per-candidate cost — the composition the
@@ -295,7 +296,7 @@ def ivfpq_topk(
         ivf_train(corpus, nlist=nlist, lloyd_iters=lloyd_iters,
                   id_col=id_col, vec_col=vec_col)
     )
-    books = pq_train(corpus, m=m, ksub=ksub, lloyd_iters=lloyd_iters,
+    books = pq_train(corpus, m=m, ksub=ksub, dim=dim, lloyd_iters=lloyd_iters,
                      id_col=id_col, vec_col=vec_col)
     sub = len(books[0][0][1])
     enc = ensure_min_partitions(corpus).select(

@@ -909,7 +909,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t["embeddings"]
     return ivfpq_topk(
         emb.filter(F.col("vec_id") < 20), emb,
-        nlist=8, nprobe=2, m=8, ksub=16, shortlist=50, k=5,
+        nlist=8, nprobe=2, m=8, ksub=16, shortlist=50, k=5, dim=64,
     )
 
 
