@@ -23,6 +23,42 @@ import modware_loader_spark.plans.analytics_queries  # noqa: E402,F401
 import modware_loader_spark.plans.curation_queries  # noqa: E402,F401
 from modware_loader_spark.plans.registry import ORACLES, QUERIES  # noqa: E402
 
+_SHIPPED_TO: set[str] = set()
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship the package to Python workers via ``addPyFile``.
+
+    The driver owns the SparkSession, so the package directory this file
+    was imported from may not be on the *workers'* sys.path (the JVM
+    spawns workers with its own PYTHONPATH, not the driver's runtime
+    ``sys.path`` mutations). Arrow ``mapInPandas`` stages deserialize
+    closures by module reference, so without this a vanilla session run
+    from any other cwd fails with ModuleNotFoundError. Zipping ~once per
+    SparkContext is cheap; if workers could already import the package,
+    the extra sys.path entry is inert.
+    """
+    sc = spark.sparkContext
+    key = sc.applicationId
+    if key in _SHIPPED_TO:
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "modware_loader_spark")
+    base = os.path.join(tempfile.mkdtemp(prefix="mls_pyfiles_"), "modware_loader_spark_pkg")
+    zip_path = shutil.make_archive(base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir="modware_loader_spark")
+    sc.addPyFile(zip_path)
+    _SHIPPED_TO.add(key)
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_workers_can_import(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -32,14 +68,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # The external driver records the FIRST 50 queries. Round-6 rotation
 # (VERDICT r05 item 1): the three round-5 newcomers (text_pii_scrub,
 # similarity_ivfpq_topk, embed_quantize_int8) are promoted into the head
-# so they earn driver-verified rows, as are the five queries new in
+# so they earn driver-verified rows, as are the nine queries new in
 # round 6 (text_gopher_quality_keep, dedup_line_level, text_ngram_topk,
-# similarity_hamming_topk, similarity_hamming_rerank_topk); eight
-# queries green in BOTH r4 and r5 yield their slots (they stay green
-# under tests/test_oracle_parity.py, which iterates the full dict). Union of r4+r5+r6 driver-green rows then
-# covers all 82 registered queries.
+# similarity_hamming_topk, similarity_hamming_rerank_topk,
+# text_bm25_topk, sample_dsir_weights, multimodal_dhash_fingerprint,
+# dedup_image_dhash_pairs); twelve queries green in BOTH r4 and r5
+# yield their slots (they stay green under
+# tests/test_oracle_parity.py, which iterates the full dict). Union of
+# r4+r5+r6 driver-green rows then covers all 86 registered queries.
 _DEPRIORITIZED = [
     # --- green in both r4 and r5, rotated out for round 6 ---
+    "events_sessionization",        # r04+r05 green
+    "sample_frequency_cap",         # r04+r05 green
+    "text_repetition_gopher",       # r04+r05 green
+    "dedup_cluster_components",     # r04+r05 green
     "q1_pricing_summary",           # r04+r05 green
     "agg_rollup_priority_status",   # r04+r05 green
     "text_langid",                  # r04+r05 green
@@ -84,7 +126,7 @@ def _ordered(d: dict) -> dict:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return _ordered(dict(QUERIES))
+    return _ordered({k: _wrap(v) for k, v in QUERIES.items()})
 
 
 def oracle_sql() -> dict[str, str]:

@@ -73,6 +73,10 @@ BENCH_QUERIES = [
     "text_ngram_topk",
     "similarity_hamming_topk",
     "similarity_hamming_rerank_topk",
+    "text_bm25_topk",
+    "sample_dsir_weights",
+    "multimodal_dhash_fingerprint",
+    "dedup_image_dhash_pairs",
 ]
 
 

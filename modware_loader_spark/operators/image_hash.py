@@ -1,0 +1,229 @@
+"""Image perceptual-hash dedup: dHash fingerprints + banded Hamming
+near-pairs over a binary image column.
+
+The image twin of MinHash text dedup: multimodal training sets (LAION
+and friends) dedupe on a perceptual hash because byte-identical dedup
+misses re-encoded / resized copies. dHash (difference hash) is the
+standard cheap one: grayscale the image to a (k+1) x k grid and emit one
+bit per horizontally-adjacent pixel pair (``right > left``) — 64 bits at
+the canonical 9x8.
+
+Pipeline shape (mirrors the text SimHash family in ``operators/dedup``):
+
+1. ``image_dhash`` — Arrow-batched ``mapInPandas``: REAL raster decode
+   (``functions/media_codecs.decode_rgb``: Pillow if importable, else
+   the stdlib PNG/BMP/PPM decoders), then the bit grid, packed into two
+   32-bit words (same packing contract as ``operators/binary_embed``, so
+   an external engine's ``1::BIGINT << j`` math is bit-identical). The
+   binary column never shuffles: hashing is a map stage and only the
+   16-byte fingerprint moves on.
+2. ``dhash_near_pairs`` — pigeonhole banding: the 64 bits split into 4
+   contiguous 16-bit chunks; any pair within Hamming distance <= 3 must
+   agree exactly on >= 1 chunk, so candidates come from an equi-join on
+   (chunk_no, chunk_value) — never an all-pairs product — followed by an
+   exact XOR+popcount verify. Identical scale story to
+   ``dedup.simhash_banded_pairs``: bucketed candidate generation, exact
+   confirm, plan-guarded non-cartesian.
+
+``synth_gray_ppm`` builds the deterministic test corpus: one REAL 9x8
+binary-PPM per row whose gray pixels are md5-derived from the row id —
+mostly from a shared "base pattern" (id % n_bases) with a small
+md5-gated noise flip per document, so near-duplicate clusters exist by
+construction and an external SQL engine can restate the pixel
+arithmetic (md5 hex prefixes) without needing an image decoder.
+
+Reference scope: none (the reference is text-only); extension scope
+mandated by the north-star baseline (multimodal + dedup families).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from modware_loader_spark.functions.media_codecs import decode_rgb, encode_ppm
+from modware_loader_spark.operators.binary_embed import hamming
+from modware_loader_spark.operators.ivf import ensure_min_partitions
+
+GRID_W = 9  # pixels per row -> GRID_W - 1 = 8 bits per row
+GRID_H = 8  # rows -> 64 bits total
+WORD_BITS = 32
+N_WORDS = ((GRID_W - 1) * GRID_H + WORD_BITS - 1) // WORD_BITS
+
+_PPM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("hash_words", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def _md5_byte(s: str) -> int:
+    """First byte of md5(s) — matches ``CAST('0x' || substring(md5(s), 1, 2)
+    AS INT)`` in md5-capable SQL engines."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:2], 16)
+
+
+def synth_pixels(
+    media_id: int, n_bases: int = 17, noise_threshold: int = 4
+) -> list[int]:
+    """Deterministic gray grid for ``media_id``, row-major GRID_H x GRID_W.
+
+    Pixel (x, y) takes the base pattern ``md5('b:' || id % n_bases ...)``
+    unless the md5-gated noise draw fires (first byte of
+    ``md5(id:x:y) < noise_threshold``, i.e. ~1.6% of pixels at the
+    default), in which case it takes an id-specific value — so documents
+    sharing a base differ in a few bits only (same-base pair Hamming is
+    ~Poisson(2) at the defaults) and cross-base pairs sit near 32.
+    """
+    px = []
+    for y in range(GRID_H):
+        for x in range(GRID_W):
+            if _md5_byte(f"{media_id}:{x}:{y}") < noise_threshold:
+                px.append(_md5_byte(f"n:{media_id}:{x}:{y}"))
+            else:
+                px.append(_md5_byte(f"b:{media_id % n_bases}:{x}:{y}"))
+    return px
+
+
+def synth_gray_ppm(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_bases: int = 17,
+    noise_threshold: int = 4,
+) -> DataFrame:
+    """One real binary-PPM (P6, 9x8, r=g=b) payload per input row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for mid in ids:
+                gray = synth_pixels(int(mid), n_bases, noise_threshold)
+                rgb = bytes(g for g in gray for _ in range(3))
+                payloads.append(encode_ppm(GRID_W, GRID_H, rgb))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": "image/x-portable-pixmap",
+                    "payload": payloads,
+                }
+            )
+
+    # the Python encode stage must not inherit a 1-split local parquet
+    return ensure_min_partitions(df.select(id_col)).mapInPandas(
+        batches, schema=_PPM_SCHEMA
+    )
+
+
+def dhash_words(gray: list[int]) -> list[int]:
+    """Pack the 64 dHash bits of a row-major gray grid into 2x32-bit words.
+
+    Bit ``i = y * 8 + x`` (word ``i // 32``, position ``i % 32``) is set
+    iff ``gray[y][x+1] > gray[y][x]`` — strict compare, so flat regions
+    hash to 0 bits in every engine.
+    """
+    words = [0] * N_WORDS
+    for y in range(GRID_H):
+        for x in range(GRID_W - 1):
+            if gray[y * GRID_W + x + 1] > gray[y * GRID_W + x]:
+                i = y * (GRID_W - 1) + x
+                words[i // WORD_BITS] |= 1 << (i % WORD_BITS)
+    return words
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """dHash fingerprints via real raster decode, one map stage.
+
+    Input needs (media_id, payload); output is (media_id, hash_words)
+    with ``hash_words`` = 2 longs of 32 bits each. Payloads must decode
+    to exactly the 9x8 grid (the resize-to-grid step belongs upstream in
+    ``multimodal.resize_media`` so decode happens once).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for payload in pdf["payload"]:
+                w, h, rgb = decode_rgb(bytes(payload))
+                if (w, h) != (GRID_W, GRID_H):
+                    raise ValueError(
+                        f"dhash expects a {GRID_W}x{GRID_H} raster, got {w}x{h}"
+                    )
+                gray = [rgb[3 * i] for i in range(w * h)]  # r == g == b
+                out.append(dhash_words(gray))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].astype("int64"), "hash_words": out}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=_DHASH_SCHEMA
+    )
+
+
+def dhash_near_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """All pairs within ``max_hamming`` bits, via pigeonhole banding.
+
+    64 bits / 4 chunks of 16: distance <= 3 flips bits in at most 3
+    chunks, so at least one chunk matches exactly — candidates are an
+    equi-join on (chunk_no, chunk_value), distinct-ed, then verified
+    with the exact XOR+popcount distance. Requires ``max_hamming < 4``.
+    """
+    if max_hamming >= 4:
+        raise ValueError("4-chunk pigeonhole banding guarantees d <= 3 only")
+    chunks = [
+        (
+            F.shiftright(F.col("hash_words")[c // 2], 16 * (c % 2))
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias(f"__c{c}")
+        )
+        for c in range(4)
+    ]
+    banded = hashed.select(
+        F.col("media_id"), F.col("hash_words"), *chunks
+    ).select(
+        "media_id",
+        "hash_words",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_no"), F.col(f"__c{c}").alias("chunk_val")
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("media_id", "hash_words", "band.chunk_no", "band.chunk_val")
+    a = banded.select(
+        F.col("media_id").alias("id_a"),
+        F.col("hash_words").alias("wa"),
+        "chunk_no",
+        "chunk_val",
+    )
+    b = banded.select(
+        F.col("media_id").alias("id_b"),
+        F.col("hash_words").alias("wb"),
+        "chunk_no",
+        "chunk_val",
+    )
+    cand = (
+        a.join(b, ["chunk_no", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming(F.col("wa"), F.col("wb")).alias("hamming"))
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

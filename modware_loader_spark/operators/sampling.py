@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from modware_loader_spark.operators.text import tokens
+
 # 2^32: the md5 prefix is 8 hex digits = 32 bits, so dividing by 2^32
 # maps it onto [0, 1).
 _HASH_SPACE = float(1 << 32)
@@ -218,4 +220,78 @@ def rebalance_mixture(
         df.join(F.broadcast(rates), source_col, "left")
         .filter(hash_uniform(F.col(key_col), salt=salt) < F.coalesce("rate", F.lit(0.0)))
         .drop("rate")
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target_filter: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by the log-likelihood ratio of its tokens under a *target* unigram
+    model vs the *raw corpus* unigram model, both add-1 smoothed over the
+    shared corpus vocabulary.
+
+    ``weight(d) = sum_{token occurrences w in d} ln(p_target(w) / p_raw(w))``
+
+    Documents whose vocabulary looks like the target slice score > 0;
+    importance resampling then keeps rows with probability proportional
+    to ``exp(weight)`` — here we emit the weights plus the sign gate, the
+    resample itself composes with ``hash_uniform``.
+
+    Cross-engine determinism: each per-token log-ratio is rounded to
+    integer *micro-nats* (``round(lr * 1e6)``) before the per-document
+    sum, so the aggregate is exact integer arithmetic — order-free, no
+    float-accumulation drift between engines, and stable under any
+    partitioning. At 100 TB the plan is two token-count aggregates
+    (corpus + target slice, one uniform shuffle each), a broadcast of
+    the (vocabulary-sized, i.e. tiny) log-ratio table back onto the
+    exploded tokens, and one groupBy on ``id_col`` — no skew hazard
+    because token-hash keys are uniform.
+
+    Returns ``(doc_id, n_tokens, weight_micros, keep)``.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        target_filter.cast("int").alias("__is_target"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum("__is_target").alias("c_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("c_all").alias("tot_all"),
+        F.sum("c_tgt").alias("tot_tgt"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    ratio = (
+        counts.join(F.broadcast(totals))
+        .withColumn(
+            "__lr",
+            F.log(
+                (F.col("c_tgt") + F.lit(1.0))
+                / (F.col("tot_tgt") + F.col("vocab"))
+            )
+            - F.log(
+                (F.col("c_all") + F.lit(1.0))
+                / (F.col("tot_all") + F.col("vocab"))
+            ),
+        )
+        .select(
+            "tok",
+            F.round(F.col("__lr") * F.lit(1e6), 0).cast("long").alias("lr_micros"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(ratio), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr_micros").alias("weight_micros"),
+        )
+        .withColumn("keep", (F.col("weight_micros") > 0).cast("int"))
     )

@@ -1,0 +1,119 @@
+"""Keyword search scoring (BM25) over a document corpus.
+
+A training-data pipeline needs lexical retrieval alongside embedding
+ANN: targeted corpus audits ("show me docs about X"), decontamination
+triage, and hybrid (BM25 + dense) candidate generation all start from
+an inverted-index score. BM25 (Robertson et al., TREC-3) is the
+standard: per query term, ``idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``.
+
+Spark shape (all built-ins, whole-stage codegen):
+
+- tokenize + explode only rows whose token is in the (small, literal)
+  query-term set — the filter sits *before* the groupBy, so the shuffle
+  carries matching postings only, never the full corpus posting list;
+- document frequency per term and the corpus stats (N, avgdl) are tiny
+  aggregates, broadcast back onto the postings;
+- final top-k is ``orderBy(...).limit(k)`` — a TakeOrdered over
+  per-partition heads, NOT a global row_number window, so no
+  single-partition exchange at 100 TB; ranks are assigned afterwards on
+  the k surviving rows.
+
+Cross-engine float identity: per-term scores are summed in a fixed term
+order (one conditional aggregate per term, added left-to-right), and
+only the final sum is rounded (6dp) — same convention as the cosine
+operators.
+
+Reference scope: the reference has no search surface (closest is E7's
+multi-join filter exports, ``lib/Modware/Export/Command/chado2gaf.pm``);
+this is extension scope mandated by the north-star baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from modware_loader_spark.operators.ivf import ensure_min_partitions
+from modware_loader_spark.operators.text import tokens
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score for the literal ``terms`` bag.
+
+    Returns ``(doc_id, score, rank)`` with ``score`` rounded to 6dp and
+    ties broken on ``doc_id``. ``terms`` must be short (it is expanded
+    into one conditional aggregate each, keeping the sum order fixed).
+    """
+    toked = ensure_min_partitions(
+        docs.select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+        )
+    )
+    dl = toked.select("doc_id", F.size("__toks").alias("dl"), "__toks")
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    postings = (
+        dl.select("doc_id", "dl", F.explode("__toks").alias("tok"))
+        .filter(F.col("tok").isin(list(terms)))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = postings.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = (
+        postings.join(F.broadcast(dfreq), "tok")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+                )
+            ),
+        )
+    )
+    # Fixed-order summation: one column per term, added left-to-right.
+    per_term = scored.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("tok") == F.lit(t), F.col("s"))),
+                F.lit(0.0),
+            ).alias(f"__s{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    total = F.lit(0.0)
+    for i in range(len(terms)):
+        total = total + F.col(f"__s{i}")
+    ranked = (
+        per_term.select("doc_id", F.round(total, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+    # rank over the k survivors only — the window input is k rows.
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return ranked.withColumn("rank", F.row_number().over(w))

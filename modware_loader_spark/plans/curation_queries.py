@@ -506,3 +506,145 @@ def similarity_hamming_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFram
     return BE.hamming_rerank_topk(
         emb.filter(F.col("vec_id") < 20), emb, k=5, shortlist=32, dim=64
     )
+
+
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+@query(
+    "text_bm25_topk",
+    """
+    WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    dl AS (SELECT doc_id, len(w) AS dl, w FROM d),
+    st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl::DOUBLE) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, dl, tok, count(*)::BIGINT AS tf
+           FROM (SELECT doc_id, dl, unnest(w) AS tok FROM dl)
+           WHERE tok IN ('spark', 'join', 'window') GROUP BY doc_id, dl, tok),
+    dfq AS (SELECT tok, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY tok),
+    s AS (SELECT doc_id, tok,
+            ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+            * (tf * (1.2::DOUBLE + 1.0::DOUBLE))
+            / (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl::DOUBLE / avgdl)) AS sc
+          FROM tf JOIN dfq USING (tok), st),
+    p AS (SELECT doc_id,
+            coalesce(max(CASE WHEN tok = 'spark'  THEN sc END), 0.0::DOUBLE)
+          + coalesce(max(CASE WHEN tok = 'join'   THEN sc END), 0.0::DOUBLE)
+          + coalesce(max(CASE WHEN tok = 'window' THEN sc END), 0.0::DOUBLE) AS tot
+          FROM s GROUP BY doc_id),
+    r AS (SELECT doc_id, round(tot, 6) AS score FROM p
+          ORDER BY score DESC, doc_id LIMIT 10)
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+    FROM r
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a 3-term bag: postings filtered to the term set
+    *before* the tf shuffle, df/corpus stats broadcast back, top-k via
+    TakeOrdered (never a global row_number window). Per-term scores sum
+    in fixed term order so the 6dp-rounded total is engine-identical
+    (``operators/search.py``)."""
+    from modware_loader_spark.operators import search as SE
+
+    t = load_tables(spark, sf_dir)
+    return SE.bm25_topk(t["documents"], _BM25_TERMS, k=10)
+
+
+@query(
+    "sample_dsir_weights",
+    """
+    WITH tok AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+                        unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+    c AS (SELECT tok, count(*)::BIGINT AS c_all, sum(is_t)::BIGINT AS c_tgt
+          FROM tok GROUP BY tok),
+    t AS (SELECT sum(c_all)::BIGINT AS tot_all, sum(c_tgt)::BIGINT AS tot_tgt,
+                 count(*)::BIGINT AS vocab FROM c),
+    r AS (SELECT tok,
+            CAST(round((ln((c_tgt + 1.0::DOUBLE) / (tot_tgt + vocab))
+                      - ln((c_all + 1.0::DOUBLE) / (tot_all + vocab))) * 1e6)
+                 AS BIGINT) AS lr_micros
+          FROM c, t)
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           sum(lr_micros)::BIGINT AS weight_micros,
+           CASE WHEN sum(lr_micros) > 0 THEN 1 ELSE 0 END AS keep
+    FROM tok JOIN r USING (tok) GROUP BY doc_id
+    """,
+)
+def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (target = ``lang='en'`` slice): add-1
+    smoothed unigram log-likelihood ratio per document, accumulated as
+    exact integer micro-nats so the sum is order-free across engines and
+    partitionings (``sampling.dsir_log_weights``)."""
+    t = load_tables(spark, sf_dir)
+    return SA.dsir_log_weights(t["documents"], F.col("lang") == "en")
+
+
+# DuckDB twin of image_hash.synth_pixels + dhash_words: the md5 pixel
+# arithmetic restated in SQL (no image decoder needed — the Spark side
+# is the one that round-trips real PPM bytes through the raster codec).
+_DDB_DHASH_WORDS = """
+    px AS (
+      SELECT doc_id, x, y,
+        CASE WHEN CAST(('0x' || substring(md5(doc_id || ':' || x || ':' || y), 1, 2)) AS INT) < 4
+             THEN CAST(('0x' || substring(md5('n:' || doc_id || ':' || x || ':' || y), 1, 2)) AS INT)
+             ELSE CAST(('0x' || substring(md5('b:' || (doc_id % 17) || ':' || x || ':' || y), 1, 2)) AS INT)
+        END AS g
+      FROM documents,
+           unnest(generate_series(0, 8)) AS tx(x),
+           unnest(generate_series(0, 7)) AS ty(y)),
+    bits AS (
+      SELECT a.doc_id, (a.y * 8 + a.x) AS i,
+             CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+      FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+      WHERE a.x < 8),
+    words AS (
+      SELECT doc_id,
+        sum(CASE WHEN i < 32 THEN (bit::BIGINT << i) ELSE 0::BIGINT END)::BIGINT AS w0,
+        sum(CASE WHEN i >= 32 THEN (bit::BIGINT << (i - 32)) ELSE 0::BIGINT END)::BIGINT AS w1
+      FROM bits GROUP BY doc_id)
+"""
+
+
+@query(
+    "multimodal_dhash_fingerprint",
+    f"WITH {_DDB_DHASH_WORDS} SELECT doc_id AS media_id, w0, w1 FROM words",
+)
+def multimodal_dhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hash: synthesize a real 9x8 binary PPM per doc,
+    round-trip it through the REAL raster decoder, emit the 64-bit dHash
+    as two 32-bit words. The binary column never shuffles — only the
+    16-byte fingerprint leaves the map stage (``operators/image_hash``)."""
+    from modware_loader_spark.operators import image_hash as IH
+
+    t = load_tables(spark, sf_dir)
+    hashed = IH.image_dhash(IH.synth_gray_ppm(t["documents"]))
+    return hashed.select(
+        "media_id",
+        F.col("hash_words")[0].alias("w0"),
+        F.col("hash_words")[1].alias("w1"),
+    )
+
+
+@query(
+    "dedup_image_dhash_pairs",
+    f"""
+    WITH {_DDB_DHASH_WORDS},
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            (bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)))::BIGINT AS hamming
+          FROM words a JOIN words b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+    """,
+)
+def dedup_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs at Hamming <= 3 over dHash fingerprints:
+    4x16-bit pigeonhole bands make candidates an equi-join (>= 1 chunk
+    must match exactly at d <= 3), then exact XOR+popcount verify — the
+    oracle brute-forces all pairs, the Spark plan never does
+    (``image_hash.dhash_near_pairs``)."""
+    from modware_loader_spark.operators import image_hash as IH
+
+    t = load_tables(spark, sf_dir)
+    hashed = IH.image_dhash(IH.synth_gray_ppm(t["documents"]))
+    return IH.dhash_near_pairs(hashed, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )

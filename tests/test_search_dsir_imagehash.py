@@ -1,0 +1,192 @@
+"""Round-6 additions: BM25 search, DSIR importance weights, and image
+dHash near-dup — unit semantics plus the plan-shape guards that matter
+at scale (oracle parity itself is covered by test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from modware_loader_spark.functions.media_codecs import decode_rgb
+from modware_loader_spark.operators import image_hash as IH
+from modware_loader_spark.operators import search as SE
+from modware_loader_spark.operators.binary_embed import hamming
+from modware_loader_spark.operators.sampling import dsir_log_weights
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# ------------------------------------------------------------- BM25
+
+
+def test_bm25_matches_hand_computation(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark join"),
+            (2, "join window table scan"),
+            (3, "table scan filter sort"),
+            (4, "spark join window window"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in SE.bm25_topk(docs, ["spark", "window"], k=10).collect()
+    }
+    # Hand model: N=4, avgdl=4, dl=4 for all docs -> length norm is 1,
+    # so score(t) = idf(t) * tf*(k1+1)/(tf+k1).
+    k1 = 1.2
+
+    def idf(df_t):
+        return math.log(1.0 + (4 - df_t + 0.5) / (df_t + 0.5))
+
+    def s(tf, df_t):
+        return idf(df_t) * tf * (k1 + 1.0) / (tf + k1)
+
+    exp = {
+        1: s(3, 2),            # spark x3
+        4: s(1, 2) + s(2, 2),  # spark x1 + window x2 (df both 2)
+        2: s(1, 2),            # window x1
+    }
+    assert set(out) == set(exp)
+    for d, want in exp.items():
+        assert out[d][0] == pytest.approx(want, abs=2e-6)
+    # doc 4 scores two terms at tf=1 each; doc 1's tf=3 saturates -> check order
+    ranks = {d: out[d][1] for d in out}
+    assert sorted(ranks, key=lambda d: ranks[d]) == sorted(
+        exp, key=lambda d: (-round(exp[d], 6), d)
+    )
+
+
+def test_bm25_topk_has_no_global_window_before_limit(spark, sf_dir):
+    """The corpus-wide ordering must be TakeOrdered (per-partition heads),
+    with any window only on the k surviving rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _formatted_plan(SE.bm25_topk(docs, ["spark", "join"], k=5))
+    assert "TakeOrderedAndProject" in plan
+
+
+# ------------------------------------------------------------- DSIR
+
+
+def test_dsir_separates_target_vocabulary(spark):
+    # Target docs speak 'aa bb', background speaks 'xx yy'.
+    rows = [(i, "aa bb aa bb", 1) for i in range(10)] + [
+        (i + 10, "xx yy xx yy", 0) for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "is_en"])
+    out = {
+        r["doc_id"]: r
+        for r in dsir_log_weights(docs, F.col("is_en") == 1).collect()
+    }
+    assert all(out[i]["weight_micros"] > 0 and out[i]["keep"] == 1 for i in range(10))
+    assert all(
+        out[i]["weight_micros"] < 0 and out[i]["keep"] == 0 for i in range(10, 20)
+    )
+    assert all(out[i]["n_tokens"] == 4 for i in out)
+
+
+def test_dsir_weight_is_partitioning_invariant(spark, sf_dir):
+    """Integer micro-nat accumulation => identical weights under any
+    repartitioning (the float-sum property rand-based scoring lacks)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = {
+        r["doc_id"]: r["weight_micros"]
+        for r in dsir_log_weights(docs, F.col("lang") == "en").collect()
+    }
+    shuffled = {
+        r["doc_id"]: r["weight_micros"]
+        for r in dsir_log_weights(
+            docs.repartition(17, "source"), F.col("lang") == "en"
+        ).collect()
+    }
+    assert base == shuffled
+
+
+# ------------------------------------------------------- image dHash
+
+
+def test_dhash_words_gradient_and_flat():
+    # strictly increasing row -> all 8 bits set per row; flat row -> 0.
+    grid = []
+    for y in range(IH.GRID_H):
+        if y % 2 == 0:
+            grid.extend(range(10, 10 + IH.GRID_W))
+        else:
+            grid.extend([7] * IH.GRID_W)
+    w = IH.dhash_words(grid)
+    # even rows y=0,2: bits 0-7 and 16-23 of word0; y=4,6 -> word1
+    assert w[0] == 0x00FF00FF
+    assert w[1] == 0x00FF00FF
+
+
+def test_synth_ppm_roundtrip_matches_formula(spark):
+    docs = spark.createDataFrame([(7,), (24,)], ["doc_id"])
+    media = {r["media_id"]: bytes(r["payload"]) for r in IH.synth_gray_ppm(docs).collect()}
+    for mid, payload in media.items():
+        w, h, rgb = decode_rgb(payload)
+        assert (w, h) == (IH.GRID_W, IH.GRID_H)
+        gray = [rgb[3 * i] for i in range(w * h)]
+        assert gray == IH.synth_pixels(mid)
+    # ids 7 and 24 share base 7 % 17 == 24 % 17 -> few-bit distance
+    hashes = {
+        r["media_id"]: r["hash_words"]
+        for r in IH.image_dhash(IH.synth_gray_ppm(docs)).collect()
+    }
+    d = sum(
+        bin(a ^ b).count("1") for a, b in zip(hashes[7], hashes[24])
+    )
+    assert 0 <= d <= 12  # same base + ~1.6% pixel noise
+
+
+def test_dhash_banded_pairs_equal_brute_force(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hashed = IH.image_dhash(IH.synth_gray_ppm(docs)).cache()
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in IH.dhash_near_pairs(hashed, max_hamming=3).collect()
+    }
+    a = hashed.select(
+        F.col("media_id").alias("id_a"), F.col("hash_words").alias("wa")
+    )
+    b = hashed.select(
+        F.col("media_id").alias("id_b"), F.col("hash_words").alias("wb")
+    )
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming(F.col("wa"), F.col("wb")).alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    hashed.unpersist()
+    assert banded == brute
+    assert brute  # the synthetic corpus must actually contain near-dups
+
+
+def test_dhash_pairs_plan_never_cartesian(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _formatted_plan(
+        IH.dhash_near_pairs(IH.image_dhash(IH.synth_gray_ppm(docs)))
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dhash_rejects_wrong_raster_and_wide_threshold(spark):
+    with pytest.raises(ValueError):
+        IH.dhash_near_pairs(None, max_hamming=4)
+    bad = spark.createDataFrame(
+        [(1, b"P6\n2 2\n255\n" + b"\x00" * 12)], ["media_id", "payload"]
+    )
+    with pytest.raises(Exception, match="9x8"):
+        IH.image_dhash(bad).collect()
