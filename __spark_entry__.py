@@ -68,20 +68,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # The external driver records the FIRST 50 queries. Round-6 rotation
 # (VERDICT r05 item 1): the three round-5 newcomers (text_pii_scrub,
 # similarity_ivfpq_topk, embed_quantize_int8) are promoted into the head
-# so they earn driver-verified rows, as are the nine queries new in
+# so they earn driver-verified rows, as are the twelve queries new in
 # round 6 (text_gopher_quality_keep, dedup_line_level, text_ngram_topk,
 # similarity_hamming_topk, similarity_hamming_rerank_topk,
 # text_bm25_topk, sample_dsir_weights, multimodal_dhash_fingerprint,
-# dedup_image_dhash_pairs); twelve queries green in BOTH r4 and r5
-# yield their slots (they stay green under
-# tests/test_oracle_parity.py, which iterates the full dict). Union of
-# r4+r5+r6 driver-green rows then covers all 86 registered queries.
+# dedup_image_dhash_pairs, dedup_incremental_minhash,
+# similarity_matryoshka_rerank_topk, text_url_blocklist); fifteen
+# queries green in BOTH r4 and r5 yield their slots (they stay green
+# under tests/test_oracle_parity.py, which iterates the full dict).
+# Union of r4+r5+r6 driver-green rows then covers all 89 registered
+# queries.
 _DEPRIORITIZED = [
     # --- green in both r4 and r5, rotated out for round 6 ---
     "events_sessionization",        # r04+r05 green
     "sample_frequency_cap",         # r04+r05 green
     "text_repetition_gopher",       # r04+r05 green
     "dedup_cluster_components",     # r04+r05 green
+    "similarity_ann_banded_topk",   # r04+r05 green
+    "text_quality_quantile_gate",   # r04+r05 green
+    "dedup_simhash_near_pairs",     # r04+r05 green
     "q1_pricing_summary",           # r04+r05 green
     "agg_rollup_priority_status",   # r04+r05 green
     "text_langid",                  # r04+r05 green

@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "sample_dsir_weights",
     "multimodal_dhash_fingerprint",
     "dedup_image_dhash_pairs",
+    "dedup_incremental_minhash",
+    "similarity_matryoshka_rerank_topk",
+    "text_url_blocklist",
 ]
 
 

@@ -257,3 +257,45 @@ def scrub_lines(
         lambda ln: ~F.array_contains(lit_set, F.md5(F.lower(F.trim(ln)))),
     )
     return df.withColumn(text_col, F.array_join(kept, line_delim))
+
+
+def url_host(url_col: Column) -> Column:
+    """Normalized host of a URL: scheme/path stripped, lowercased,
+    leading ``www.`` removed — the key CommonCrawl-style pipelines
+    block/cap/sample on. Pure column expressions, zero shuffle."""
+    host = F.regexp_extract(url_col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    return F.regexp_replace(F.lower(host), r"^www\.", "")
+
+
+def url_blocklist_flags(
+    df: DataFrame,
+    url_col: str,
+    blocklist: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc blocklist verdict on the normalized host.
+
+    The blocklist ships as a broadcast single-column frame and the
+    verdict is a left join + null test, so at 100 TB the corpus side
+    stays a map stage (a literal ``isin`` would inline fine for small
+    lists, but real blocklists run to millions of domains — the
+    broadcast join is the shape that survives that, and flips to a
+    shuffle join automatically past the broadcast threshold).
+    Returns (id, url_host, blocked, keep).
+    """
+    spark = df.sparkSession
+    bl = spark.createDataFrame(
+        [(d,) for d in sorted(set(blocklist))], ["url_host"]
+    )
+    hosts = df.select(
+        F.col(id_col), url_host(F.col(url_col)).alias("url_host")
+    )
+    return (
+        hosts.join(F.broadcast(bl.withColumn("__blocked", F.lit(1))), "url_host", "left")
+        .select(
+            F.col(id_col),
+            "url_host",
+            F.coalesce("__blocked", F.lit(0)).alias("blocked"),
+            (F.coalesce("__blocked", F.lit(0)) == 0).cast("int").alias("keep"),
+        )
+    )

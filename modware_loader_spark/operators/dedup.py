@@ -337,3 +337,75 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def minhash_incremental_flags(
+    history: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental near-dup screening: flag a NEW batch against an
+    existing corpus without ever re-pairing the corpus with itself.
+
+    The production shape for a rolling crawl: the history band table is
+    an append-only index (here recomputed from ``history``; at scale it
+    is read back from storage), and each incoming batch pays
+    batch-bands x 2 joins —
+
+    - ``dup_of_history``: the batch doc shares >= 1 LSH band with any
+      history doc (a left-semi probe into the index; history rows never
+      move, only the matched band keys);
+    - ``dup_in_batch``: it shares a band with an *earlier* (smaller-id)
+      doc of the same batch, so exactly one representative per new
+      cluster survives;
+    - ``keep`` = neither.
+
+    History x history work is zero — the O(corpus^2) candidate pass from
+    ``minhash_candidate_pairs`` never happens on the old data, which is
+    the property that matters when history is 100 TB and the batch is a
+    day's crawl. Returns one row per batch doc.
+    """
+    hb = minhash_band_table(
+        history, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, bands=bands,
+    )
+    bb = minhash_band_table(
+        batch, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, bands=bands,
+    ).localCheckpoint(eager=True)  # used by both probes; hash once
+    vs_hist = (
+        bb.join(hb, ["band_id", "band_hash"], "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__dup_hist", F.lit(1))
+    )
+    earlier = bb.select(
+        F.col(id_col).alias("__earlier"), "band_id", "band_hash"
+    )
+    in_batch = (
+        bb.join(earlier, ["band_id", "band_hash"])
+        .filter(F.col("__earlier") < F.col(id_col))
+        .select(id_col)
+        .distinct()
+        .withColumn("__dup_batch", F.lit(1))
+    )
+    return (
+        batch.select(id_col)
+        .join(vs_hist, id_col, "left")
+        .join(in_batch, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("__dup_hist", F.lit(0)).alias("dup_of_history"),
+            F.coalesce("__dup_batch", F.lit(0)).alias("dup_in_batch"),
+            (
+                F.coalesce("__dup_hist", F.lit(0))
+                + F.coalesce("__dup_batch", F.lit(0))
+                == 0
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )

@@ -395,3 +395,79 @@ def quantize_int8(
         scale.alias("scale"),
         codes.cast("array<int>").alias("codes"),
     )
+
+
+def matryoshka_rerank_topk(
+    queries: DataFrame,
+    targets: DataFrame,
+    prefix_dim: int = 16,
+    shortlist: int = 32,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka (MRL, Kusupati et al. 2022) two-stage search: shortlist
+    on the first ``prefix_dim`` dims' cosine, exact full-dim re-rank.
+
+    MRL-trained embeddings concentrate semantics in the prefix, so stage
+    1 scans dim/prefix_dim x fewer bytes per vector — the same
+    scan-cheap/verify-exact contract as ``pq_rerank_topk`` and
+    ``binary_embed.hamming_rerank_topk``, but with zero training state
+    and zero recall loss *within* the shortlist. The full-width float
+    columns are touched only for |queries| x shortlist rows via the
+    candidate join; the corpus never shuffles (broadcast query side,
+    per-query top-k windows partition on query_id).
+
+    Both stages round to 6dp before ranking with a target-id tie-break,
+    so the shortlist membership itself is deterministic and
+    engine-portable. Returns (query_id, target_id, cos, rank).
+    """
+    qp = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.slice(F.col(vec_col), 1, prefix_dim).alias("q_pre"),
+    )
+    tp = targets.select(
+        F.col(id_col).alias("target_id"),
+        F.slice(F.col(vec_col), 1, prefix_dim).alias("t_pre"),
+    )
+    par = targets.sparkSession.sparkContext.defaultParallelism
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("pre_cos"), F.asc("target_id")
+    )
+    cand = (
+        tp.repartition(par)
+        .join(F.broadcast(qp), F.col("query_id") != F.col("target_id"))
+        .withColumn(
+            "pre_cos",
+            F.round(
+                dot(F.col("q_pre"), F.col("t_pre"))
+                / (norm(F.col("q_pre")) * norm(F.col("t_pre"))),
+                6,
+            ),
+        )
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= shortlist)
+        .select("query_id", "target_id")
+    )
+    qf = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    tf = targets.select(
+        F.col(id_col).alias("target_id"), F.col(vec_col).alias("t_vec")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("target_id"))
+    return (
+        cand.join(F.broadcast(qf), "query_id")
+        .join(tf, "target_id")
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("q_vec"), F.col("t_vec"))
+                / (norm(F.col("q_vec")) * norm(F.col("t_vec"))),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "target_id", "cos", "rank")
+    )

@@ -648,3 +648,143 @@ def dedup_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IH.dhash_near_pairs(hashed, max_hamming=3).select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
+
+
+# MinHash band-table fragment shared with the pipeline_queries oracles.
+from modware_loader_spark.plans.pipeline_queries import (  # noqa: E402
+    _DDB_H60,
+    _DDB_SHINGLES,
+    _DDB_TOKENS,
+)
+
+_DDB_BANDS = f"""
+    d AS (SELECT doc_id, {_DDB_TOKENS} AS w FROM documents),
+    sh AS (SELECT doc_id, {_DDB_SHINGLES} AS s FROM d),
+    sig AS (SELECT doc_id, list_transform(generate_series(0, 15), h ->
+              list_min(list_transform(s, x -> cast('0x' || substring(md5(x || '#' || cast(h // 4 as varchar)), 1 + 8 * (h % 4), 8) as bigint)))) AS sig
+            FROM sh),
+    bands AS (SELECT doc_id, u.b AS band_id,
+               {_DDB_H60.format(x="array_to_string(sig[u.b*4+1 : u.b*4+4], '_')")} AS band_hash
+              FROM sig, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) u)
+"""
+
+
+@query(
+    "dedup_incremental_minhash",
+    f"""
+    WITH {_DDB_BANDS},
+    hb AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+    bb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+    vs AS (SELECT DISTINCT bb.doc_id FROM bb
+           JOIN hb ON bb.band_id = hb.band_id AND bb.band_hash = hb.band_hash),
+    ib AS (SELECT DISTINCT a.doc_id FROM bb a
+           JOIN bb e ON a.band_id = e.band_id AND a.band_hash = e.band_hash
+                    AND e.doc_id < a.doc_id)
+    SELECT d.doc_id,
+           CASE WHEN vs.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup_of_history,
+           CASE WHEN ib.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup_in_batch,
+           CASE WHEN vs.doc_id IS NULL AND ib.doc_id IS NULL THEN 1 ELSE 0 END AS keep
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+    LEFT JOIN vs ON d.doc_id = vs.doc_id
+    LEFT JOIN ib ON d.doc_id = ib.doc_id
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-crawl dedup: the new batch (every 5th doc) is screened
+    against the history band index and against earlier batch members —
+    history x history pair work never happens, the property that holds
+    when history is 100 TB and the batch is a day
+    (``dedup.minhash_incremental_flags``)."""
+    from modware_loader_spark.operators import dedup as D
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    history = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return D.minhash_incremental_flags(history, batch)
+
+
+@query(
+    "similarity_matryoshka_rerank_topk",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e,
+                      list_transform(embedding[1:16], x -> x::DOUBLE) AS p
+               FROM embeddings),
+    s AS (SELECT q.vec_id AS query_id, t.vec_id AS target_id, q.e AS qe, t.e AS te,
+            round(list_sum(list_transform(generate_series(1, len(q.p)), i -> q.p[i] * t.p[i]))
+              / (sqrt(list_sum(list_transform(q.p, x -> x * x)))
+                 * sqrt(list_sum(list_transform(t.p, x -> x * x)))), 6) AS pre_cos
+          FROM v q JOIN v t ON q.vec_id < 20 AND q.vec_id <> t.vec_id),
+    short AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY pre_cos DESC, target_id) AS prank
+              FROM s QUALIFY prank <= 32),
+    scored AS (SELECT query_id, target_id,
+            round(list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * te[i]))
+              / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+                 * sqrt(list_sum(list_transform(te, x -> x * x)))), 6) AS cos
+          FROM short),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, target_id) AS rank
+          FROM scored)
+    SELECT query_id, target_id, cos, rank FROM r WHERE rank <= 5
+    """,
+)
+def similarity_matryoshka_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage ANN: 16-dim-prefix cosine shortlist (4x less
+    scan per vector on MRL embeddings), exact 64-dim re-rank of the
+    shortlist only — training-free scan compression, same contract as
+    the PQ and Hamming re-rank twins
+    (``similarity.matryoshka_rerank_topk``)."""
+    from modware_loader_spark.operators import similarity as S
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return S.matryoshka_rerank_topk(
+        emb.filter(F.col("vec_id") < 20), emb,
+        prefix_dim=16, shortlist=32, k=5,
+    )
+
+
+_BLOCKED_HOSTS = ["src1.example.com", "src7.example.com", "src13.example.com"]
+
+
+@query(
+    "text_url_blocklist",
+    """
+    WITH u AS (SELECT doc_id,
+            'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+            || (CASE WHEN doc_id % 4 = 0 THEN upper(source) ELSE source END)
+            || '.example.com/page/' || doc_id || '?ref=' || lang AS url
+          FROM documents),
+    h AS (SELECT doc_id,
+            regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                           '^www\\.', '') AS url_host
+          FROM u)
+    SELECT doc_id, url_host,
+           CASE WHEN url_host IN ('src1.example.com', 'src7.example.com', 'src13.example.com')
+                THEN 1 ELSE 0 END AS blocked,
+           CASE WHEN url_host IN ('src1.example.com', 'src7.example.com', 'src13.example.com')
+                THEN 0 ELSE 1 END AS keep
+    FROM h
+    """,
+)
+def text_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist gate: synthesize a messy URL per doc (scheme,
+    optional www, mixed-case host, path + query), normalize to the
+    registered host, verdict via a broadcast blocklist join — the first
+    filter of a CommonCrawl-style pipeline (``curation.url_host`` /
+    ``url_blocklist_flags``)."""
+    from modware_loader_spark.operators import curation as CU
+
+    t = load_tables(spark, sf_dir)
+    with_url = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0, F.upper("source")).otherwise(F.col("source")),
+            F.lit(".example.com/page/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?ref="),
+            F.col("lang"),
+        ).alias("url"),
+    )
+    return CU.url_blocklist_flags(with_url, "url", _BLOCKED_HOSTS)

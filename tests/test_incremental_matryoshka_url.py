@@ -1,0 +1,155 @@
+"""Round-6 second batch: incremental MinHash screening, matryoshka
+re-rank, URL blocklist — semantics + the plan shapes that matter at
+scale (oracle parity is covered by test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from modware_loader_spark.operators import similarity as S
+from modware_loader_spark.operators.curation import url_blocklist_flags, url_host
+from modware_loader_spark.operators.dedup import (
+    minhash_band_table,
+    minhash_incremental_flags,
+)
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# ------------------------------------------------- incremental minhash
+
+
+def test_incremental_flags_semantics(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    hist = spark.createDataFrame(
+        [(1, base), (2, "one two three four five six seven eight nine ten")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base),  # dup of history doc 1
+            (11, "cold warm hot cool mild damp dry wet icy snowy"),  # fresh
+            (12, "cold warm hot cool mild damp dry wet icy snowy"),  # dup of 11
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in minhash_incremental_flags(hist, batch).collect()
+    }
+    assert set(out) == {10, 11, 12}
+    assert out[10]["dup_of_history"] == 1 and out[10]["keep"] == 0
+    assert out[11]["dup_of_history"] == 0 and out[11]["dup_in_batch"] == 0
+    assert out[11]["keep"] == 1  # first of its cluster survives
+    assert out[12]["dup_in_batch"] == 1 and out[12]["keep"] == 0
+
+
+def test_incremental_agrees_with_full_pair_table(spark, sf_dir):
+    """Flags must equal what the full O(n^2) band self-join would say
+    about (history x batch) and (batch x earlier-batch) pairs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    out = {
+        r["doc_id"]: (r["dup_of_history"], r["dup_in_batch"])
+        for r in minhash_incremental_flags(hist, batch).collect()
+    }
+    bands = minhash_band_table(docs).collect()
+    by_key: dict = {}
+    for r in bands:
+        by_key.setdefault((r["band_id"], r["band_hash"]), []).append(r["doc_id"])
+    exp_hist, exp_batch = set(), set()
+    for ids in by_key.values():
+        h = [i for i in ids if i % 5 != 0]
+        b = sorted(i for i in ids if i % 5 == 0)
+        if h:
+            exp_hist.update(b)
+        for j, i in enumerate(b):
+            if j > 0:
+                exp_batch.add(i)
+    assert {i for i, (dh, _) in out.items() if dh} == exp_hist
+    assert {i for i, (_, db) in out.items() if db} == exp_batch
+
+
+# ------------------------------------------------- matryoshka re-rank
+
+
+def test_matryoshka_full_shortlist_equals_brute_force(spark, sf_dir):
+    """With shortlist >= corpus the re-rank must reproduce exact top-k."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") < 5)
+    got = {
+        (r["query_id"], r["rank"]): (r["target_id"], r["cos"])
+        for r in S.matryoshka_rerank_topk(
+            q, emb, prefix_dim=16, shortlist=n, k=3
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["target_id"], r["cos"])
+        for r in S.brute_force_topk(q, emb, k=3).collect()
+    }
+    assert got == want
+
+
+def test_matryoshka_recall_at_default_shortlist(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    ann = S.matryoshka_rerank_topk(q, emb, prefix_dim=16, shortlist=32, k=5)
+    exact = S.brute_force_topk(q, emb, k=5)
+    a = {(r["query_id"], r["target_id"]) for r in ann.collect()}
+    e = {(r["query_id"], r["target_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    # synthetic near-isotropic vectors are the WORST case for prefix
+    # screening (no MRL training concentrated the prefix); still well
+    # above the 0.08 random-shortlist floor (32/500 ~ 0.064)
+    assert recall >= 0.3, recall
+
+
+def test_matryoshka_never_cartesian_and_corpus_not_broadcast(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _formatted_plan(
+        S.matryoshka_rerank_topk(emb.filter(F.col("vec_id") < 5), emb, k=3)
+    )
+    assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------ URL blocklist
+
+
+def test_url_host_normalization(spark):
+    rows = [
+        (1, "https://www.Example.COM/path?q=1"),
+        (2, "http://sub.domain.org"),
+        (3, "ftp://WWW.files.net/a/b"),
+        (4, "not a url"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = {r["doc_id"]: r["h"] for r in df.select("doc_id", url_host(F.col("url")).alias("h")).collect()}
+    assert out[1] == "example.com"
+    assert out[2] == "sub.domain.org"
+    assert out[3] == "files.net"
+    assert out[4] == ""  # no scheme -> no host
+    assert out[5] is None
+
+
+def test_url_blocklist_flags_and_broadcast_plan(spark):
+    rows = [
+        (1, "https://bad.site/x"),
+        (2, "https://www.bad.site/y"),
+        (3, "https://good.site/z"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = url_blocklist_flags(df, "url", ["bad.site"])
+    got = {r["doc_id"]: (r["blocked"], r["keep"]) for r in out.collect()}
+    assert got == {1: (1, 0), 2: (1, 0), 3: (0, 1)}
+    assert "BroadcastHashJoin" in _formatted_plan(out)
