@@ -204,3 +204,36 @@ def bloom_decontaminate(
         ngrams(toks, n), lambda g: bloom_probe(g, bloom_words, m_bits, k_hashes)
     )
     return df.filter(~hit)
+
+
+def bloom_build_values(df: DataFrame, col: str, m_bits: int = 1 << 17, k_hashes: int = 4) -> list[int]:
+    """Bloom filter over an arbitrary column's distinct values (stringified).
+
+    Same xxhash64-by-Spark position scheme as ``bloom_build`` so any plan
+    can reproduce the probe bits exactly; used e.g. to ship a band-hash
+    history index to a streaming dedup gate as m/8 bytes.
+    """
+    pos_rows = (
+        df.select(F.col(col).cast("string").alias("gram"))
+        .distinct()
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(k_hashes - 1)),
+                    lambda i: F.pmod(
+                        F.xxhash64(
+                            F.concat(F.col("gram"), F.lit("#"), i.cast("string"))
+                        ),
+                        F.lit(m_bits),
+                    ),
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * ((m_bits + 63) // 64)
+    for r in pos_rows:
+        p = r.pos
+        words[p // 64] |= 1 << (p % 64)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]

@@ -409,3 +409,47 @@ def minhash_incremental_flags(
             .alias("keep"),
         )
     )
+
+
+def minhash_bands_col(
+    text_col: Column, num_hashes: int = 16, bands: int = 4
+) -> Column:
+    """Per-row LSH band hashes as a single column expression —
+    bit-identical to ``minhash_band_table``'s values (same md5 digest
+    groups, same '_'-joined band digest), but computable on a ROW with
+    no explode/groupBy. This is the streaming-safe form: an ingest
+    stream can band every document map-side (stateless, append mode)
+    and probe a static index, where the batch table's explode → groupBy
+    would need a state store.
+
+    Docs with no shingles (< 3 tokens) return an empty array — they are
+    absent from ``minhash_band_table`` too. Per-row cost recomputes each
+    digest group per hash slice (the batch table shares them via
+    explode); acceptable for a gate, use the batch table for bulk
+    indexing.
+    """
+    rows_per_band = num_hashes // bands
+    sh = shingles(tokens(text_col))
+
+    def hash_min(hidx: int) -> Column:
+        g, off = hidx // 4, 1 + 8 * (hidx % 4)
+
+        def fn(x):
+            return F.conv(
+                F.substring(F.md5(F.concat(x, F.lit(f"#{g}"))), off, 8), 16, 10
+            ).cast("long")
+
+        return F.array_min(F.transform(sh, fn))
+
+    hs = [hash_min(i) for i in range(num_hashes)]
+    band_cols = []
+    for b in range(bands):
+        joined = F.concat_ws(
+            "_", *[hs[b * rows_per_band + j].cast("string") for j in range(rows_per_band)]
+        )
+        band_cols.append(
+            F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
+        )
+    return F.when(F.size(sh) > 0, F.array(*band_cols)).otherwise(
+        F.array().cast("array<bigint>")
+    )

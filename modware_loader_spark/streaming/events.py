@@ -149,3 +149,44 @@ def stream_line_scrub(
     from modware_loader_spark.operators.curation import scrub_lines
 
     return scrub_lines(docs, boilerplate_hashes, text_col, line_delim)
+
+
+def stream_dedup_against_history(
+    docs: DataFrame,
+    history_band_hashes: list[int] | None = None,
+    bloom_words: list[int] | None = None,
+    m_bits: int = 1 << 17,
+    k_hashes: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming rolling-crawl dedup: drop documents that near-match the
+    (static) history corpus — the streaming twin of the batch
+    ``dedup.minhash_incremental_flags`` ``dup_of_history`` flag.
+
+    Each streamed document is LSH-banded map-side with
+    ``dedup.minhash_bands_col`` (bit-identical to the batch band table)
+    and probed against the history index. STATELESS like
+    ``stream_decontaminate``: append mode, no state store, no watermark,
+    no shuffle — the history ships either as the literal band-hash
+    array (exact; fine for eval-sized histories) or as an m/8-byte
+    Bloom filter over the band hashes (``decontam.bloom_build_values``)
+    whose false positives only over-drop, the safe direction. In-batch
+    (stream x stream) dedup is a different contract — use
+    ``stream_dedup`` on a fingerprint key for the exact-dup slice of it.
+    """
+    from modware_loader_spark.operators.decontam import bloom_probe
+    from modware_loader_spark.operators.dedup import minhash_bands_col
+
+    bands = minhash_bands_col(F.col(text_col))
+    if bloom_words is not None:
+        hit = F.exists(
+            bands,
+            lambda b: bloom_probe(b.cast("string"), bloom_words, m_bits, k_hashes),
+        )
+    elif history_band_hashes is not None:
+        hit = F.arrays_overlap(
+            bands, F.lit(history_band_hashes).cast("array<bigint>")
+        )
+    else:
+        raise ValueError("provide history_band_hashes or bloom_words")
+    return docs.filter(~hit)

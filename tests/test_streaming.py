@@ -392,3 +392,80 @@ def test_stream_line_scrub_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT doc_id, text FROM line_scrub_t").collect()
     }
     assert got == batch_fp
+
+
+def test_minhash_bands_col_matches_band_table(spark):
+    """The streaming-safe per-row band expression must be bit-identical
+    to the batch band table."""
+    from modware_loader_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_bands_col,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    table = {}
+    for r in minhash_band_table(docs).collect():
+        table.setdefault(r.doc_id, {})[r.band_id] = r.band_hash
+    col_rows = docs.select(
+        "doc_id", minhash_bands_col(F.col("text")).alias("bands")
+    ).collect()
+    assert len(col_rows) > 0
+    for r in col_rows:
+        want = table.get(r.doc_id)
+        if want is None:
+            assert r.bands == []  # < 3 tokens: absent from the table too
+        else:
+            assert list(r.bands) == [want[b] for b in range(4)], r.doc_id
+
+
+def test_stream_dedup_against_history_matches_batch(spark, tmp_path):
+    """Streaming history gate keeps exactly the batch operator's
+    dup_of_history == 0 set; the Bloom variant only over-drops."""
+    from modware_loader_spark.operators.decontam import bloom_build_values
+    from modware_loader_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_incremental_flags,
+    )
+    from modware_loader_spark.streaming.events import (
+        stream_dedup_against_history,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    batch_kept = sorted(
+        r.doc_id
+        for r in minhash_incremental_flags(hist, batch)
+        .filter(F.col("dup_of_history") == 0)
+        .collect()
+    )
+    hb = minhash_band_table(hist)
+    hashes = [r.band_hash for r in hb.select("band_hash").distinct().collect()]
+    path = str(tmp_path / "batch_stream")
+    batch.write.parquet(path)
+
+    def run(name, **kw):
+        stream = spark.readStream.schema(batch.schema).parquet(path)
+        q = (
+            stream_dedup_against_history(stream, **kw)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return sorted(
+            r.doc_id for r in spark.sql(f"SELECT doc_id FROM {name}").collect()
+        )
+
+    exact_kept = run("hist_dedup_t", history_band_hashes=hashes)
+    assert exact_kept == batch_kept and len(exact_kept) > 0
+    bloom_kept = run(
+        "hist_dedup_bloom_t",
+        bloom_words=bloom_build_values(hb, "band_hash"),
+    )
+    # Bloom FPs only over-drop (conservative), and at m=2^17 bits for a
+    # few hundred band hashes the FP rate is ~0: expect equality here.
+    assert set(bloom_kept) <= set(exact_kept)
+    assert len(bloom_kept) >= int(0.95 * len(exact_kept))
