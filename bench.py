@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "dedup_incremental_minhash",
     "similarity_matryoshka_rerank_topk",
     "text_url_blocklist",
+    "search_hybrid_rrf_topk",
 ]
 
 

@@ -117,3 +117,43 @@ def bm25_topk(
     # rank over the k survivors only — the window input is k rows.
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return ranked.withColumn("rank", F.row_number().over(w))
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+    rank_a_col: str = "rank",
+    rank_b_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two ranked lists:
+    ``score(d) = sum over lists of 1/(c + rank_list(d))``, absent list
+    membership contributing 0 — the standard hybrid-search combiner for
+    BM25 + dense ANN.
+
+    Both inputs are already top-N heads (k-ish rows), so the fusion is
+    a full outer join of two tiny frames regardless of corpus size —
+    the heavy lifting happened in the per-list retrievers. Fixed
+    summation order (list a, then b) and a single 6dp round keep the
+    score engine-portable; final top-k is orderBy+limit (TakeOrdered)
+    with rank assigned over the k survivors.
+    """
+    a = ranked_a.select(
+        F.col(id_col).alias("doc_id"), F.col(rank_a_col).alias("__ra")
+    )
+    b = ranked_b.select(
+        F.col(id_col).alias("doc_id"), F.col(rank_b_col).alias("__rb")
+    )
+    fused = a.join(b, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("__ra")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("__rb")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    ranked = fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    return ranked.withColumn("rank", F.row_number().over(w))

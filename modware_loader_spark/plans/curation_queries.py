@@ -788,3 +788,62 @@ def text_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
     )
     return CU.url_blocklist_flags(with_url, "url", _BLOCKED_HOSTS)
+
+
+@query(
+    "search_hybrid_rrf_topk",
+    """
+    WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    dl AS (SELECT doc_id, len(w) AS dl, w FROM d),
+    st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl::DOUBLE) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, dl, tok, count(*)::BIGINT AS tf
+           FROM (SELECT doc_id, dl, unnest(w) AS tok FROM dl)
+           WHERE tok IN ('spark', 'join', 'window') GROUP BY doc_id, dl, tok),
+    dfq AS (SELECT tok, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY tok),
+    s AS (SELECT doc_id, tok,
+            ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+            * (tf * (1.2::DOUBLE + 1.0::DOUBLE))
+            / (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl::DOUBLE / avgdl)) AS sc
+          FROM tf JOIN dfq USING (tok), st),
+    p AS (SELECT doc_id,
+            coalesce(max(CASE WHEN tok = 'spark'  THEN sc END), 0.0::DOUBLE)
+          + coalesce(max(CASE WHEN tok = 'join'   THEN sc END), 0.0::DOUBLE)
+          + coalesce(max(CASE WHEN tok = 'window' THEN sc END), 0.0::DOUBLE) AS tot
+          FROM s GROUP BY doc_id),
+    bm AS (SELECT doc_id, row_number() OVER (ORDER BY round(tot, 6) DESC, doc_id) AS ra
+           FROM (SELECT doc_id, tot FROM p ORDER BY round(tot, 6) DESC, doc_id LIMIT 50)),
+    v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    cs AS (SELECT t.vec_id AS doc_id,
+            round(list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * t.e[i]))
+              / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+                 * sqrt(list_sum(list_transform(t.e, x -> x * x)))), 6) AS cos
+          FROM v q JOIN v t ON q.vec_id = 0 AND t.vec_id <> 0),
+    ann AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rb
+            FROM (SELECT doc_id, cos FROM cs ORDER BY cos DESC, doc_id LIMIT 50)),
+    fused AS (SELECT doc_id,
+            round(coalesce(1.0::DOUBLE / (60 + ra), 0.0::DOUBLE)
+                + coalesce(1.0::DOUBLE / (60 + rb), 0.0::DOUBLE), 6) AS rrf_score
+          FROM bm FULL OUTER JOIN ann USING (doc_id)),
+    head AS (SELECT doc_id, rrf_score FROM fused
+             ORDER BY rrf_score DESC, doc_id LIMIT 10)
+    SELECT doc_id, rrf_score,
+           row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+    FROM head
+    """,
+)
+def search_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 (lexical) fused with exact-cosine
+    top-50 for query vector 0 (dense) by reciprocal-rank fusion — the
+    standard hybrid-search combiner. The fusion join touches only the
+    two top-N heads; corpus-sized work stays in the per-list retrievers
+    (``search.rrf_fuse``)."""
+    from modware_loader_spark.operators import search as SE
+    from modware_loader_spark.operators import similarity as S
+
+    t = load_tables(spark, sf_dir)
+    bm = SE.bm25_topk(t["documents"], _BM25_TERMS, k=50).select("doc_id", "rank")
+    emb = t["embeddings"]
+    ann = S.brute_force_topk(emb.filter(F.col("vec_id") == 0), emb, k=50).select(
+        F.col("target_id").alias("doc_id"), "rank"
+    )
+    return SE.rrf_fuse(bm, ann, k=10)
