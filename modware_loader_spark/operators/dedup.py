@@ -340,12 +340,14 @@ def ngram_jaccard_pairs(
 
 
 def minhash_incremental_flags(
-    history: DataFrame,
+    history: DataFrame | None,
     batch: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
+    history_bands: DataFrame | None = None,
+    batch_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup screening: flag a NEW batch against an
     existing corpus without ever re-pairing the corpus with itself.
@@ -367,12 +369,18 @@ def minhash_incremental_flags(
     ``minhash_candidate_pairs`` never happens on the old data, which is
     the property that matters when history is 100 TB and the batch is a
     day's crawl. Returns one row per batch doc.
+
+    ``history_bands`` / ``batch_bands`` accept precomputed band tables
+    (``minhash_band_table`` layout) — the normal production call, since
+    the history index is stored, not recomputed per batch; when given,
+    the corresponding text frame is never hashed (``history`` may be
+    None) and the caller owns caching of ``batch_bands``.
     """
-    hb = minhash_band_table(
+    hb = history_bands if history_bands is not None else minhash_band_table(
         history, text_col=text_col, id_col=id_col,
         num_hashes=num_hashes, bands=bands,
     )
-    bb = minhash_band_table(
+    bb = batch_bands if batch_bands is not None else minhash_band_table(
         batch, text_col=text_col, id_col=id_col,
         num_hashes=num_hashes, bands=bands,
     ).localCheckpoint(eager=True)  # used by both probes; hash once

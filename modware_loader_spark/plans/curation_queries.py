@@ -699,9 +699,16 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    history = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
-    return D.minhash_incremental_flags(history, batch)
+    # history and batch share a source here, so band the corpus ONCE
+    # and split — in production history_bands is the stored index
+    all_bands = D.minhash_band_table(docs).localCheckpoint(eager=True)
+    return D.minhash_incremental_flags(
+        None,
+        batch,
+        history_bands=all_bands.filter(F.col("doc_id") % 5 != 0),
+        batch_bands=all_bands.filter(F.col("doc_id") % 5 == 0),
+    )
 
 
 @query(
