@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "similarity_matryoshka_rerank_topk",
     "text_url_blocklist",
     "search_hybrid_rrf_topk",
+    "dedup_substring_windows",
 ]
 
 

@@ -461,3 +461,65 @@ def minhash_bands_col(
     return F.when(F.size(sh) > 0, F.array(*band_cols)).otherwise(
         F.array().cast("array<bigint>")
     )
+
+
+def substring_window_stats(
+    df: DataFrame,
+    window_tokens: int = 50,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring dedup statistics (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the Spark-shaped
+    approximation of its suffix-array pass): every rolling
+    ``window_tokens``-token window (stride 1) is hashed; a window whose
+    hash occurs in >= ``min_docs`` distinct documents is duplicated
+    text. Per document: total windows, duplicated-window occurrences,
+    and the duplicated fraction — the metric pipelines threshold on
+    before cutting or down-weighting documents.
+
+    Suffix arrays find *maximal* repeats; fixed windows at stride 1
+    find every repeat of length >= window_tokens with (length -
+    window + 1) supporting hits, which is the same decision signal at a
+    bounded, shuffle-friendly cost: one explode (corpus tokens x 1 row
+    per window), one uniform-hash groupBy for document frequency, one
+    join-back, one per-doc aggregate. No pair materialization at all —
+    unlike the near-dup family this never emits candidates, so cluster
+    skew cannot make it quadratic.
+    """
+    wins = df.select(
+        F.col(id_col),
+        F.explode(shingles(tokens(F.col(text_col)), window_tokens)).alias("__w"),
+    ).select(
+        id_col,
+        F.conv(F.substring(F.md5("__w"), 1, 15), 16, 10).cast("long").alias("wh"),
+    )
+    dfreq = wins.groupBy("wh").agg(
+        F.countDistinct(id_col).alias("__df")
+    )
+    per_doc = (
+        wins.join(dfreq, "wh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("__df") >= min_docs).cast("long")).alias("n_dup_windows"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) > 0,
+                F.round(
+                    F.col("n_dup_windows").cast("double") / F.col("n_windows"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )

@@ -854,3 +854,38 @@ def search_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("target_id").alias("doc_id"), "rank"
     )
     return SE.rrf_fuse(bm, ann, k=10)
+
+
+@query(
+    "dedup_substring_windows",
+    """
+    WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 5 THEN
+            list_transform(generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' '))
+            ELSE [] END) AS win FROM d),
+    h AS (SELECT doc_id, cast('0x' || substring(md5(win), 1, 15) AS BIGINT) AS wh FROM g),
+    f AS (SELECT wh, count(DISTINCT doc_id) AS dfq FROM h GROUP BY wh),
+    j AS (SELECT h.doc_id, CASE WHEN f.dfq >= 2 THEN 1 ELSE 0 END AS dup
+          FROM h JOIN f USING (wh)),
+    s AS (SELECT doc_id, count(*)::BIGINT AS n_windows, sum(dup)::BIGINT AS n_dup_windows
+          FROM j GROUP BY doc_id)
+    SELECT d0.doc_id,
+           coalesce(s.n_windows, 0)::BIGINT AS n_windows,
+           coalesce(s.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+           CASE WHEN coalesce(s.n_windows, 0) > 0
+                THEN round(s.n_dup_windows::DOUBLE / s.n_windows, 6)
+                ELSE 0.0::DOUBLE END AS dup_fraction
+    FROM documents d0 LEFT JOIN s ON d0.doc_id = s.doc_id
+    """,
+)
+def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal (Lee et al. 2022 shape): rolling
+    5-token windows at stride 1 (real pipelines use ~50; the synthetic
+    31-word vocabulary needs a shorter window to contain any repeats at
+    all), hashed, cross-doc duplicated fraction per document. Never
+    materializes pairs — cluster skew cannot make it quadratic
+    (``dedup.substring_window_stats``)."""
+    from modware_loader_spark.operators import dedup as D
+
+    t = load_tables(spark, sf_dir)
+    return D.substring_window_stats(t["documents"], window_tokens=5)

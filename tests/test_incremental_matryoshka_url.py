@@ -198,3 +198,35 @@ def test_hybrid_rrf_prefers_docs_in_both_lists(spark, sf_dir):
         # whenever an intersection exists at all near the heads
         top = min(fused, key=lambda r: r["rank"])
         assert top["rrf_score"] >= max(r["rrf_score"] for r in fused)
+
+
+# ------------------------------------------------- substring windows
+
+
+def test_substring_window_stats_model(spark):
+    from modware_loader_spark.operators.dedup import substring_window_stats
+
+    rows = [
+        (1, "a b c d e f"),       # windows(3): "a b c","b c d","c d e","d e f"
+        (2, "a b c x y z"),       # shares "a b c" with doc 1
+        (3, "p q"),               # too short: 0 windows
+        (4, "a b c d q r"),       # shares "a b c" and "b c d" with doc 1
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_fraction"])
+        for r in substring_window_stats(docs, window_tokens=3).collect()
+    }
+    assert out[1] == (4, 2, 0.5)       # "a b c" (x3 docs), "b c d" (x2)
+    assert out[2] == (4, 1, 0.25)
+    assert out[3] == (0, 0, 0.0)
+    assert out[4] == (4, 2, 0.5)
+
+
+def test_substring_window_stats_never_materializes_pairs(spark, sf_dir):
+    from modware_loader_spark.operators.dedup import substring_window_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _formatted_plan(substring_window_stats(docs, window_tokens=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
