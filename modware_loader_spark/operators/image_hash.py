@@ -145,26 +145,35 @@ def dhash_words(gray: list[int]) -> list[int]:
     return words
 
 
-def image_dhash(media: DataFrame) -> DataFrame:
+def image_dhash(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """dHash fingerprints via real raster decode, one map stage.
 
     Input needs (media_id, payload); output is (media_id, hash_words)
     with ``hash_words`` = 2 longs of 32 bits each. Payloads must decode
     to exactly the 9x8 grid (the resize-to-grid step belongs upstream in
     ``multimodal.resize_media`` so decode happens once).
+    ``on_error='null'`` turns a NULL/corrupt/wrong-size payload into a
+    NULL fingerprint instead of failing the stage — the same policy as
+    ``multimodal.decode_media``; ``dhash_near_pairs`` ignores NULL rows.
     """
+
+    def one(payload) -> list[int] | None:
+        try:
+            w, h, rgb = decode_rgb(bytes(payload))
+            if (w, h) != (GRID_W, GRID_H):
+                raise ValueError(
+                    f"dhash expects a {GRID_W}x{GRID_H} raster, got {w}x{h}"
+                )
+        except Exception:
+            if on_error == "null":
+                return None
+            raise
+        gray = [rgb[3 * i] for i in range(w * h)]  # r == g == b
+        return dhash_words(gray)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = []
-            for payload in pdf["payload"]:
-                w, h, rgb = decode_rgb(bytes(payload))
-                if (w, h) != (GRID_W, GRID_H):
-                    raise ValueError(
-                        f"dhash expects a {GRID_W}x{GRID_H} raster, got {w}x{h}"
-                    )
-                gray = [rgb[3 * i] for i in range(w * h)]  # r == g == b
-                out.append(dhash_words(gray))
+            out = [one(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"].astype("int64"), "hash_words": out}
             )
@@ -184,6 +193,8 @@ def dhash_near_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
     """
     if max_hamming >= 4:
         raise ValueError("4-chunk pigeonhole banding guarantees d <= 3 only")
+    # rows nulled by image_dhash(on_error='null') carry no fingerprint
+    hashed = hashed.filter(F.col("hash_words").isNotNull())
     chunks = [
         (
             F.shiftright(F.col("hash_words")[c // 2], 16 * (c % 2))

@@ -190,3 +190,21 @@ def test_dhash_rejects_wrong_raster_and_wide_threshold(spark):
     )
     with pytest.raises(Exception, match="9x8"):
         IH.image_dhash(bad).collect()
+
+
+def test_dhash_on_error_null_skips_bad_payloads(spark):
+    good = IH.encode_ppm(IH.GRID_W, IH.GRID_H, bytes(range(72)) * 3)
+    # build a correctly-interleaved 9x8 gray ppm for the good row
+    gray = list(range(72))
+    rgb = bytes(g for g in gray for _ in range(3))
+    good = IH.encode_ppm(IH.GRID_W, IH.GRID_H, rgb)
+    rows = [(1, good), (2, b"not an image"), (3, None), (4, b"P6\n2 2\n255\n" + b"\x00" * 12)]
+    media = spark.createDataFrame(rows, ["media_id", "payload"])
+    out = {r["media_id"]: r["hash_words"] for r in IH.image_dhash(media, on_error="null").collect()}
+    assert out[1] is not None and len(out[1]) == 2
+    assert out[2] is None and out[3] is None and out[4] is None
+    # near-pairs silently ignores the nulled rows
+    pairs = IH.dhash_near_pairs(IH.image_dhash(media, on_error="null")).collect()
+    assert {p["id_a"] for p in pairs} <= {1}
+    with pytest.raises(Exception):
+        IH.image_dhash(media, on_error="raise").collect()
