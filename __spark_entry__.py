@@ -74,10 +74,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # text_bm25_topk, sample_dsir_weights, multimodal_dhash_fingerprint,
 # dedup_image_dhash_pairs, dedup_incremental_minhash,
 # similarity_matryoshka_rerank_topk, text_url_blocklist,
-# search_hybrid_rrf_topk, dedup_substring_windows); seventeen queries
-# green in BOTH r4 and r5 yield their slots (they stay green under
+# search_hybrid_rrf_topk, dedup_substring_windows,
+# pipeline_training_data_e2e); eighteen queries green in BOTH r4 and
+# r5 yield their slots (they stay green under
 # tests/test_oracle_parity.py, which iterates the full dict). Union of
-# r4+r5+r6 driver-green rows then covers all 91 registered queries.
+# r4+r5+r6 driver-green rows then covers all 92 registered queries.
 _DEPRIORITIZED = [
     # --- green in both r4 and r5, rotated out for round 6 ---
     "events_sessionization",        # r04+r05 green
@@ -89,6 +90,7 @@ _DEPRIORITIZED = [
     "dedup_simhash_near_pairs",     # r04+r05 green
     "dedup_minhash_candidate_pairs",  # r04+r05 green
     "sample_mixture_rebalance",     # r04+r05 green
+    "dedup_semantic_keep",          # r04+r05 green
     "q1_pricing_summary",           # r04+r05 green
     "agg_rollup_priority_status",   # r04+r05 green
     "text_langid",                  # r04+r05 green

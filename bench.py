@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "text_url_blocklist",
     "search_hybrid_rrf_topk",
     "dedup_substring_windows",
+    "pipeline_training_data_e2e",
 ]
 
 

@@ -889,3 +889,88 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return D.substring_window_stats(t["documents"], window_tokens=5)
+
+
+@query(
+    "pipeline_training_data_e2e",
+    """
+    WITH u AS (SELECT doc_id, text, lang, source,
+            regexp_replace(lower(regexp_extract(
+              'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+              || (CASE WHEN doc_id % 4 = 0 THEN upper(source) ELSE source END)
+              || '.example.com/page/' || doc_id || '?ref=' || lang,
+              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\\.', '') AS host
+          FROM documents),
+    s1 AS (SELECT doc_id, text, lang, source FROM u
+           WHERE host NOT IN ('src1.example.com', 'src7.example.com', 'src13.example.com')),
+    gq AS (SELECT doc_id, text, lang, source, string_split(trim(text), ' ') AS w FROM s1),
+    s2 AS (SELECT doc_id, text, lang, source, w FROM gq
+           WHERE len(w) BETWEEN 50 AND 100000
+             AND round(list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w), 6)
+                 BETWEEN 3.0 AND 10.0
+             AND round(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(w), 6) >= 0.8
+             AND len(list_intersect(list_transform(w, x -> lower(x)),
+                   ['the','be','to','of','and','that','have','with'])) >= 1
+             AND NOT contains(lower(text), 'lorem ipsum')
+             AND NOT contains(lower(text), '{')),
+    s3 AS (SELECT doc_id, text, lang, source, w FROM
+            (SELECT *, min(doc_id) OVER (PARTITION BY md5(trim(text))) AS canon FROM s2)
+           WHERE doc_id = canon),
+    bgr AS (SELECT DISTINCT gram FROM
+            (SELECT unnest(list_distinct(CASE WHEN len(w) >= 5 THEN
+               list_transform(generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' '))
+               ELSE [] END)) AS gram
+             FROM (SELECT string_split(trim(text), ' ') AS w FROM documents WHERE doc_id % 37 = 0))),
+    dgr AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 5 THEN
+               list_transform(generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' '))
+               ELSE [] END)) AS gram FROM s3),
+    dirty AS (SELECT DISTINCT dgr.doc_id FROM dgr JOIN bgr USING (gram)),
+    s4 AS (SELECT s3.* FROM s3 LEFT JOIN dirty ON s3.doc_id = dirty.doc_id
+           WHERE dirty.doc_id IS NULL),
+    s5 AS (SELECT * FROM s4
+           WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                  / 4294967296.0)
+               < (CASE lang WHEN 'de' THEN 0.3 WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.3
+                            WHEN 'fr' THEN 0.2 WHEN 'zh' THEN 0.1 ELSE 0.0 END))
+    SELECT lang, source, count(*)::BIGINT AS n_docs, sum(len(w))::BIGINT AS n_tokens
+    FROM s5 GROUP BY lang, source
+    """,
+)
+def pipeline_training_data_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE composed plan — domain
+    blocklist -> Gopher quality gate -> exact dedup -> benchmark
+    decontamination -> stratified mixture sample -> (lang, source)
+    token report. Every stage is the library operator the standalone
+    queries gate individually; composing them keeps everything in a
+    single Catalyst plan, so filters stack before shuffles and the
+    corpus is scanned once per hash-dependent stage, not once per tool
+    invocation — the property that matters when each stage would
+    otherwise re-read 100 TB."""
+    from modware_loader_spark.operators import curation as CU
+    from modware_loader_spark.operators import decontam as DC
+    from modware_loader_spark.operators import dedup as D
+    from modware_loader_spark.operators.text import tokens as toks
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".example.com/page/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref="),
+        F.col("lang"),
+    )
+    s1 = docs.filter(~CU.url_host(url).isin(_BLOCKED_HOSTS))
+    stats = CU.gopher_quality_stats(F.col("text"))
+    s2 = s1.filter(CU.gopher_quality_keep(stats, min_stopword_hits=1))
+    canon = D.exact_duplicates(s2).filter(F.col("is_dup") == 0).select("doc_id")
+    s3 = s2.join(canon, "doc_id", "left_semi")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    s4 = DC.decontaminate(s3, bench, n=5)
+    s5 = SA.stratified_sample(s4, "lang", _SAMPLE_FRACTIONS, key_col="doc_id")
+    return s5.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks(F.col("text")))).alias("n_tokens"),
+    )
