@@ -65,65 +65,62 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q5_region_revenue"](spark, "/root/testdata/sf0.001")
 
 
-# The external driver records the FIRST 50 queries. Round-6 rotation
-# (VERDICT r05 item 1): the three round-5 newcomers (text_pii_scrub,
-# similarity_ivfpq_topk, embed_quantize_int8) are promoted into the head
-# so they earn driver-verified rows, as are the twelve queries new in
-# round 6 (text_gopher_quality_keep, dedup_line_level, text_ngram_topk,
-# similarity_hamming_topk, similarity_hamming_rerank_topk,
-# text_bm25_topk, sample_dsir_weights, multimodal_dhash_fingerprint,
-# dedup_image_dhash_pairs, dedup_incremental_minhash,
-# similarity_matryoshka_rerank_topk, text_url_blocklist,
-# search_hybrid_rrf_topk, dedup_substring_windows,
-# pipeline_training_data_e2e); eighteen queries green in BOTH r4 and
-# r5 yield their slots (they stay green under
-# tests/test_oracle_parity.py, which iterates the full dict). Union of
-# r4+r5+r6 driver-green rows then covers all 92 registered queries.
+# The external driver records the FIRST 50 queries. Round-7 rotation:
+# the union of r1-r6 driver-green rows covers 91/92 names; the head now
+# holds (a) embed_quantize_int8 — the one never-green query, reshaped
+# this round to scalar (vec_id, pos, code, scale) rows so the driver's
+# pandas canonicalization can sort it (its r6 slot errored on the
+# array<int> codes column); (b) every query whose LAST green row is r4
+# (24 names) or r5 (18 names), so freshness rolls forward onto current
+# HEAD; and (c) the six r6-green queries whose implementation changed
+# in round 7 (windowless BM25/RRF ranks, normalized+gated URL
+# blocklist, luma dHash with hot-bucket salting, the e2e pipeline) plus
+# the q5 flagship. Everything below was green in r6 on code that is
+# unchanged this round and stays covered by tests/test_oracle_parity.py,
+# which iterates the full dict.
 _DEPRIORITIZED = [
-    # --- green in both r4 and r5, rotated out for round 6 ---
-    "events_sessionization",        # r04+r05 green
-    "sample_frequency_cap",         # r04+r05 green
-    "text_repetition_gopher",       # r04+r05 green
-    "dedup_cluster_components",     # r04+r05 green
-    "similarity_ann_banded_topk",   # r04+r05 green
-    "text_quality_quantile_gate",   # r04+r05 green
-    "dedup_simhash_near_pairs",     # r04+r05 green
-    "dedup_minhash_candidate_pairs",  # r04+r05 green
-    "sample_mixture_rebalance",     # r04+r05 green
-    "dedup_semantic_keep",          # r04+r05 green
-    "q1_pricing_summary",           # r04+r05 green
-    "agg_rollup_priority_status",   # r04+r05 green
-    "text_langid",                  # r04+r05 green
-    "dedup_exact_fingerprint",      # r04+r05 green
-    "text_bpe_token_count",         # r04+r05 green
-    "text_chunk_windows",           # r04+r05 green
-    "decontam_ngram_overlap",       # r04+r05 green
-    "dedup_ngram_jaccard",          # r04+r05 green
-    # --- r04 driver-green, rotated out for round 5 ---
-    "q3_top_revenue_orders",        # r04 green
-    "m1_new_keys_anti_join",        # r04 green
-    "m2_existing_keys_semi_join",   # r04 green
-    "m3_scoped_prune_set",          # r04 green
-    "m4_delete_with_join",          # r04 green
-    "m5_key_resolution_joins",      # r04 green
-    "m6_except_idempotent_insert",  # r04 green
-    "m8_scd1_update_from_join",     # r04 green
-    "m9_refresh_child_sets",        # r04 green
-    "m10_grown_groups",             # r04 green
-    "m11_window_dedup",             # r04 green
-    "m14_versioned_dbxref",         # r04 green
-    "e3_disjunctive_filter",        # r04 green
-    "e4_not_in_subquery",           # r04 green
-    "e7_multi_join_isin_filter",    # r04 green
-    "e8_pivot_props",               # r04 green
-    "e9_collect_to_delimited_string",  # r04 green
-    "u4_next_rank",                 # r04 green
-    "u6_fk_resolution_validity",    # r04 green
-    "t1_interval_overlap_groups",   # r04 green
-    "s11_blast_report_gff3",        # r04 green
-    "t6_blast_gbrowse_gff3",        # r04 green
-    "s5_genbank_load_features",     # r04 green
-    "s13_bibtex2chado_pub",         # r04 green
+    "m12_distinct_insert",
+    "m13_deterministic_id_generation",
+    "e1_e2_filter_computed_column",
+    "e10_ordered_assembly",
+    "e10b_splice_revcomp",
+    "e12_sample_limit",
+    "e13_skip_list_filter",
+    "u2_normalize_id",
+    "t2_t3_cutoff_and_regex_extract",
+    "closure_transitive_paths",
+    "events_tumbling_window",
+    "events_asof_last_purchase",
+    "dedup_minhash_bands",
+    "dedup_simhash_fingerprint",
+    "dedup_simhash_banded_pairs",
+    "similarity_cosine_near_pairs",
+    "similarity_cosine_bucket_pairs",
+    "similarity_brute_force_topk",
+    "similarity_lsh_bucket_topk",
+    "similarity_ivf_topk",
+    "text_token_stats",
+    "text_quality_score",
+    "text_pii_scrub",
+    "text_winnow_fingerprints",
+    "multimodal_binary_meta",
+    "similarity_ivfpq_topk",
+    "similarity_pq_adc_topk",
+    "similarity_pq_rerank_topk",
+    "agg_cube_returnflag_linestatus",
+    "window_running_total",
+    "m7_closure_refresh_delete",
+    "sample_stratified_hash",
+    "pack_token_budget",
+    "text_gopher_quality_keep",
+    "dedup_line_level",
+    "text_ngram_topk",
+    "similarity_hamming_topk",
+    "similarity_hamming_rerank_topk",
+    "sample_dsir_weights",
+    "dedup_incremental_minhash",
+    "similarity_matryoshka_rerank_topk",
+    "dedup_substring_windows",
 ]
 
 

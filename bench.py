@@ -41,7 +41,12 @@ BENCH_QUERIES = [
     "dedup_minhash_candidate_pairs",
     "dedup_simhash_near_pairs",
     "dedup_exact_fingerprint",
-    "similarity_cosine_near_pairs",
+    # similarity_cosine_near_pairs (the deliberately-quadratic exact
+    # oracle twin) was the tracked headline through r6; it is the most
+    # host-noise-sensitive entry (driver warm 12.2s vs 1.8s for identical
+    # code) so round-over-round comparisons now track the banded
+    # production twin below only. The exact query stays registered for
+    # the correctness gate.
     "similarity_cosine_bucket_pairs",
     "similarity_lsh_bucket_topk",
     "similarity_ann_banded_topk",
@@ -90,6 +95,11 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = get_spark("modware-bench")
+    # The external driver captures only a ~2 KB tail of stdout; a stray
+    # JVM WARN (e.g. window-partition or AQE notices) interleaving with —
+    # or displacing — the final JSON line is exactly how BENCH_r04 lost
+    # its headline. Nothing below needs Spark WARN output.
+    spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     # Warm-up actions so one-time startup isn't billed to whichever query

@@ -28,8 +28,11 @@ Everything is built-in ``pyspark.sql.functions``; no Python UDFs.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from modware_loader_spark.operators.text import tokens
 
@@ -275,23 +278,45 @@ def url_blocklist_flags(
 ) -> DataFrame:
     """Per-doc blocklist verdict on the normalized host.
 
-    The blocklist ships as a broadcast single-column frame and the
-    verdict is a left join + null test, so at 100 TB the corpus side
-    stays a map stage (a literal ``isin`` would inline fine for small
-    lists, but real blocklists run to millions of domains — the
-    broadcast join is the shape that survives that, and flips to a
-    shuffle join automatically past the broadcast threshold).
+    Blocklist entries get the same normalization as ``url_host``
+    (lowercase, leading ``www.`` stripped) so a ``WWW.Example.com``
+    entry matches the lowercased host. The blocklist ships as a
+    single-column frame and the verdict is a left join + null test, so
+    at 100 TB the corpus side stays a map stage. ``F.broadcast`` is a
+    HARD hint (it overrides ``autoBroadcastJoinThreshold`` — a
+    millions-of-domains list would be force-broadcast into executor
+    OOM), so the hint is gated on list size; past the gate the plain
+    equi-join lets AQE pick broadcast vs shuffle from the real size.
+    An empty blocklist short-circuits to blocked=0/keep=1 (and
+    ``createDataFrame([])`` cannot infer a schema anyway).
     Returns (id, url_host, blocked, keep).
     """
     spark = df.sparkSession
-    bl = spark.createDataFrame(
-        [(d,) for d in sorted(set(blocklist))], ["url_host"]
-    )
     hosts = df.select(
         F.col(id_col), url_host(F.col(url_col)).alias("url_host")
     )
+    norm = sorted(
+        {
+            re.sub(r"^www\.", "", d.strip().lower())
+            for d in blocklist
+            if d and d.strip()
+        }
+    )
+    if not norm:
+        return hosts.select(
+            F.col(id_col),
+            "url_host",
+            F.lit(0).alias("blocked"),
+            F.lit(1).alias("keep"),
+        )
+    bl = spark.createDataFrame(
+        [(d,) for d in norm],
+        T.StructType([T.StructField("url_host", T.StringType(), False)]),
+    ).withColumn("__blocked", F.lit(1))
+    if len(norm) <= 100_000:
+        bl = F.broadcast(bl)
     return (
-        hosts.join(F.broadcast(bl.withColumn("__blocked", F.lit(1))), "url_host", "left")
+        hosts.join(bl, "url_host", "left")
         .select(
             F.col(id_col),
             "url_host",

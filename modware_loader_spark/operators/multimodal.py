@@ -62,8 +62,34 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "
     )
 
 
+#: Per-payload ceiling for the Arrow decode/resize stages. Arrow ships
+#: ``spark.sql.execution.arrow.maxRecordsPerBatch`` (default 10k) rows
+#: per batch, so one batch's resident size is ~rows x payload — a single
+#: runaway payload (a mislabeled 2 GB video in an image column) would
+#: take the whole Python worker down. 64 MB passes every sane image and
+#: is far under the worker memory per core; raise it deliberately for
+#: video tables (and drop maxRecordsPerBatch in the same breath).
+MAX_PAYLOAD_BYTES = 64 << 20
+
+
+def _payload_too_big(payload, max_payload_bytes: int, on_error: str, what: str) -> bool:
+    """True → skip (on_error='null'); raises on the 'raise' policy."""
+    if payload is None or len(payload) <= max_payload_bytes:
+        return False
+    if on_error == "null":
+        return True
+    raise ValueError(
+        f"{what}: payload of {len(payload)} bytes exceeds max_payload_bytes="
+        f"{max_payload_bytes}; raise the cap (and lower "
+        "spark.sql.execution.arrow.maxRecordsPerBatch) for large-media tables"
+    )
+
+
 def decode_media(
-    df: DataFrame, fake: bool = False, on_error: str = "raise"
+    df: DataFrame,
+    fake: bool = False,
+    on_error: str = "raise",
+    max_payload_bytes: int = MAX_PAYLOAD_BYTES,
 ) -> DataFrame:
     """Arrow-batched decode via ``mapInPandas``: payload → dims + feature.
 
@@ -119,7 +145,12 @@ def decode_media(
                 return None, None, None
             raise
 
-    decode = fake_decode if fake else real_decode
+    base_decode = fake_decode if fake else real_decode
+
+    def decode(payload):
+        if _payload_too_big(payload, max_payload_bytes, on_error, "decode_media"):
+            return None, None, None
+        return base_decode(payload)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -163,6 +194,7 @@ def resize_media(
     height: int,
     fake: bool = False,
     on_error: str = "raise",
+    max_payload_bytes: int = MAX_PAYLOAD_BYTES,
 ) -> DataFrame:
     """Arrow-batched resize: payload → payload at (width, height).
 
@@ -186,6 +218,8 @@ def resize_media(
         otherwise mix formats under one stale label)."""
         from modware_loader_spark.functions import media_codecs as MC
 
+        if _payload_too_big(p, max_payload_bytes, on_error, "resize_media"):
+            return None, None, None
         try:
             if MC.pil_available():
                 import io
@@ -240,7 +274,11 @@ def resize_media(
 
 
 def sample_frames(
-    df: DataFrame, n_frames: int, fake: bool = False, on_error: str = "raise"
+    df: DataFrame,
+    n_frames: int,
+    fake: bool = False,
+    on_error: str = "raise",
+    max_payload_bytes: int = MAX_PAYLOAD_BYTES,
 ) -> DataFrame:
     """Arrow-batched frame sampling: one video row → up to ``n_frames``
     frame rows (uniform stride). The 1→N row expansion inside
@@ -266,6 +304,10 @@ def sample_frames(
     def real_split(p: bytes) -> list[bytes]:
         from modware_loader_spark.functions import media_codecs as MC
 
+        # oversize guard raises here under on_error='raise'; under 'null'
+        # the too-big row falls into the except branch below and emits a
+        # single NULL-payload frame row, same as any unsplittable payload
+        _payload_too_big(p, max_payload_bytes, "raise", "sample_frames")
         try:
             import av  # noqa: F401  (optional; absent in this container)
 

@@ -30,11 +30,42 @@ this is extension scope mandated by the north-star baseline.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from modware_loader_spark.operators.ivf import ensure_min_partitions
 from modware_loader_spark.operators.text import tokens
+
+
+def _rank_head(head: DataFrame, score_col: str, id_col: str = "doc_id") -> DataFrame:
+    """1-based ranks (score desc, id asc) over a tiny top-k head, no window.
+
+    Spark 4.1's ``EliminateWindowPartitions`` folds a
+    ``partitionBy(lit(0))`` window into a genuinely UNpartitioned
+    WindowExec that logs "No Partition Defined for Window operation!
+    Moving all data to a single partition" — the literal neither hashes
+    nor stays quiet (the repo's old claim was wrong; see
+    tests/test_plan_quality.py::test_no_unpartitioned_window_anywhere).
+    The head here is k rows by construction (orderBy+limit plans as
+    TakeOrderedAndProject), so rank = 1 + |rows strictly ahead| via a
+    broadcast non-equi self-join: k x k work on k ~ 10, zero windows,
+    zero warnings. Both join sides share the identical retrieval
+    subtree, so the heavy shuffle under the head is planned once and
+    re-read (``ReusedExchange`` — pinned by
+    tests/test_search_dsir_imagehash.py); only the cheap TakeOrdered
+    over the shuffled output runs per side.
+    """
+    other = head.select(
+        F.col(score_col).alias("__s2"), F.col(id_col).alias("__d2")
+    )
+    ahead = (F.col("__s2") > F.col(score_col)) | (
+        (F.col("__s2") == F.col(score_col)) & (F.col("__d2") < F.col(id_col))
+    )
+    return (
+        head.join(F.broadcast(other), ahead, "left")
+        .groupBy(id_col, score_col)
+        .agg((F.count("__d2") + F.lit(1)).cast("int").alias("rank"))
+    )
 
 
 def bm25_topk(
@@ -51,7 +82,15 @@ def bm25_topk(
     Returns ``(doc_id, score, rank)`` with ``score`` rounded to 6dp and
     ties broken on ``doc_id``. ``terms`` must be short (it is expanded
     into one conditional aggregate each, keeping the sum order fixed).
+    Duplicate terms are collapsed (first occurrence wins the sum slot) —
+    BM25 scores the term SET; callers wanting query-tf weighting should
+    weight explicitly rather than repeat terms, which would silently
+    double-add one ``__s{i}`` column per occurrence.
     """
+    seen: set[str] = set()
+    terms = [t for t in terms if not (t in seen or seen.add(t))]
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
     toked = ensure_min_partitions(
         docs.select(
             F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
@@ -120,10 +159,8 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(k)
     )
-    # rank over the k survivors only — the window input is k rows;
-    # partitionBy(lit(0)) hashes rather than Exchange SinglePartition.
-    w = Window.partitionBy(F.lit(0)).orderBy(F.col("score").desc(), F.col("doc_id"))
-    return ranked.withColumn("rank", F.row_number().over(w))
+    # rank over the k survivors only, windowless (see _rank_head)
+    return _rank_head(ranked, "score")
 
 
 def rrf_fuse(
@@ -162,7 +199,4 @@ def rrf_fuse(
         ).alias("rrf_score"),
     )
     ranked = fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id")).limit(k)
-    w = Window.partitionBy(F.lit(0)).orderBy(
-        F.col("rrf_score").desc(), F.col("doc_id")
-    )
-    return ranked.withColumn("rank", F.row_number().over(w))
+    return _rank_head(ranked, "rrf_score")

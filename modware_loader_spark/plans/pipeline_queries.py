@@ -807,21 +807,34 @@ def _ddb_pq_sql(m: int = 4, ksub: int = 8, dim: int = 64, n_queries: int = 20,
                FROM embeddings),
     s AS (SELECT vec_id, e,
                  list_max(list_transform(e, x -> abs(x))) / 127 AS scale
-          FROM v)
-    SELECT vec_id, scale,
-           CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
-                ELSE list_transform(e, x -> CAST(floor(x / scale + 0.5) AS INT))
-           END AS codes
-    FROM s
+          FROM v),
+    ex AS (SELECT vec_id, scale, g.i - 1 AS pos, e[g.i] AS x
+           FROM s, LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) g)
+    SELECT vec_id, CAST(pos AS INT) AS pos,
+           CASE WHEN scale = 0 THEN 0
+                ELSE CAST(floor(x / scale + 0.5) AS INT) END AS code,
+           scale
+    FROM ex
     """,
 )
 def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization — the 4x storage cut on the
     corpus' dominant column (FAISS-SQ8 shape). Pure map stage, zero
     shuffle; codes use floor(x/scale + 0.5) so both engines agree
-    bit-for-bit. See ``operators/similarity.py::quantize_int8``."""
+    bit-for-bit. See ``operators/similarity.py::quantize_int8``.
+
+    The library operator returns the compact ``(vec_id, scale, codes)``
+    shape (one array<int> per vector); the *registered query* posexplodes
+    the codes to scalar ``(vec_id, pos, code, scale)`` rows because the
+    external correctness gate canonicalizes results via pandas
+    ``sort_values`` over every column, which cannot sort list cells
+    (the r6 ``TypeError: unhashable type: 'list'``). Explode is a map
+    stage, so the zero-shuffle story is unchanged."""
     t = load_tables(spark, sf_dir)
-    return S.quantize_int8(t["embeddings"])
+    q = S.quantize_int8(t["embeddings"])
+    return q.select(
+        "vec_id", "scale", F.posexplode("codes").alias("pos", "code")
+    ).select("vec_id", "pos", "code", "scale")
 
 
 def _ddb_ivfpq_sql(nlist: int = 8, nprobe: int = 2, m: int = 8, ksub: int = 16,

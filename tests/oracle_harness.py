@@ -49,9 +49,44 @@ def canon_rows(cols, rows):
     return sorted(c for c in cols), out
 
 
+def non_scalar_columns(schema) -> list[str]:
+    """Result columns the driver's canonicalizer cannot sort.
+
+    The external gate canonicalizes via pandas ``sort_values`` over every
+    column; Array/Map/Struct cells materialize as Python lists/dicts and
+    raise ``TypeError: unhashable type: 'list'`` there (this zeroed
+    ``embed_quantize_int8``'s r6 row). The local ``canon_cell`` used to
+    stringify cells, hiding exactly that class of incompatibility — so
+    flag it here instead: registered queries must emit scalar columns
+    (explode arrays, or hash/join them to a string).
+    """
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def compare(spark, sf_dir: str, name: str, fn, sql: str | None):
     sdf = fn(spark, sf_dir)
     scols = sdf.columns
+    # Only oracle-backed queries flow through the driver's pandas canon;
+    # rows-only entries are count-checked and may carry any shape.
+    bad = non_scalar_columns(sdf.schema) if sql is not None else []
+    if bad:
+        return {
+            "name": name,
+            "ok": False,
+            "status": "non_scalar_columns",
+            "non_scalar_columns": bad,
+            "error": (
+                f"columns {bad} are array/map/struct-typed; the driver's "
+                "pandas canonicalization cannot sort them — emit scalar "
+                "columns (posexplode, or a deterministic string digest)"
+            ),
+        }
     srows = [tuple(r) for r in sdf.collect()]
     result = {"name": name, "spark_rows": len(srows)}
     if sql is None:

@@ -155,6 +155,23 @@ def test_url_blocklist_flags_and_broadcast_plan(spark):
     assert "BroadcastHashJoin" in _formatted_plan(out)
 
 
+def test_url_blocklist_empty_and_unnormalized_entries(spark):
+    rows = [(1, "https://bad.site/x"), (2, "https://good.site/z")]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    # empty blocklist short-circuits to keep-everything (createDataFrame
+    # on [] cannot infer a schema — this used to crash)
+    empty = {r["doc_id"]: (r["blocked"], r["keep"])
+             for r in url_blocklist_flags(df, "url", []).collect()}
+    assert empty == {1: (0, 1), 2: (0, 1)}
+    assert set(url_blocklist_flags(df, "url", []).columns) == {
+        "doc_id", "url_host", "blocked", "keep"}
+    # entries get the url_host normalization: case + leading www + blanks
+    messy = {r["doc_id"]: r["blocked"]
+             for r in url_blocklist_flags(
+                 df, "url", ["WWW.Bad.SITE ", "", "  "]).collect()}
+    assert messy == {1: 1, 2: 0}
+
+
 # ---------------------------------------------------------- RRF fusion
 
 

@@ -287,6 +287,51 @@ def test_resize_media_real_on_error_null(spark):
         assert rows[bad].meta_width is None and rows[bad].meta_height is None
 
 
+def test_payload_size_cap_policies(spark):
+    """Payloads past max_payload_bytes fail fast under on_error='raise'
+    and NULL out (without being decoded) under 'null' — the Arrow
+    batch-residency guard for mislabeled giant media."""
+    from modware_loader_spark.operators.multimodal import (
+        decode_media,
+        resize_media,
+        sample_frames,
+    )
+
+    png = _png(2, 2, [[255, 0, 0, 0, 255, 0], [0, 0, 255, 255, 255, 255]])
+    media = spark.createDataFrame(
+        [(1, "image/png", bytearray(png)), (2, "image/png", bytearray(b"x" * 2048))],
+        "media_id long, media_type string, payload binary",
+    )
+    with pytest.raises(Exception, match="max_payload_bytes"):
+        decode_media(media, max_payload_bytes=1024).collect()
+    rows = {
+        r.media_id: r
+        for r in decode_media(
+            media, on_error="null", max_payload_bytes=1024
+        ).collect()
+    }
+    assert rows[1].decoded_width == 2 and rows[2].decoded_width is None
+    with pytest.raises(Exception, match="max_payload_bytes"):
+        resize_media(media, 4, 4, max_payload_bytes=1024).collect()
+    r2 = {
+        r.media_id: r
+        for r in resize_media(
+            media, 4, 4, on_error="null", max_payload_bytes=1024
+        ).collect()
+    }
+    assert r2[1].payload is not None and r2[2].payload is None
+    # restrict the raise-check to the oversized row: the PNG row would
+    # also raise (it is not a video container) with a different message,
+    # and whichever task fails first wins the match
+    big_only = media.filter("media_id = 2")
+    with pytest.raises(Exception, match="max_payload_bytes"):
+        sample_frames(big_only, 2, max_payload_bytes=1024).collect()
+    f2 = sample_frames(
+        big_only, 2, on_error="null", max_payload_bytes=1024
+    ).collect()
+    assert any(r.media_id == 2 and r.payload is None for r in f2)
+
+
 # ------------------------------------------------------- video containers
 
 

@@ -28,6 +28,30 @@ def test_query_matches_oracle(spark, name):
     assert res["ok"], res
 
 
+def test_harness_rejects_array_columns(spark):
+    """The local gate must fail an oracle-backed query that returns an
+    array column with a clear message — the driver's pandas canon cannot
+    sort list cells (r6's embed_quantize_int8 failure mode)."""
+
+    def arrays(sp, sf_dir):
+        return sp.range(3).selectExpr("id", "array(id, id + 1) AS codes")
+
+    res = compare(spark, SF, "fake_array_query", arrays, "SELECT 1 AS one")
+    assert not res["ok"]
+    assert res["status"] == "non_scalar_columns"
+    assert res["non_scalar_columns"] == ["codes"]
+
+
+def test_harness_allows_array_columns_rows_only(spark):
+    """Rows-only entries skip the driver's canon, so shapes are free."""
+
+    def arrays(sp, sf_dir):
+        return sp.range(3).selectExpr("id", "array(id) AS codes")
+
+    res = compare(spark, SF, "fake_rows_only", arrays, None)
+    assert res["ok"] and res["status"] == "rows_only"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

@@ -298,20 +298,36 @@ def test_driver_registry_contract():
     assert not missing, missing
     head = names[:50]
     assert len(head) == 50
-    # rotation goal: r4-green ∪ r5-head must cover every pre-round-5
-    # query; equivalently, nothing in the r4 tail may still sit past 50
-    r4_tail = {
-        "e10b_splice_revcomp", "dedup_simhash_fingerprint",
-        "dedup_minhash_bands", "dedup_simhash_banded_pairs",
-        "similarity_cosine_bucket_pairs", "similarity_brute_force_topk",
-        "events_tumbling_window", "m12_distinct_insert",
-        "m13_deterministic_id_generation", "t2_t3_cutoff_and_regex_extract",
-        "e12_sample_limit", "text_token_stats", "similarity_lsh_bucket_topk",
-        "agg_cube_returnflag_linestatus", "window_running_total",
-        "text_winnow_fingerprints", "text_quality_score",
-        "similarity_cosine_near_pairs", "similarity_pq_adc_topk",
-        "e13_skip_list_filter", "u2_normalize_id",
-        "e1_e2_filter_computed_column", "m7_closure_refresh_delete",
-        "sample_stratified_hash", "pack_token_budget",
-    }
-    assert r4_tail <= set(head), sorted(r4_tail - set(head))
+    # rotation freshness goal, computed from the recorded CORRECTNESS
+    # artifacts (self-maintaining — the r5/r6 versions of this test
+    # hardcoded the tail set and went stale): every query that has
+    # NEVER earned a driver-green row, or whose last green row is two
+    # or more recorded rounds old, must sit in the head so the next
+    # driver run re-verifies it on current code.
+    import glob
+    import json
+    import os
+    import re as _re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last_green: dict[str, int] = {}
+    latest = 0
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = _re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        latest = max(latest, rnd)
+        with open(path) as fh:
+            data = json.load(fh)
+        for k, v in data.items():
+            ok = (
+                isinstance(v, dict)
+                and v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match")
+            )
+            if ok:
+                last_green[k] = max(last_green.get(k, 0), rnd)
+    stale = {n for n in names if last_green.get(n, 0) <= latest - 2}
+    assert stale <= set(head), sorted(stale - set(head))
