@@ -88,6 +88,11 @@ BENCH_QUERIES = [
     "search_hybrid_rrf_topk",
     "dedup_substring_windows",
     "pipeline_training_data_e2e",
+    # round-7 additions
+    "sample_weighted_reservoir",
+    "text_quality_classifier",
+    "sketch_hll_distinct",
+    "sketch_cms_heavy_hitters",
 ]
 
 

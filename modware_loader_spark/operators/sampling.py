@@ -223,6 +223,65 @@ def rebalance_mixture(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    salt: str = "wrs",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: keep ``n`` rows (per group,
+    or globally) with inclusion probability proportional to
+    ``weight_col`` — Efraimidis & Spirakis (2006) A-ES reservoir keys.
+
+    Each row scores ``ln(u) / w`` with ``u`` the deterministic
+    ``hash_uniform`` draw shifted into (0, 1]; the top ``n`` scores win
+    (equivalent to the classical ``u^(1/w)`` key, monotone in log
+    space). Because ``u`` is md5-derived, the sample is identical across
+    engines, re-runs, retries and repartitionings — the same
+    determinism contract as ``stratified_sample``, which matters when a
+    100 TB sampling job is recomputed after a failure.
+
+    Shapes at scale: grouped → one hash shuffle on ``group_cols`` and a
+    rank window whose filter pushes into WindowGroupLimit (per-task
+    state bounded by ``n``); global → ``orderBy().limit(n)`` =
+    TakeOrderedAndProject over per-partition heads, no global sort, no
+    single-partition exchange. Rows with NULL or non-positive weight are
+    excluded (standard A-ES domain). The score is rounded to 6dp with a
+    ``key_col`` tie-break so rank order is engine-portable (``ln`` may
+    differ by 1 ulp between libms — same convention as the cosine
+    operators); emitted as ``wrs_score`` for oracle comparison.
+    """
+    w = F.col(weight_col).cast("double")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(1)
+    ) / F.lit(_HASH_SPACE)
+    # + 0.0 normalizes IEEE negative zero: a just-under-zero score rounds
+    # to -0.0 in engines that keep the sign through round() (DuckDB) but
+    # to 0.0 in Spark — the canonical hash would split on the repr
+    scored = df.filter(w.isNotNull() & (w > 0)).withColumn(
+        "wrs_score", F.round(F.log(u) / w, 6) + F.lit(0.0)
+    )
+    if group_cols:
+        rank_w = Window.partitionBy(*group_cols).orderBy(
+            F.col("wrs_score").desc(), F.col(key_col).asc()
+        )
+        return (
+            scored.withColumn("__rk", F.row_number().over(rank_w))
+            .filter(F.col("__rk") <= n)
+            .drop("__rk")
+        )
+    return scored.orderBy(F.col("wrs_score").desc(), F.col(key_col).asc()).limit(n)
+
+
 def dsir_log_weights(
     df: DataFrame,
     target_filter: Column,

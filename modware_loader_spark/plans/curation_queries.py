@@ -15,9 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from modware_loader_spark.operators import classifier as CL
 from modware_loader_spark.operators import decontam as DC
 from modware_loader_spark.operators import packing as PK
 from modware_loader_spark.operators import sampling as SA
+from modware_loader_spark.operators import sketch as SK
 from modware_loader_spark.operators import text as TX
 from modware_loader_spark.plans.registry import query
 from modware_loader_spark.session import load_tables
@@ -85,6 +87,173 @@ def sample_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.frequency_cap(
         t["documents"], ["source"], cap=20, key_col="doc_id"
     ).select("doc_id", "source")
+
+
+@query(
+    "sample_weighted_reservoir",
+    """
+    WITH s AS (
+      SELECT doc_id, lang, n_chars,
+             round(ln((CAST(('0x' || substr(md5('wrs' || CAST(doc_id AS VARCHAR)),
+                             1, 8)) AS UBIGINT) + 1) / 4294967296.0)
+                   / CAST(n_chars AS DOUBLE), 6) + 0.0 AS wrs_score
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0),
+    r AS (SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY wrs_score DESC, doc_id ASC) AS rk
+          FROM s)
+    SELECT doc_id, lang, n_chars, wrs_score FROM r WHERE rk <= 15
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    per-language 15 documents with inclusion probability proportional to
+    length — the "sample by token budget, not by row count" primitive
+    mixture construction needs.
+
+    The reservoir key ``ln(u)/w`` uses the md5-deterministic draw, so
+    the sample is identical across engines, re-runs and partitionings;
+    the rank<=n filter pushes into WindowGroupLimit. The scan prunes to
+    (doc_id, lang, n_chars) — the text column is never read. See
+    ``operators/sampling.py::weighted_sample``.
+    """
+    t = load_tables(spark, sf_dir)
+    return SA.weighted_sample(
+        t["documents"].select("doc_id", "lang", "n_chars"),
+        n=15,
+        weight_col="n_chars",
+        key_col="doc_id",
+        group_cols=["lang"],
+    ).select("doc_id", "lang", "n_chars", "wrs_score")
+
+
+@query(
+    "sketch_hll_distinct",
+    """
+    WITH h AS (SELECT o_orderpriority,
+                      md5('hll' || CAST(o_custkey AS VARCHAR)) AS hx
+               FROM orders),
+    r0 AS (SELECT o_orderpriority,
+                  CAST(('0x' || substr(hx, 1, 8)) AS UBIGINT) % 64 AS register,
+                  CAST(('0x' || substr(hx, 9, 8)) AS UBIGINT) AS w
+           FROM h),
+    regs AS (SELECT o_orderpriority, register,
+                    max(CASE WHEN w = 0 THEN 33
+                             ELSE 33 - length(bin(w)) END) AS max_rho
+             FROM r0 GROUP BY o_orderpriority, register),
+    agg AS (SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_registers,
+                   sum(pow(2.0, -max_rho)) AS present
+            FROM regs GROUP BY o_orderpriority)
+    SELECT o_orderpriority, n_registers,
+           round(CASE WHEN 0.709 * 64 * 64 / (present + (64 - n_registers))
+                           <= 160.0
+                       AND n_registers < 64
+                      THEN 64.0 * ln(64.0 / (64 - n_registers))
+                      ELSE 0.709 * 64 * 64 / (present + (64 - n_registers))
+                 END, 4) AS estimate
+    FROM agg
+    """,
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-customer estimate per order priority, in
+    engine-portable md5 arithmetic (Spark's own approx_count_distinct
+    sketch is engine-private). Two hash aggregations over (group,
+    register) — the customer keys never shuffle. See
+    ``operators/sketch.py``."""
+    t = load_tables(spark, sf_dir)
+    return SK.hll_distinct(
+        t["orders"], key_col="o_custkey", group_cols=["o_orderpriority"]
+    )
+
+
+_CLF_BUCKETS = 4096
+
+
+@query(
+    "text_quality_classifier",
+    f"""
+    WITH wt AS (
+      SELECT g AS bucket,
+             (CAST(('0x' || substr(md5('w:' || CAST(g AS VARCHAR)), 1, 2))
+                   AS BIGINT) - 128) * 1000 AS w_micros
+      FROM generate_series(0, {_CLF_BUCKETS - 1}) t(g)),
+    tk AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+           FROM documents),
+    b AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)
+                   % {_CLF_BUCKETS} AS bucket
+          FROM tk),
+    s AS (SELECT b.doc_id, count(*) AS n_tokens,
+                 CAST(COALESCE(sum(wt.w_micros), 0) AS BIGINT) AS score_micros
+          FROM b LEFT JOIN wt USING (bucket) GROUP BY b.doc_id)
+    SELECT doc_id, n_tokens, score_micros,
+           CASE WHEN score_micros >= 0 THEN 1 ELSE 0 END AS keep
+    FROM s
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear (fastText-style) quality-classifier gate: tokens
+    feature-hash into {n} buckets, a broadcast sparse weight table scores
+    each document by exact integer micro-unit summation, keep =
+    score >= 0.
+
+    The md5-derived synthetic model stands in for trained weights — the
+    operator contract (hash → broadcast join → integer partial-agg sum)
+    is the production shape; integer micros make the score order-free
+    across engines and partitionings, same trick as DSIR. See
+    ``operators/classifier.py``.
+    """
+    t = load_tables(spark, sf_dir)
+    wt = CL.synth_weight_table(spark, _CLF_BUCKETS)
+    return CL.linear_classifier_score(t["documents"], wt, n_buckets=_CLF_BUCKETS)
+
+
+@query(
+    "sketch_cms_heavy_hitters",
+    """
+    WITH tk AS (SELECT unnest(string_split(trim(text), ' ')) AS tok
+                FROM documents),
+    ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact
+           FROM tk GROUP BY tok),
+    top AS (SELECT tok, n_exact FROM ex ORDER BY n_exact DESC, tok LIMIT 15),
+    ds AS (SELECT unnest(generate_series(0, 3)) AS r),
+    rc AS (SELECT ds.r AS row,
+                  CAST(('0x' || substr(md5('cms' || CAST(ds.r AS VARCHAR)
+                        || ':' || tok), 1, 8)) AS UBIGINT) % 256 AS col
+           FROM tk, ds),
+    sk AS (SELECT row, col, CAST(count(*) AS BIGINT) AS cnt
+           FROM rc GROUP BY row, col),
+    pr AS (SELECT t.tok, t.n_exact, ds.r AS row,
+                  CAST(('0x' || substr(md5('cms' || CAST(ds.r AS VARCHAR)
+                        || ':' || t.tok), 1, 8)) AS UBIGINT) % 256 AS col
+           FROM top t, ds)
+    SELECT pr.tok, pr.n_exact,
+           CAST(min(COALESCE(sk.cnt, 0)) AS BIGINT) AS cms_count
+    FROM pr LEFT JOIN sk USING (row, col)
+    GROUP BY pr.tok, pr.n_exact
+    """,
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch probed at the exact top-15 tokens:
+    ``(tok, n_exact, cms_count)`` with the one-sided guarantee
+    cms_count >= n_exact. The sketch is d x w = 1024 counters however
+    large the corpus — the fixed-size stand-in for the unbounded exact
+    gram table; probe joins broadcast the sketch. See
+    ``operators/sketch.py``."""
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    sk = SK.cms_table(toks, "tok", depth=4, width=256)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("tok"))
+        .limit(15)
+    )
+    est = SK.cms_estimate(sk, top, "tok", depth=4, width=256)
+    return top.join(est, "tok").select("tok", "n_exact", "cms_count")
 
 
 # n-gram order for contamination checks; eval-leak scans typically use
