@@ -236,3 +236,42 @@ def test_genbank_splicing_no_cartesian(spark):
         seqs.explain("formatted")
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_reservoir_prunes_and_group_limits(spark, sf_dir):
+    """A-ES sampling: the scan must prune to (doc_id, lang, n_chars) —
+    never read text — and the per-group rank filter must push into
+    WindowGroupLimit so tasks hold n rows per group, not the group."""
+    plan = _plan(spark, "sample_weighted_reservoir", sf_dir)
+    assert "WindowGroupLimit" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "text" not in m.group(1)
+    assert len(m.group(1).split(",")) <= 3
+
+
+def test_classifier_broadcasts_weights_partial_aggs(spark, sf_dir):
+    """The linear-classifier gate: weight table broadcasts (the corpus
+    side never shuffles for the join) and the score sum is a partial +
+    final hash aggregate pair."""
+    plan = _plan(spark, "text_quality_classifier", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_sketch_never_shuffles_raw_keys(spark, sf_dir):
+    """HLL: the plan is two hash aggregations over (group, register);
+    the shuffled columns must be the register coordinates, never the
+    raw customer key — pruned to the two columns the sketch needs."""
+    plan = _plan(spark, "sketch_hll_distinct", sf_dir)
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 stages
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 2
+
+
+def test_cms_probe_broadcasts_sketch(spark, sf_dir):
+    """Count-Min: the probe side joins the d*w-row sketch by broadcast;
+    the build is partial-agg combined."""
+    plan = _plan(spark, "sketch_cms_heavy_hitters", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
