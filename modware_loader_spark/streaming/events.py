@@ -135,6 +135,55 @@ def stream_quality_filter(
     )
 
 
+def stream_classifier_gate(
+    docs: DataFrame,
+    weights: dict[int, int],
+    n_buckets: int,
+    bias_micros: int = 0,
+    threshold_micros: int = 0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming hashed-linear-classifier gate: keep documents whose
+    fastText-style score clears the threshold — the streaming twin of
+    the batch ``text_quality_classifier`` query.
+
+    The batch operator (``operators.classifier``) explodes to tokens and
+    joins a broadcast weight table — a shuffle shape streaming ingest
+    should not pay. Here the (sparse) model ships as a LITERAL map and
+    the score is a single ``aggregate`` fold over the token array:
+    ``score = bias + sum coalesce(weights[bucket(token)], 0)`` — pure
+    row expression, integer micro-unit arithmetic bit-identical to the
+    batch scorer (pinned by a batch-equivalence test), append mode, no
+    state store, no watermark, no shuffle. Model size bound: a literal
+    map inlines into the plan, so this is for snapshot-sized models
+    (10^4-ish occupied buckets); bigger models belong in the batch path.
+    """
+    from modware_loader_spark.operators.classifier import hash_bucket
+    from modware_loader_spark.operators.text import tokens
+
+    if weights:
+        lit_map = F.create_map(
+            *[
+                F.lit(v).cast("long")
+                for b, w in sorted(weights.items())
+                for v in (b, w)
+            ]
+        )
+        per_tok = lambda t: F.coalesce(  # noqa: E731
+            lit_map[hash_bucket(t, n_buckets)], F.lit(0).cast("long")
+        )
+    else:
+        per_tok = lambda t: F.lit(0).cast("long")  # noqa: E731
+    score = F.aggregate(
+        tokens(F.col(text_col)),
+        F.lit(int(bias_micros)).cast("long"),
+        lambda acc, t: acc + per_tok(t),
+    )
+    return docs.withColumn("score_micros", score).filter(
+        F.col("score_micros") >= F.lit(int(threshold_micros))
+    )
+
+
 def stream_line_scrub(
     docs: DataFrame,
     boilerplate_hashes: list[str],

@@ -469,3 +469,60 @@ def test_stream_dedup_against_history_matches_batch(spark, tmp_path):
     # few hundred band hashes the FP rate is ~0: expect equality here.
     assert set(bloom_kept) <= set(exact_kept)
     assert len(bloom_kept) >= int(0.95 * len(exact_kept))
+
+
+def test_stream_classifier_gate_matches_batch(spark, tmp_path):
+    """The streaming classifier gate (literal-map weights, aggregate
+    fold) scores every document bit-identically to the batch broadcast
+    join scorer, and keeps exactly the batch keep-set — stateless
+    append mode."""
+    from modware_loader_spark.operators.classifier import (
+        linear_classifier_score,
+        synth_weight_table,
+    )
+    from modware_loader_spark.streaming.events import stream_classifier_gate
+
+    n_buckets = 512
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wt = synth_weight_table(spark, n_buckets)
+    batch = {
+        r["doc_id"]: (r["score_micros"], r["keep"])
+        for r in linear_classifier_score(
+            docs, wt, n_buckets, bias_micros=3
+        ).collect()
+    }
+    weights = {r["bucket"]: r["w_micros"] for r in wt.collect() if r["w_micros"]}
+    path = str(tmp_path / "docs_clf_stream")
+    docs.write.parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    q = (
+        stream_classifier_gate(
+            stream, weights, n_buckets, bias_micros=3, threshold_micros=0
+        )
+        .writeStream.format("memory")
+        .queryName("clf_t")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = {
+        r["doc_id"]: r["score_micros"]
+        for r in spark.sql("SELECT doc_id, score_micros FROM clf_t").collect()
+    }
+    kept_batch = {d for d, (s, k) in batch.items() if k == 1}
+    assert set(streamed) == kept_batch and len(streamed) > 0
+    for d, s in streamed.items():
+        assert s == batch[d][0]
+    # empty model: every doc scores the bias alone
+    q2 = (
+        stream_classifier_gate(stream, {}, n_buckets, bias_micros=-1,
+                               threshold_micros=0)
+        .writeStream.format("memory")
+        .queryName("clf_empty_t")
+        .outputMode("append")
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.sql("SELECT count(*) AS n FROM clf_empty_t").collect()[0]["n"] == 0
