@@ -260,7 +260,8 @@ def _ppm_rgb(p: bytes) -> tuple[int, int, bytes]:
 
 def decode_rgb(payload: bytes) -> tuple[int, int, bytes]:
     """Full RGB raster: Pillow when importable (any format it knows),
-    else the stdlib decoders (png/bmp/ppm; jpeg/gif rasters need PIL)."""
+    else the stdlib decoders (png/bmp/ppm + baseline jpeg via
+    ``jpeg_codec``; progressive jpeg and gif rasters still need PIL)."""
     if pil_available():
         import PIL.Image
 
@@ -273,8 +274,15 @@ def decode_rgb(payload: bytes) -> tuple[int, int, bytes]:
         return _bmp_rgb(payload)
     if kind == "ppm":
         return _ppm_rgb(payload)
+    if kind == "jpeg":
+        from modware_loader_spark.functions.jpeg_codec import (
+            decode_baseline_jpeg,
+        )
+
+        return decode_baseline_jpeg(payload)
     raise ValueError(
-        f"raster decode of {kind!r} requires Pillow (stdlib path covers png/bmp/ppm)"
+        f"raster decode of {kind!r} requires Pillow "
+        "(stdlib path covers png/bmp/ppm/baseline-jpeg)"
     )
 
 

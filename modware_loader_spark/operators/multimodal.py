@@ -2,12 +2,12 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 Decode and resize are REAL: Pillow when importable, else the stdlib
-codecs in ``functions/media_codecs.py`` (PNG/BMP/PPM rasters, JPEG/GIF
-header dims, WAV audio stats). The deterministic md5 stub decoder
+codecs in ``functions/media_codecs.py`` (PNG/BMP/PPM + baseline-JPEG
+rasters, progressive-JPEG/GIF header dims, WAV audio stats). The deterministic md5 stub decoder
 remains available as ``fake=True`` — it is what the driver-gated oracle
 query uses, since DuckDB can restate the md5 arithmetic but not a PNG
-inflate. Only video frame sampling is still stub-only (ffmpeg has no
-stdlib substitute).
+inflate. Video frame sampling is real too (PyAV preferred, stdlib
+AVI/GIF container splitters otherwise).
 
 Scale notes: binary payloads dominate partition size — size
 ``spark.sql.files.maxPartitionBytes`` down (e.g. 32 MB) for media tables,
@@ -95,8 +95,9 @@ def decode_media(
 
     The REAL path (``fake=False``) decodes per payload: Pillow when
     importable (every format it knows), else the stdlib codecs in
-    ``functions/media_codecs.py`` — PNG/BMP/PPM to full RGB rasters
-    (feature = mean R, G, B + luminance, /255), JPEG/GIF to header
+    ``functions/media_codecs.py`` — PNG/BMP/PPM and baseline JPEG to
+    full RGB rasters (feature = mean R, G, B + luminance, /255),
+    progressive JPEG/GIF to header
     dimensions (feature NULL without PIL), WAV to audio stats (dims
     NULL, feature = [duration_s, rms]). ``on_error='null'`` turns
     undecodable payloads into NULL dims/feature instead of failing the
