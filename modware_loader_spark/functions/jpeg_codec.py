@@ -433,6 +433,15 @@ def decode_baseline_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
+    try:
+        return _parse_and_decode(payload)
+    except (IndexError, struct.error) as exc:
+        # truncated/header-only payloads must surface as ValueError so
+        # callers (decode_media) can fall back to header-dims parsing
+        raise ValueError(f"truncated or malformed JPEG: {exc}") from exc
+
+
+def _parse_and_decode(payload: bytes) -> tuple[int, int, bytes]:
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict] = {}

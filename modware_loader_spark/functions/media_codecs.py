@@ -258,10 +258,154 @@ def _ppm_rgb(p: bytes) -> tuple[int, int, bytes]:
     return w, h, bytes(rgb)
 
 
+def _gif_lzw_decode(mcs: int, data: bytes) -> list[int]:
+    """GIF-variant LZW: LSB-first variable-width codes, clear/end codes,
+    dictionary growth to 12 bits, KwKwK case (T.81-era GIF89a spec)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    nbits = len(data) * 8
+    pos = 0
+    out: list[int] = []
+    table: dict[int, list[int]] = {}
+    next_code = end + 1
+    prev: list[int] | None = None
+
+    def read() -> int:
+        nonlocal pos
+        v = 0
+        for i in range(width):
+            v |= ((data[pos >> 3] >> (pos & 7)) & 1) << i
+            pos += 1
+        return v
+
+    while pos + width <= nbits:
+        code = read()
+        if code == clear:
+            table = {i: [i] for i in range(clear)}
+            next_code = end + 1
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            if next_code < 4096:
+                table[next_code] = prev + [entry[0]]
+                next_code += 1
+        elif code == next_code:  # KwKwK
+            entry = prev + [prev[0]]
+            if next_code < 4096:
+                table[next_code] = entry
+                next_code += 1
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out.extend(entry)
+        prev = entry
+        if next_code == (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_rgb(p: bytes) -> tuple[int, int, bytes]:
+    """First image block of a GIF as a full-canvas RGB raster.
+
+    Handles global/local color tables, interlacing, and LZW
+    decompression; pixels outside the (possibly smaller) image block
+    take the background color; a GCE transparent index renders as its
+    palette color (still-image contract — no compositing stack).
+    Animated GIFs: ``split_gif_frames`` re-wraps each frame as a
+    standalone GIF, which this function then rasters — the stdlib
+    frame-sampling → decode composition.
+    """
+    if sniff_media_type(p) != "gif":
+        raise ValueError("not a GIF")
+    try:
+        return _gif_rgb_inner(p)
+    except (IndexError, struct.error) as exc:
+        # truncated/header-only payloads surface as ValueError so
+        # decode_media can fall back to header-dims parsing
+        raise ValueError(f"truncated or malformed GIF: {exc}") from exc
+
+
+def _gif_rgb_inner(p: bytes) -> tuple[int, int, bytes]:
+    w, h = struct.unpack("<HH", p[6:10])
+    flags, bg = p[10], p[11]
+    gct_n = (2 << (flags & 7)) if flags & 0x80 else 0
+    gct = p[13 : 13 + 3 * gct_n]
+    pos = 13 + 3 * gct_n
+
+    def skip_subblocks(q: int) -> int:
+        while p[q]:
+            q += 1 + p[q]
+        return q + 1
+
+    while pos < len(p):
+        b0 = p[pos]
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:
+            pos = skip_subblocks(pos + 2)
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+        left, top, iw, ih = struct.unpack("<HHHH", p[pos + 1 : pos + 9])
+        dflags = p[pos + 9]
+        lct_n = (2 << (dflags & 7)) if dflags & 0x80 else 0
+        pal = p[pos + 10 : pos + 10 + 3 * lct_n] if lct_n else gct
+        if not pal:
+            raise ValueError("GIF image has no color table")
+        q = pos + 10 + 3 * lct_n
+        mcs = p[q]
+        q += 1
+        data = bytearray()
+        while p[q]:
+            ln = p[q]
+            data += p[q + 1 : q + 1 + ln]
+            q += 1 + ln
+        idxs = _gif_lzw_decode(mcs, bytes(data))
+        if len(idxs) < iw * ih:
+            raise ValueError("GIF LZW stream shorter than raster")
+        if dflags & 0x40:  # interlaced: rows arrive in 4 passes
+            rows = [idxs[r * iw : (r + 1) * iw] for r in range(ih)]
+            order = [
+                r for start, step in _INTERLACE_PASSES for r in range(start, ih, step)
+            ]
+            deinterlaced = [None] * ih
+            for src, dst in enumerate(order):
+                deinterlaced[dst] = rows[src]
+            idxs = [px for row in deinterlaced for px in row]
+        npal = len(pal) // 3
+        bg_rgb = (
+            pal[3 * bg : 3 * bg + 3] if bg < npal and gct else b"\x00\x00\x00"
+        )
+        canvas = bytearray(bytes(bg_rgb) * (w * h))
+        for r in range(ih):
+            cy = top + r
+            if cy >= h:
+                break
+            for c in range(iw):
+                cx = left + c
+                if cx >= w:
+                    continue
+                px = idxs[r * iw + c]
+                if px >= npal:
+                    raise ValueError("palette index out of range")
+                o = 3 * (cy * w + cx)
+                canvas[o : o + 3] = pal[3 * px : 3 * px + 3]
+        return w, h, bytes(canvas)
+    raise ValueError("GIF contains no image block")
+
+
 def decode_rgb(payload: bytes) -> tuple[int, int, bytes]:
     """Full RGB raster: Pillow when importable (any format it knows),
-    else the stdlib decoders (png/bmp/ppm + baseline jpeg via
-    ``jpeg_codec``; progressive jpeg and gif rasters still need PIL)."""
+    else the stdlib decoders (png/bmp/ppm, baseline jpeg via
+    ``jpeg_codec``, gif via LZW; progressive jpeg still needs PIL)."""
     if pil_available():
         import PIL.Image
 
@@ -280,9 +424,11 @@ def decode_rgb(payload: bytes) -> tuple[int, int, bytes]:
         )
 
         return decode_baseline_jpeg(payload)
+    if kind == "gif":
+        return _gif_rgb(payload)
     raise ValueError(
         f"raster decode of {kind!r} requires Pillow "
-        "(stdlib path covers png/bmp/ppm/baseline-jpeg)"
+        "(stdlib path covers png/bmp/ppm/baseline-jpeg/gif)"
     )
 
 

@@ -2,8 +2,8 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 Decode and resize are REAL: Pillow when importable, else the stdlib
-codecs in ``functions/media_codecs.py`` (PNG/BMP/PPM + baseline-JPEG
-rasters, progressive-JPEG/GIF header dims, WAV audio stats). The deterministic md5 stub decoder
+codecs in ``functions/media_codecs.py`` (PNG/BMP/PPM/baseline-JPEG/GIF
+rasters, progressive-JPEG header dims, WAV audio stats). The deterministic md5 stub decoder
 remains available as ``fake=True`` — it is what the driver-gated oracle
 query uses, since DuckDB can restate the md5 arithmetic but not a PNG
 inflate. Video frame sampling is real too (PyAV preferred, stdlib
@@ -95,9 +95,9 @@ def decode_media(
 
     The REAL path (``fake=False``) decodes per payload: Pillow when
     importable (every format it knows), else the stdlib codecs in
-    ``functions/media_codecs.py`` — PNG/BMP/PPM and baseline JPEG to
-    full RGB rasters (feature = mean R, G, B + luminance, /255),
-    progressive JPEG/GIF to header
+    ``functions/media_codecs.py`` — PNG/BMP/PPM, baseline JPEG and GIF
+    to full RGB rasters (feature = mean R, G, B + luminance, /255),
+    progressive JPEG to header
     dimensions (feature NULL without PIL), WAV to audio stats (dims
     NULL, feature = [duration_s, rms]). ``on_error='null'`` turns
     undecodable payloads into NULL dims/feature instead of failing the

@@ -195,7 +195,9 @@ def test_decode_media_real_formats(spark):
         pytest.approx(30 / 255, abs=1e-5),
     ]
     assert (rows[4].decoded_width, rows[4].decoded_height) == (5, 7)
-    assert rows[4].feature is None  # gif raster needs PIL; dims are real
+    # header-only gif: no image block -> raster decode falls back to
+    # header dims (FULL gifs raster fine as of r7, tests/test_gif_raster.py)
+    assert rows[4].feature is None
     assert (rows[5].decoded_width, rows[5].decoded_height) == (12, 34)
     assert rows[6].decoded_width is None and rows[6].feature[0] == pytest.approx(0.25)
     assert rows[7].decoded_width is None and rows[7].feature is None
