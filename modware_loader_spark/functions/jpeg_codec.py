@@ -5,11 +5,14 @@ Closes the last honest gap in the no-Pillow raster path
 image dHash over a JPEG corpus required Pillow). Scope — the baseline
 profile that covers the overwhelming majority of real-world JPEGs:
 
-- **decode**: SOF0 (baseline sequential) with 1 or 3 components and any
-  h/v sampling factors up to 2 (4:4:4, 4:2:2, 4:2:0), standard or
-  custom DQT/DHT, DRI/RSTn restart markers, byte-stuffed entropy data.
-  Progressive (SOF2) and arithmetic-coded JPEGs raise with a clear
-  message — use Pillow for those.
+- **decode**: SOF0/SOF1 (baseline/extended sequential) AND SOF2
+  (progressive: spectral selection + successive approximation, EOB
+  runs, interleaved DC / single-component AC scans) with 1 or 3
+  components and any h/v sampling factors up to 2 (4:4:4, 4:2:2,
+  4:2:0), standard or custom DQT/DHT, DRI/RSTn restart markers,
+  byte-stuffed entropy data. The exotic remainder (lossless,
+  arithmetic-coded, hierarchical) raises with a clear message — use
+  Pillow for those.
 - **encode**: quality-scaled Annex K quantization + standard Annex K
   Huffman tables, grayscale or YCbCr at 4:4:4 / 4:2:0, optional restart
   interval. The encoder exists so the decoder is testable in this
@@ -173,7 +176,12 @@ class _BitWriter:
 
 
 class _BitReader:
-    """Entropy-segment reader: un-stuffs 0xFF00, surfaces RSTn markers."""
+    """Entropy-segment reader: un-stuffs 0xFF00, surfaces RSTn markers.
+
+    The accumulator is masked to its live bits on every refill — letting
+    consumed high bits pile up turns it into an ever-growing bigint and
+    the whole decode into arbitrary-precision arithmetic (a 10x slowdown
+    on megabyte-scale progressive scans, found by profiling f3.jpg)."""
 
     def __init__(self, buf: bytes, pos: int) -> None:
         self.buf = buf
@@ -182,33 +190,37 @@ class _BitReader:
         self._n = 0
         self.marker: int | None = None
 
-    def _fill(self) -> None:
-        if self.marker is not None:
-            raise EOFError("bit read past marker")
-        b = self.buf[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            nxt = self.buf[self.pos]
-            if nxt == 0x00:
-                self.pos += 1
-            else:
-                self.marker = nxt
-                self.pos += 1
-                raise EOFError("marker in entropy data")
-        self._acc = (self._acc << 8) | b
-        self._n += 8
+    def _fill_to(self, need: int) -> None:
+        buf = self.buf
+        while self._n < need:
+            if self.marker is not None:
+                raise EOFError("bit read past marker")
+            b = buf[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = buf[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    self.marker = nxt
+                    self.pos += 1
+                    raise EOFError("marker in entropy data")
+            self._acc = ((self._acc & ((1 << self._n) - 1)) << 8) | b
+            self._n += 8
 
     def bit(self) -> int:
         if self._n == 0:
-            self._fill()
+            self._fill_to(1)
         self._n -= 1
         return (self._acc >> self._n) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        if n == 0:
+            return 0
+        if self._n < n:
+            self._fill_to(n)
+        self._n -= n
+        return (self._acc >> self._n) & ((1 << n) - 1)
 
     def align_restart(self) -> int:
         """Consume an RSTn marker at a restart boundary; returns n."""
@@ -234,11 +246,20 @@ class _BitReader:
 
 
 def _huff_read(reader: _BitReader, table) -> int:
+    # hot path: keep the accumulator in locals, one dict probe per bit
+    acc, nn = reader._acc, reader._n
+    get = table.get
     code = 0
     for ln in range(1, 17):
-        code = (code << 1) | reader.bit()
-        v = table.get((ln, code))
+        if nn == 0:
+            reader._acc, reader._n = acc, nn
+            reader._fill_to(1)
+            acc, nn = reader._acc, reader._n
+        nn -= 1
+        code = (code << 1) | ((acc >> nn) & 1)
+        v = get((ln, code))
         if v is not None:
+            reader._acc, reader._n = acc, nn
             return v
     raise ValueError("invalid Huffman code")
 
@@ -425,11 +446,13 @@ def encode_baseline_jpeg(
 # --------------------------------------------------------------- decode
 
 
-def decode_baseline_jpeg(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline sequential JPEG → (width, height, RGB bytes).
+def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline-sequential (SOF0/SOF1) or progressive (SOF2)
+    Huffman JPEG → (width, height, RGB bytes).
 
-    Grayscale scans replicate Y into R=G=B. Raises ValueError on
-    progressive/arithmetic/other non-baseline profiles.
+    Grayscale scans replicate Y into R=G=B. Raises ValueError on the
+    remaining exotic processes (lossless, arithmetic, hierarchical) and
+    on truncated/corrupt streams.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -441,12 +464,18 @@ def decode_baseline_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError(f"truncated or malformed JPEG: {exc}") from exc
 
 
+#: historical name from when only SOF0/SOF1 decoded; kept for callers
+decode_baseline_jpeg = decode_jpeg
+
+
 def _parse_and_decode(payload: bytes) -> tuple[int, int, bytes]:
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict] = {}
     restart_interval = 0
     frame = None
+    progressive = False
+    prog: "_ProgressiveState | None" = None
     n = len(payload)
     while pos < n:
         if payload[pos] != 0xFF:
@@ -454,6 +483,8 @@ def _parse_and_decode(payload: bytes) -> tuple[int, int, bytes]:
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if prog is not None:
+                return prog.finish(qtabs)
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
@@ -479,7 +510,7 @@ def _parse_and_decode(payload: bytes) -> tuple[int, int, bytes]:
                 vals = list(body[b + 17 : b + 17 + cnt])
                 htabs[(tc, th)] = _decode_table(bits, vals)
                 b += 17 + cnt
-        elif marker == 0xC0 or marker == 0xC1:
+        elif marker in (0xC0, 0xC1, 0xC2):
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -488,9 +519,11 @@ def _parse_and_decode(payload: bytes) -> tuple[int, int, bytes]:
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "non-baseline JPEG (progressive/arithmetic) — needs Pillow"
+                "unsupported JPEG process (lossless/arithmetic/hierarchical)"
+                " — needs Pillow"
             )
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", body)
@@ -502,9 +535,27 @@ def _parse_and_decode(payload: bytes) -> tuple[int, int, bytes]:
             for si in range(ns):
                 cs, tt = body[1 + 2 * si], body[2 + 2 * si]
                 scan.append((cs, tt >> 4, tt & 0x0F))
-            return _decode_scan(
-                payload, pos + seglen, frame, scan, qtabs, htabs, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    payload, pos + seglen, frame, scan, qtabs, htabs,
+                    restart_interval,
+                )
+            if prog is None:
+                prog = _ProgressiveState(frame)
+            ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            # T.81 G.1: DC scans are exactly Ss=Se=0; AC scans are a
+            # 1..63 band over exactly one component. Anything else is a
+            # corrupt or mislabeled stream (e.g. a baseline scan whose
+            # SOF was rewritten to SOF2).
+            if ss == 0 and se != 0:
+                raise ValueError("invalid progressive spectral range")
+            if ss > 0 and (se < ss or se > 63 or ns != 1):
+                raise ValueError("invalid progressive AC scan header")
+            pos = prog.decode_scan(
+                payload, pos + seglen, scan, ss, se, a >> 4, a & 0x0F,
+                htabs, restart_interval,
             )
+            continue
         pos += seglen
     raise ValueError("no scan data found")
 
@@ -569,6 +620,12 @@ def _decode_scan(buf, pos, frame, scan, qtabs, htabs, restart_interval):
         if hf != hmax or vf != vmax:
             plane = np.repeat(np.repeat(plane, vmax // vf, axis=0), hmax // hf, axis=1)
         full.append(plane[:h, :w])
+    return _planes_to_rgb(full, w, h)
+
+
+def _planes_to_rgb(full: list, w: int, h: int) -> tuple[int, int, bytes]:
+    """Upsampled full-resolution planes → (w, h, RGB bytes); one plane
+    means grayscale (Y replicated), three means JFIF YCbCr."""
     if len(full) == 1:
         yp = np.clip(full[0], 0, 255)
         gray = np.round(yp).astype(np.uint8)
@@ -584,3 +641,209 @@ def _decode_scan(buf, pos, frame, scan, qtabs, htabs, restart_interval):
         [np.round(np.clip(c, 0, 255)).astype(np.uint8) for c in (r, g, b)], axis=2
     )
     return w, h, rgb.tobytes()
+
+
+class _ProgressiveState:
+    """Coefficient accumulator for progressive (SOF2) scans.
+
+    Each component keeps an MCU-padded grid of 64-coefficient blocks in
+    ZIGZAG index space; successive SOS scans fill spectral bands
+    (Ss..Se) at successive-approximation precision (Ah/Al) per ITU T.81
+    G.2; ``finish`` dequantizes, IDCTs, upsamples and color-converts.
+    """
+
+    def __init__(self, frame) -> None:
+        w, h, comps = frame
+        self.w, self.h, self.comps = w, h, comps
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcux = (w + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcuy = (h + 8 * self.vmax - 1) // (8 * self.vmax)
+        self.coef: dict[int, np.ndarray] = {}
+        self.eobrun = 0
+        for cid, hf, vf, _tq in comps:
+            self.coef[cid] = np.zeros(
+                (self.mcuy * vf, self.mcux * hf, 64), dtype=np.int64
+            )
+
+    # -- per-block band decoders (T.81 G.1.2 / libjpeg shapes) ----------
+
+    def _dc_first(self, reader, blk, dct, preds, ci, al) -> None:
+        s = _huff_read(reader, dct)
+        diff = _extend(reader.bits(s), s) if s else 0
+        preds[ci] += diff
+        blk[0] = preds[ci] << al
+
+    @staticmethod
+    def _dc_refine(reader, blk, al) -> None:
+        if reader.bit():
+            blk[0] |= 1 << al
+
+    def _ac_first(self, reader, blk, act, ss, se, al) -> None:
+        if self.eobrun > 0:
+            self.eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_read(reader, act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    self.eobrun = (1 << r) - 1
+                    if r:
+                        self.eobrun += reader.bits(r)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC run past spectral band")
+            blk[k] = _extend(reader.bits(s), s) << al
+            k += 1
+
+    def _ac_refine(self, reader, blk, act, ss, se, al) -> None:
+        p1, m1 = 1 << al, -1 << al
+
+        def correct(k) -> None:
+            if reader.bit() and not (blk[k] & p1):
+                blk[k] += p1 if blk[k] > 0 else m1
+
+        k = ss
+        if self.eobrun == 0:
+            while k <= se:
+                rs = _huff_read(reader, act)
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        self.eobrun = 1 << r
+                        if r:
+                            self.eobrun += reader.bits(r)
+                        break
+                else:
+                    if s != 1:
+                        raise ValueError("AC refinement size must be 1")
+                    val = p1 if reader.bit() else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        correct(k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if self.eobrun > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                k += 1
+            self.eobrun -= 1
+
+    # -- scan walker ----------------------------------------------------
+
+    def decode_scan(
+        self, buf, pos, scan, ss, se, ah, al, htabs, restart_interval
+    ) -> int:
+        """Decode one SOS's entropy data; returns the buffer position of
+        the next marker (the main segment loop resumes there)."""
+        byid = {cid: (hf, vf) for cid, hf, vf, _tq in self.comps}
+        reader = _BitReader(buf, pos)
+        preds = [0] * len(scan)
+        self.eobrun = 0
+        is_dc = ss == 0
+
+        def units():
+            """Yield per-restart-unit lists of (ci, block, dc_table, ac_table)."""
+            if len(scan) > 1:
+                # interleaved (Ns > 1): MCU walk with sampling factors
+                for my in range(self.mcuy):
+                    for mx in range(self.mcux):
+                        group = []
+                        for ci, (cs, td, ta) in enumerate(scan):
+                            hf, vf = byid[cs]
+                            for dy in range(vf):
+                                for dx in range(hf):
+                                    group.append(
+                                        (
+                                            ci,
+                                            self.coef[cs][
+                                                my * vf + dy, mx * hf + dx
+                                            ],
+                                            htabs.get((0, td)),
+                                            htabs.get((1, ta)),
+                                        )
+                                    )
+                        yield group
+            else:
+                # non-interleaved: the component's own ceil(dim/8) grid
+                cs, td, ta = scan[0]
+                hf, vf = byid[cs]
+                cw = (self.w * hf + 8 * self.hmax - 1) // (8 * self.hmax)
+                ch = (self.h * vf + 8 * self.vmax - 1) // (8 * self.vmax)
+                for by in range(ch):
+                    for bx in range(cw):
+                        yield [
+                            (
+                                0,
+                                self.coef[cs][by, bx],
+                                htabs.get((0, td)),
+                                htabs.get((1, ta)),
+                            )
+                        ]
+
+        count = 0
+        for group in units():
+            if restart_interval and count and count % restart_interval == 0:
+                reader.align_restart()
+                preds = [0] * len(scan)
+                self.eobrun = 0
+            for ci, blk, dct, act in group:
+                if is_dc:
+                    if ah == 0:
+                        self._dc_first(reader, blk, dct, preds, ci, al)
+                    else:
+                        self._dc_refine(reader, blk, al)
+                else:
+                    if ah == 0:
+                        self._ac_first(reader, blk, act, ss, se, al)
+                    else:
+                        self._ac_refine(reader, blk, act, ss, se, al)
+            count += 1
+        # find the next marker for the caller's segment loop
+        if reader.marker is not None:
+            return reader.pos - 2
+        p = reader.pos
+        while p < len(buf) - 1:
+            if buf[p] == 0xFF and buf[p + 1] != 0x00:
+                return p
+            p += 1
+        return len(buf)
+
+    # -- finalize ---------------------------------------------------------
+
+    def finish(self, qtabs) -> tuple[int, int, bytes]:
+        full = []
+        for cid, hf, vf, tq in self.comps:
+            q = np.zeros(64, dtype=np.float64)
+            qt = qtabs[tq]
+            for k in range(64):
+                q[k] = qt[ZIGZAG[k]]  # quant value for zigzag index k
+            grid = self.coef[cid].astype(np.float64) * q
+            bh, bw, _ = grid.shape
+            nat = np.zeros((bh, bw, 64), dtype=np.float64)
+            nat[..., ZIGZAG] = grid  # zigzag index -> natural position
+            blocks = np.einsum(
+                "ij,xyjk,kl->xyil", _C.T, nat.reshape(bh, bw, 8, 8), _C
+            ) + 128.0
+            plane = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+            if hf != self.hmax or vf != self.vmax:
+                plane = np.repeat(
+                    np.repeat(plane, self.vmax // vf, axis=0),
+                    self.hmax // hf,
+                    axis=1,
+                )
+            full.append(plane[: self.h, : self.w])
+        return _planes_to_rgb(full, self.w, self.h)

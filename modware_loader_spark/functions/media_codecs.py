@@ -2,10 +2,11 @@
 
 The container ships no PIL/ffmpeg, but "no Pillow" does not have to mean
 "no decode": PNG (zlib inflate + scanline unfiltering), BMP (24/32-bit
-uncompressed), and binary PPM decode to full RGB rasters with the
-standard library alone; GIF and JPEG headers yield real dimensions; WAV
-parses with ``wave``. Pillow, when importable, takes over as the
-preferred decoder (it additionally covers JPEG/GIF rasters).
+uncompressed), binary PPM, GIF (LZW, interlacing, local color tables)
+and JPEG (baseline + progressive, via ``jpeg_codec``) all decode to
+full RGB rasters with stdlib+numpy alone; WAV parses with ``wave``.
+Pillow, when importable, takes over as the preferred decoder (it
+additionally covers WebP/TIFF and the exotic JPEG processes).
 
 Everything here is deterministic and runs inside Arrow-batched
 ``mapInPandas`` workers — plain bytes in, plain tuples out, no Spark
@@ -404,8 +405,8 @@ def _gif_rgb_inner(p: bytes) -> tuple[int, int, bytes]:
 
 def decode_rgb(payload: bytes) -> tuple[int, int, bytes]:
     """Full RGB raster: Pillow when importable (any format it knows),
-    else the stdlib decoders (png/bmp/ppm, baseline jpeg via
-    ``jpeg_codec``, gif via LZW; progressive jpeg still needs PIL)."""
+    else the stdlib decoders (png/bmp/ppm, baseline+progressive jpeg
+    via ``jpeg_codec``, gif via LZW)."""
     if pil_available():
         import PIL.Image
 
@@ -428,7 +429,7 @@ def decode_rgb(payload: bytes) -> tuple[int, int, bytes]:
         return _gif_rgb(payload)
     raise ValueError(
         f"raster decode of {kind!r} requires Pillow "
-        "(stdlib path covers png/bmp/ppm/baseline-jpeg/gif)"
+        "(stdlib path covers png/bmp/ppm/jpeg/gif)"
     )
 
 

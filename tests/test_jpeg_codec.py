@@ -83,15 +83,34 @@ def test_determinism_and_quality_monotonicity():
     assert err(hi) < err(lo)
 
 
-def test_rejects_progressive_with_clear_message():
+def test_rejects_mislabeled_progressive_and_non_jpeg():
     img = _test_image(16, 16)
     enc = bytearray(encode_baseline_jpeg(16, 16, img.tobytes()))
     sof = enc.find(b"\xff\xc0")
-    enc[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="needs Pillow"):
+    enc[sof + 1] = 0xC2  # SOF2 label on a baseline full-band scan
+    with pytest.raises(ValueError, match="spectral range"):
         decode_baseline_jpeg(bytes(enc))
     with pytest.raises(ValueError, match="SOI"):
         decode_baseline_jpeg(b"not a jpeg")
+
+
+def test_decodes_real_progressive_jpeg_when_present():
+    """SOF2 path end-to-end on a real photographic progressive JPEG
+    (multi-scan spectral selection + successive approximation + EOB
+    runs, encoded by a libjpeg-family tool)."""
+    candidates = glob.glob(
+        "/root/.rustup/toolchains/*/share/doc/rust/html/embedded-book/assets/f3.jpg"
+    )
+    found = [p for p in candidates if os.path.exists(p)]
+    if not found:
+        pytest.skip("no progressive JPEG fixture on this host")
+    with open(found[0], "rb") as fh:
+        w, h, rgb = decode_baseline_jpeg(fh.read())
+    assert (w, h) == (720, 477)
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    # photographic content: non-trivial dynamic range, no channel stuck
+    assert a.std() > 30
+    assert all(5 < a[..., c].mean() < 250 for c in range(3))
 
 
 def test_decodes_third_party_encoders_when_present():
