@@ -170,6 +170,79 @@ def decode_media(
     return df.mapInPandas(batches, DECODED_SCHEMA)
 
 
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("mfcc_mean", T.ArrayType(T.FloatType()), True),
+        T.StructField("mfcc_std", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame,
+    n_mfcc: int = 13,
+    on_error: str = "raise",
+    max_payload_bytes: int = MAX_PAYLOAD_BYTES,
+) -> DataFrame:
+    """Arrow-batched MFCC extraction over WAV payloads: one row per clip
+    with ``(sample_rate, duration_s, n_frames, mfcc_mean, mfcc_std)``.
+
+    The mean/std pooling over frames is the standard clip-level audio
+    fingerprint for dedup and similarity (feed ``mfcc_mean`` to the ANN
+    operators exactly like a text embedding). The per-frame matrix stays
+    inside the worker — at 100 TB you pool before anything shuffles,
+    because frames outnumber clips by ~100:1. Pure numpy
+    (``functions/audio_features.py``), no optional libraries;
+    ``on_error='null'`` nulls undecodable/oversized clips like the other
+    media stages.
+    """
+
+    def one(payload):
+        from modware_loader_spark.functions.audio_features import (
+            mfcc,
+            wav_samples,
+        )
+
+        if _payload_too_big(payload, max_payload_bytes, on_error, "audio_features"):
+            return None, None, None, None, None
+        try:
+            rate, x = wav_samples(bytes(payload))
+            m = mfcc(x, rate, n_mfcc=n_mfcc)
+            return (
+                rate,
+                round(x.size / rate, 6),
+                m.shape[0],
+                [float(v) for v in m.mean(axis=0)],
+                [float(v) for v in m.std(axis=0)],
+            )
+        except Exception:
+            if on_error == "null":
+                return None, None, None, None, None
+            raise
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = pdf["payload"].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "sample_rate": feats.map(lambda t: t[0]),
+                    "duration_s": feats.map(lambda t: t[1]),
+                    "n_frames": feats.map(lambda t: t[2]),
+                    "mfcc_mean": feats.map(lambda t: t[3]),
+                    "mfcc_std": feats.map(lambda t: t[4]),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, AUDIO_FEATURE_SCHEMA
+    )
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
