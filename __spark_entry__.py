@@ -75,12 +75,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # HEAD; and (c) the six r6-green queries whose implementation changed
 # in round 7 (windowless BM25/RRF ranks, normalized+gated URL
 # blocklist, luma dHash with hot-bucket salting, the e2e pipeline) plus
-# the q5 flagship. Round 7 also registered four NEW queries
+# the q5 flagship. Round 7 also registered six NEW queries
 # (sample_weighted_reservoir, text_quality_classifier,
-# sketch_hll_distinct, sketch_cms_heavy_hitters) which take head slots
-# by default; to keep the head at exactly 50, four r4+r5-double-green
-# stable entries (q1, agg_rollup, text_langid, dedup_exact) wait one
-# more round. Everything below was green in r6 on code that is
+# sketch_hll_distinct, sketch_cms_heavy_hitters, text_wordlist_flags,
+# text_url_canonical) which take head slots by default; to keep the
+# head at exactly 50, six r4+r5-double-green stable entries (q1,
+# agg_rollup, text_langid, dedup_exact, sample_frequency_cap,
+# text_repetition_gopher) wait one more round. Everything below was green in r6 on code that is
 # unchanged this round and stays covered by tests/test_oracle_parity.py,
 # which iterates the full dict.
 _DEPRIORITIZED = [
@@ -88,6 +89,8 @@ _DEPRIORITIZED = [
     "agg_rollup_priority_status",
     "text_langid",
     "dedup_exact_fingerprint",
+    "sample_frequency_cap",
+    "text_repetition_gopher",
     "m12_distinct_insert",
     "m13_deterministic_id_generation",
     "e1_e2_filter_computed_column",

@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "text_quality_classifier",
     "sketch_hll_distinct",
     "sketch_cms_heavy_hitters",
+    "text_wordlist_flags",
+    "text_url_canonical",
 ]
 
 
@@ -172,6 +174,15 @@ def main() -> None:
     }
     if errors:
         out["errors"] = {k: v[:80] for k, v in errors.items()}
+    # Keep the line safely inside the driver's ~2 KB capture as the set
+    # grows: degrade per-query precision first, then keep only the
+    # slowest entries (the full dict always lands in bench_detail.json).
+    if len(json.dumps(out, separators=(",", ":"))) > 1900:
+        out["queries"] = {k: round(v, 1) for k, v in timings.items()}
+    if len(json.dumps(out, separators=(",", ":"))) > 1900:
+        top = sorted(timings.items(), key=lambda kv: -kv[1])
+        out["queries"] = {k: round(v, 1) for k, v in top[:40]}
+        out["queries_truncated"] = len(timings) - 40
     detail = {
         **out,
         "queries": timings,

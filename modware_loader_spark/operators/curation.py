@@ -262,6 +262,83 @@ def scrub_lines(
     return df.withColumn(text_col, F.array_join(kept, line_delim))
 
 
+def wordlist_flags(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_hits: int = 1,
+) -> DataFrame:
+    """Blocked-wordlist tagging (the C4/Dolma "badwords" stage): per-doc
+    ``(id, n_tokens, n_hits, hit_ratio, flagged)`` against a literal,
+    case-insensitively matched term set.
+
+    Zero shuffle: the list inlines as an array literal and the count is
+    one ``filter``/``size`` fold over the token array — the same
+    stateless row-expression class as the Gopher rules, so it runs
+    unchanged under Structured Streaming. Wordlists are snapshot-sized
+    (hundreds of terms); a million-term list belongs in the
+    ``linear_classifier_score`` broadcast-table shape instead.
+    ``flagged = n_hits >= min_hits`` (C4 drops on any hit; raise
+    ``min_hits`` or threshold on ``hit_ratio`` downstream for softer
+    policies).
+    """
+    norm = sorted({t.strip().lower() for t in terms if t and t.strip()})
+    if not norm:
+        raise ValueError("wordlist_flags needs at least one term")
+    lit_terms = F.array(*[F.lit(t) for t in norm])
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_hits = F.size(
+        F.filter(toks, lambda t: F.array_contains(lit_terms, F.lower(t)))
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_hits.alias("n_hits"),
+        F.round(n_hits.cast("double") / n_tokens, 6).alias("hit_ratio"),
+        (n_hits >= F.lit(int(min_hits))).cast("int").alias("flagged"),
+    )
+
+
+#: tracking parameters stripped by url_canonicalize — the common
+#: analytics/click-id noise (utm_*, Facebook, Google, generic ref)
+_TRACKING_PARAM = r"(utm_[A-Za-z0-9]+|fbclid|gclid|msclkid|ref)"
+
+
+def url_canonicalize(url_col: Column) -> Column:
+    """Canonical URL for exact-URL dedup: fragment stripped, tracking
+    params removed, scheme+host lowercased, default ports (:80/:443)
+    dropped, bare trailing slash trimmed. Path/query case and order are
+    preserved (reordering params changes semantics on some sites).
+
+    Pure column expressions over the Java-regex/RE2 shared subset (no
+    lookarounds), so a DuckDB oracle applies the identical rewrites —
+    same portability contract as the BPE pretokenizer. The crawl-dedup
+    key this produces catches the ``?utm_source=`` near-duplicates that
+    byte-identical URL matching misses.
+    """
+    u = F.regexp_replace(url_col, r"#.*", "")  # fragment
+    u = F.regexp_replace(u, r"([?&])" + _TRACKING_PARAM + r"=[^&]*", "$1")
+    u = F.regexp_replace(u, r"\?&+", "?")  # collapse dangling separators
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    hostport = F.when(
+        scheme == "http", F.regexp_replace(hostport, r":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(hostport, r":443$", "")
+    ).otherwise(hostport)
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+", "")
+    rest = F.when(rest == "/", F.lit("")).otherwise(rest)
+    return F.when(
+        scheme == "", u  # not a scheme://host URL: rewrites above only
+    ).otherwise(F.concat(scheme, F.lit("://"), hostport, rest))
+
+
 def url_host(url_col: Column) -> Column:
     """Normalized host of a URL: scheme/path stripped, lowercased,
     leading ``www.`` removed — the key CommonCrawl-style pipelines

@@ -966,6 +966,116 @@ def text_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.url_blocklist_flags(with_url, "url", _BLOCKED_HOSTS)
 
 
+_WORDLIST = ["slow", "LEGACY", " crash ", "deadlock"]
+
+
+@query(
+    "text_wordlist_flags",
+    """
+    WITH s AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+               FROM documents)
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           len(list_filter(w, t -> list_contains(
+               ['crash', 'deadlock', 'legacy', 'slow'], lower(t)))) AS n_hits,
+           round(len(list_filter(w, t -> list_contains(
+               ['crash', 'deadlock', 'legacy', 'slow'], lower(t))))::DOUBLE
+                 / len(w), 6) AS hit_ratio,
+           CASE WHEN len(list_filter(w, t -> list_contains(
+               ['crash', 'deadlock', 'legacy', 'slow'], lower(t)))) >= 2
+                THEN 1 ELSE 0 END AS flagged
+    FROM s
+    """,
+)
+def text_wordlist_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-wordlist tagging (C4/Dolma badwords stage): count/ratio/
+    flag per document against a literal case-normalized term set — a
+    zero-shuffle row fold (``curation.wordlist_flags``), min_hits=2 so
+    the flag exercises the threshold rather than any-hit."""
+    from modware_loader_spark.operators.curation import wordlist_flags
+
+    t = load_tables(spark, sf_dir)
+    return wordlist_flags(t["documents"], _WORDLIST, min_hits=2)
+
+
+@query(
+    "text_url_canonical",
+    """
+    WITH u AS (SELECT doc_id,
+            (CASE WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'https' END)
+            || '://' || (CASE WHEN doc_id % 4 = 0 THEN upper(source) ELSE source END)
+            || '.Example.COM'
+            || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+            || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '/Page/' || doc_id END)
+            || (CASE WHEN doc_id % 2 = 0
+                     THEN '?utm_source=feed&id=' || doc_id || '&utm_campaign=x'
+                     ELSE '' END)
+            || (CASE WHEN doc_id % 6 = 0 THEN '#Section-2' ELSE '' END) AS url
+          FROM documents),
+    c0 AS (SELECT doc_id, url,
+             regexp_replace(url, '#.*', '', 'g') AS u1 FROM u),
+    c1 AS (SELECT doc_id, url,
+             regexp_replace(u1, '([?&])(utm_[A-Za-z0-9]+|fbclid|gclid|msclkid|ref)=[^&]*',
+                            '\\1', 'g') AS u2 FROM c0),
+    c2 AS (SELECT doc_id, url,
+             regexp_replace(regexp_replace(regexp_replace(u2,
+               '\\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]$', '', 'g') AS u3
+           FROM c1),
+    c3 AS (SELECT doc_id, url, u3,
+             lower(regexp_extract(u3, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(u3, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+             regexp_replace(u3, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+', '', 'g') AS rest
+           FROM c2),
+    c4 AS (SELECT doc_id, url, u3, scheme,
+             CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                  ELSE hostport END AS hostport,
+             CASE WHEN rest = '/' THEN '' ELSE rest END AS rest
+           FROM c3)
+    SELECT doc_id, url,
+           CASE WHEN scheme = '' THEN u3
+                ELSE scheme || '://' || hostport || rest END AS canon_url
+    FROM c4
+    """,
+)
+def text_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for exact-URL dedup: synthesize a messy URL
+    per doc (mixed-case scheme/host, default :443 port, utm params,
+    fragments, bare trailing slash) and emit the canonical form —
+    fragment/tracking-param stripping, scheme+host lowercasing, default
+    port removal (``curation.url_canonicalize``). Zero shuffle; the
+    canonical string is the crawl-dedup key byte-identical across
+    engines (Java-regex/RE2 shared subset)."""
+    from modware_loader_spark.operators.curation import url_canonicalize
+
+    t = load_tables(spark, sf_dir)
+    with_url = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 5 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+            F.lit("://"),
+            F.when(F.col("doc_id") % 4 == 0, F.upper("source")).otherwise(F.col("source")),
+            F.lit(".Example.COM"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("/")).otherwise(
+                F.concat(F.lit("/Page/"), F.col("doc_id").cast("string"))
+            ),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit("?utm_source=feed&id="),
+                    F.col("doc_id").cast("string"),
+                    F.lit("&utm_campaign=x"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 6 == 0, F.lit("#Section-2")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return with_url.select(
+        "doc_id", "url", url_canonicalize(F.col("url")).alias("canon_url")
+    )
+
+
 @query(
     "search_hybrid_rrf_topk",
     """

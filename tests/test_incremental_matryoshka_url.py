@@ -155,6 +155,52 @@ def test_url_blocklist_flags_and_broadcast_plan(spark):
     assert "BroadcastHashJoin" in _formatted_plan(out)
 
 
+def test_url_canonicalize_cases(spark):
+    from modware_loader_spark.operators.curation import url_canonicalize
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/Page/1?utm_source=a&id=9#frag",
+         "https://www.example.com/Page/1?id=9"),
+        ("http://Host.org:80/", "http://host.org"),
+        ("http://host.org:8080/x", "http://host.org:8080/x"),
+        ("https://h.io/p?utm_a=1&utm_b=2", "https://h.io/p"),
+        ("https://h.io/p?fbclid=abc&x=1&gclid=z", "https://h.io/p?x=1"),
+        ("https://h.io/#only-frag", "https://h.io"),
+        ("https://h.io/a/?q=1", "https://h.io/a/?q=1"),  # non-bare slash kept
+        ("no scheme here", "no scheme here"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", url_canonicalize(F.col("url")).alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_wordlist_flags_semantics(spark):
+    import pytest as _pytest
+
+    from modware_loader_spark.operators.curation import wordlist_flags
+
+    docs = spark.createDataFrame(
+        [(1, "SLOW code is slow"), (2, "fast path"), (3, "slow")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_hits"], r["flagged"])
+        for r in wordlist_flags(docs, [" Slow ", ""], min_hits=2).collect()
+    }
+    assert out[1] == (4, 2, 1)  # case-insensitive, min_hits threshold
+    assert out[2] == (2, 0, 0)
+    assert out[3] == (1, 1, 0)  # one hit < min_hits
+    with _pytest.raises(ValueError, match="at least one"):
+        wordlist_flags(docs, ["", "  "])
+
+
 def test_url_blocklist_empty_and_unnormalized_entries(spark):
     rows = [(1, "https://bad.site/x"), (2, "https://good.site/z")]
     df = spark.createDataFrame(rows, ["doc_id", "url"])
