@@ -143,23 +143,52 @@ def _unpartitioned_windows(plan: str) -> list[str]:
     return out
 
 
+# Queries whose plans legitimately contain a BroadcastNestedLoopJoin:
+# the deliberately-quadratic exact oracle twins, the broadcast
+# query-batch-vs-corpus ANN scans (the broadcast side is k rows — the
+# right 100 TB shape), the DSIR broadcast stats attach, and the k-row
+# windowless rank self-joins. Anything NEW showing a BNLJ must be
+# justified here explicitly — an accidental non-equi join on two big
+# sides is the classic silent scale-killer.
+_BNLJ_WHITELIST = {
+    "similarity_brute_force_topk",
+    "similarity_cosine_near_pairs",
+    "similarity_hamming_topk",
+    "similarity_hamming_rerank_topk",
+    "similarity_matryoshka_rerank_topk",
+    "similarity_pq_adc_topk",
+    "similarity_pq_rerank_topk",
+    "sample_dsir_weights",
+    "text_bm25_topk",
+    "search_hybrid_rrf_topk",
+}
+
+
 def test_no_single_partition_exchange_anywhere(spark, sf_dir):
-    """Round-4 guard, extended in round 7: no registered query funnels
-    data through an Exchange SinglePartition (the physical footprint of
-    an unpartitioned sort — the shape that serialized id generation and
-    record stitching before the partition-offset rework), and no query
-    plans an unpartitioned Window node at all (see
-    ``_unpartitioned_windows``)."""
+    """Round-4 guard, extended in rounds 7: one pass over every
+    registered query's physical plan asserting (a) no Exchange
+    SinglePartition (the footprint of an unpartitioned sort — the shape
+    that serialized id generation before the partition-offset rework),
+    (b) no unpartitioned Window node (see ``_unpartitioned_windows``),
+    (c) no CartesianProduct anywhere, and (d) BroadcastNestedLoopJoin
+    only in the explicit whitelist above."""
     offenders = {}
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
+        probs = []
         n = plan.count("Exchange SinglePartition")
         if n:
-            offenders[name] = f"Exchange SinglePartition x{n}"
+            probs.append(f"Exchange SinglePartition x{n}")
         unwin = _unpartitioned_windows(plan)
         if unwin:
-            offenders[name] = offenders.get(name, "") + f" unpartitioned {unwin}"
+            probs.append(f"unpartitioned {unwin}")
+        if "CartesianProduct" in plan:
+            probs.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_WHITELIST:
+            probs.append("unwhitelisted BroadcastNestedLoopJoin")
+        if probs:
+            offenders[name] = probs
     assert not offenders, offenders
 
 
