@@ -161,30 +161,21 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def _png_rgb(p: bytes) -> tuple[int, int, bytes]:
-    """Decode non-interlaced 8-bit PNG (gray/RGB/palette/with-alpha) to a
-    packed RGB raster — inflate + per-scanline unfilter (filters 0-4)."""
-    w = h = None
-    colortype = bitdepth = interlace = None
-    palette = b""
-    idat = bytearray()
-    for ctype, data in _png_chunks(p):
-        if ctype == b"IHDR":
-            w, h = struct.unpack_from(">II", data, 0)
-            bitdepth, colortype, _, _, interlace = data[8:13]
-        elif ctype == b"PLTE":
-            palette = data
-        elif ctype == b"IDAT":
-            idat.extend(data)
-    if bitdepth != 8 or interlace != 0:
-        raise ValueError("stdlib PNG decode supports 8-bit non-interlaced only")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
-    raw = zlib.decompress(bytes(idat))
-    stride = w * channels
-    out = bytearray(h * stride)
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, pos: int, width_px: int, height: int,
+                  channels: int) -> tuple[bytearray, int]:
+    """Unfilter ``height`` scanlines of ``width_px`` pixels starting at
+    ``pos``; returns (pixel bytes, new position). Filters 0-4."""
+    stride = width_px * channels
+    out = bytearray(height * stride)
     prev = bytearray(stride)
-    pos = 0
-    for y in range(h):
+    for y in range(height):
         ftype = raw[pos]
         line = bytearray(raw[pos + 1 : pos + 1 + stride])
         pos += 1 + stride
@@ -207,6 +198,48 @@ def _png_rgb(p: bytes) -> tuple[int, int, bytes]:
             raise ValueError(f"unknown PNG filter {ftype}")
         out[y * stride : (y + 1) * stride] = line
         prev = line
+    return out, pos
+
+
+def _png_rgb(p: bytes) -> tuple[int, int, bytes]:
+    """Decode 8-bit PNG (gray/RGB/palette/with-alpha; non-interlaced or
+    Adam7) to a packed RGB raster — inflate + per-scanline unfilter
+    (filters 0-4), with per-pass reassembly for interlaced files."""
+    w = h = None
+    colortype = bitdepth = interlace = None
+    palette = b""
+    idat = bytearray()
+    for ctype, data in _png_chunks(p):
+        if ctype == b"IHDR":
+            w, h = struct.unpack_from(">II", data, 0)
+            bitdepth, colortype, _, _, interlace = data[8:13]
+        elif ctype == b"PLTE":
+            palette = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if bitdepth != 8 or interlace not in (0, 1):
+        raise ValueError("stdlib PNG decode supports 8-bit depth only")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if interlace == 0:
+        out, _ = _png_unfilter(raw, 0, w, h, channels)
+    else:  # Adam7: each pass is its own filtered mini-image
+        out = bytearray(h * stride)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, pos = _png_unfilter(raw, pos, pw, ph, channels)
+            for sy in range(ph):
+                oy = y0 + sy * dy
+                for sx in range(pw):
+                    ox = x0 + sx * dx
+                    si = (sy * pw + sx) * channels
+                    oi = (oy * w + ox) * channels
+                    out[oi : oi + channels] = sub[si : si + channels]
     # normalize to RGB
     if colortype == 2:
         return w, h, bytes(out)

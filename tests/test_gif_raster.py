@@ -164,3 +164,53 @@ def test_third_party_gifs_decode_when_present():
         with open(p, "rb") as fh:
             w, h, rgb = decode_rgb(fh.read())
         assert w > 0 and h > 0 and len(rgb) == w * h * 3
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7 PNG: build an interlaced file by packing each pass as its
+    own filtered mini-image; decode must reproduce the raster exactly
+    and match the non-interlaced encoding of the same pixels."""
+    import random as _random
+    import zlib
+
+    from modware_loader_spark.functions.media_codecs import _png_rgb
+
+    _random.seed(5)
+    w, h = 11, 7
+    px = [bytes(_random.randrange(256) for _ in range(3)) for _ in range(w * h)]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data)) + body
+            + struct.pack(">I", zlib.crc32(body))
+        )
+
+    def png(interlace: int, raw: bytes) -> bytes:
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, interlace)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    # non-interlaced: filter-0 scanlines
+    flat = b"".join(b"\x00" + b"".join(px[y * w : (y + 1) * w]) for y in range(h))
+    # Adam7: per-pass filter-0 scanlines
+    passes = []
+    for x0, y0, dx, dy in [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                           (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                           (0, 1, 1, 2)]:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for sy in range(ph):
+            row = b"".join(
+                px[(y0 + sy * dy) * w + (x0 + sx * dx)] for sx in range(pw)
+            )
+            passes.append(b"\x00" + row)
+    lace = b"".join(passes)
+
+    want = b"".join(px)
+    assert _png_rgb(png(0, flat)) == (w, h, want)
+    assert _png_rgb(png(1, lace)) == (w, h, want)
