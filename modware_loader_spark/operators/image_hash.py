@@ -213,6 +213,59 @@ def image_dhash(media: DataFrame, on_error: str = "raise") -> DataFrame:
     )
 
 
+def shot_boundaries(
+    frames: DataFrame,
+    max_hamming: int = 16,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Shot-boundary detection over sampled video frames: per video,
+    flag frames whose dHash jumps more than ``max_hamming`` bits from
+    the previous frame — the classic cut detector, and the standard
+    prune before frame-level dedup/captioning (one keyframe per shot
+    instead of every frame).
+
+    Input is ``multimodal.sample_frames`` output ``(media_id,
+    frame_index, payload)`` with frames decodable to the 9x8 dHash grid
+    (resize upstream). Composition of existing pieces: fingerprints via
+    ``image_dhash`` on a packed (video, frame) surrogate id — the
+    binary column never shuffles — then ONE hash shuffle on ``media_id``
+    for the per-video ``lag`` window; at 100 TB each video's frames are
+    a few thousand rows, so the window state is tiny and skew-free.
+    Returns ``(media_id, frame_index, hamming_prev, is_boundary)`` with
+    the first frame of every video a boundary (hamming_prev NULL); NULL
+    fingerprints under ``on_error='null'`` propagate NULL hamming and
+    do not open shots.
+    """
+    sid = (F.col("media_id").cast("long") * F.lit(1 << 32)) + F.col("frame_index")
+    hashed = image_dhash(
+        frames.select(sid.alias("media_id"), "payload"), on_error=on_error
+    ).select(
+        F.shiftright(F.col("media_id"), 32).alias("media_id"),
+        F.col("media_id").bitwiseAND(F.lit((1 << 32) - 1)).alias("frame_index"),
+        "hash_words",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_id").orderBy("frame_index")
+    prev = F.lag("hash_words").over(w)
+    dist = F.when(
+        F.col("hash_words").isNotNull() & prev.isNotNull(),
+        hamming(F.col("hash_words"), prev),
+    )
+    rn = F.row_number().over(w)
+    return (
+        hashed.withColumn("hamming_prev", dist)
+        .withColumn(
+            "is_boundary",
+            F.when(F.col("hash_words").isNull(), 0)
+            .when(rn == 1, 1)
+            .when(dist > F.lit(max_hamming), 1)
+            .otherwise(0),
+        )
+        .select("media_id", "frame_index", "hamming_prev", "is_boundary")
+    )
+
+
 def dhash_near_pairs(
     hashed: DataFrame,
     max_hamming: int = 3,

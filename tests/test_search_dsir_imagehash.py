@@ -272,3 +272,64 @@ def test_dhash_on_error_null_skips_bad_payloads(spark):
     assert {p["id_a"] for p in pairs} <= {1}
     with pytest.raises(Exception):
         IH.image_dhash(media, on_error="raise").collect()
+
+
+def test_shot_boundaries_end_to_end_stdlib_video(spark):
+    """Full stdlib video pipeline: two-scene MJPEG-AVI (grayscale
+    baseline JPEGs from the repo's own encoder) → sample_frames →
+    dHash → per-video lag window; the cut lands exactly at the scene
+    change and nowhere else."""
+    import numpy as np
+
+    from modware_loader_spark.functions.jpeg_codec import encode_baseline_jpeg
+    from modware_loader_spark.functions.media_codecs import encode_mjpeg_avi
+    from modware_loader_spark.operators.multimodal import sample_frames
+
+    def gray_jpeg(fill_fn):
+        g = np.fromfunction(fill_fn, (IH.GRID_H, IH.GRID_W)).astype(np.uint8)
+        rgb = np.repeat(g[:, :, None], 3, axis=2)
+        return encode_baseline_jpeg(
+            IH.GRID_W, IH.GRID_H, rgb.tobytes(), quality=97, grayscale=True
+        )
+
+    scene_a = gray_jpeg(lambda y, x: 20 + 25 * x)          # ascending ramp
+    scene_b = gray_jpeg(lambda y, x: 220 - 25 * x)         # descending ramp
+    avi = encode_mjpeg_avi([scene_a] * 4 + [scene_b] * 4, IH.GRID_W, IH.GRID_H)
+    media = spark.createDataFrame(
+        [(7, bytearray(avi))], "media_id long, payload binary"
+    )
+    frames = sample_frames(media, n_frames=8, fake=False)
+    out = {
+        r["frame_index"]: (r["hamming_prev"], r["is_boundary"])
+        for r in IH.shot_boundaries(frames, max_hamming=16).collect()
+    }
+    assert len(out) == 8
+    assert out[0] == (None, 1)                      # scene 1 opens
+    assert out[4][1] == 1 and out[4][0] > 16        # the cut
+    for i in (1, 2, 3, 5, 6, 7):                    # within-scene stability
+        assert out[i] == (0, 0)
+
+
+def test_shot_boundaries_null_and_multivideo(spark):
+    """Corrupt frames don't open shots; videos are windowed separately."""
+    flat = IH.encode_ppm(IH.GRID_W, IH.GRID_H, bytes([50] * 216))
+    bright = IH.encode_ppm(
+        IH.GRID_W, IH.GRID_H,
+        bytes(((i // 3) % 9) * 30 for i in range(216)),
+    )
+    rows = [
+        (1, 0, flat), (1, 1, b"corrupt"), (1, 2, flat),
+        (2, 0, bright), (2, 1, flat),
+    ]
+    frames = spark.createDataFrame(
+        rows, "media_id long, frame_index int, payload binary"
+    )
+    out = {
+        (r["media_id"], r["frame_index"]): (r["hamming_prev"], r["is_boundary"])
+        for r in IH.shot_boundaries(frames, max_hamming=3, on_error="null").collect()
+    }
+    assert out[(1, 0)] == (None, 1)
+    assert out[(1, 1)] == (None, 0)   # corrupt: no hash, not a boundary
+    assert out[(1, 2)] == (None, 0)   # prev hash NULL: conservative no-cut
+    assert out[(2, 0)] == (None, 1)   # second video opens independently
+    assert out[(2, 1)][1] == 1        # bright -> flat is a cut
