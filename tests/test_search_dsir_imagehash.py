@@ -67,20 +67,69 @@ def test_bm25_matches_hand_computation(spark):
     )
 
 
-def test_bm25_topk_has_no_global_window_before_limit(spark, sf_dir):
-    """The corpus-wide ordering must be TakeOrdered (per-partition heads)
-    and rank assignment must be windowless (r7: no Window node at all —
-    the lit(0)-window trick is unpartitioned on Spark 4.1); the rank
-    self-join's duplicated retrieval subtree must come back as a
-    ReusedExchange once AQE finalizes, so the heavy shuffle runs once."""
+def _executed_parquet_scans(spark, before: set[int]) -> int:
+    """Total parquet-scan NODES across every SQL execution recorded
+    since ``before`` (ids from ``_execution_ids``). Each execution runs
+    each of its scan nodes once, so the sum is the number of times the
+    source files were actually read — the quantity the round-7
+    ReusedExchange pin got wrong (it asserted a plan-string property on
+    a tiny fixture; the shipped plans re-scanned the corpus 6x/16x)."""
+    import re as _re
+
+    store = spark._jsparkSession.sharedState().statusStore()
+    lst = store.executionsList()
+    total = 0
+    for i in range(lst.size()):
+        e = lst.apply(i)
+        if e.executionId() in before:
+            continue
+        total += len(
+            _re.findall(r"\(\d+\) Scan parquet", e.physicalPlanDescription())
+        )
+    return total
+
+
+def _execution_ids(spark) -> set[int]:
+    store = spark._jsparkSession.sharedState().statusStore()
+    lst = store.executionsList()
+    return {lst.apply(i).executionId() for i in range(lst.size())}
+
+
+def test_bm25_topk_executes_at_most_two_corpus_scans(spark, sf_dir):
+    """Round-8 pin for the round-7 regression: BM25 retrieval must
+    execute exactly two corpus passes — one eager stats+df pass, one
+    postings pass feeding the materialized k-row head — and the
+    corpus-wide ordering must stay TakeOrdered with no Window node.
+    (The r7 ReusedExchange pin was environment-dependent: it held on a
+    tiny fixture while the production plan scanned the corpus 6x.)"""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    before = _execution_ids(spark)
     df = SE.bm25_topk(docs, ["spark", "join"], k=5)
+    rows = df.collect()
+    assert 0 < len(rows) <= 5
+    assert _executed_parquet_scans(spark, before) <= 2
+    # the returned frame is a local k-row relation: rank join only
     plan = _formatted_plan(df)
-    assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
-    df.collect()
-    final = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in final
+    assert "Scan parquet" not in plan
+
+
+def test_rrf_hybrid_executes_at_most_four_scans(spark, sf_dir):
+    """Hybrid BM25+dense fusion: 2 corpus scans (bm25) + 2 embedding
+    scans (brute-force query/target legs) — the r7 shape ran 16."""
+    from modware_loader_spark.operators import similarity as S
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    before = _execution_ids(spark)
+    bm = SE.bm25_topk(docs, ["spark", "join"], k=20).select("doc_id", "rank")
+    ann = S.brute_force_topk(
+        emb.filter(F.col("vec_id") == 0), emb, k=20
+    ).select(F.col("target_id").alias("doc_id"), "rank")
+    fused = SE.rrf_fuse(bm, ann, k=10)
+    rows = fused.collect()
+    assert 0 < len(rows) <= 10
+    assert _executed_parquet_scans(spark, before) <= 4
 
 
 def test_bm25_dedupes_terms_and_rejects_empty(spark):
