@@ -95,6 +95,9 @@ BENCH_QUERIES = [
     "sketch_cms_heavy_hitters",
     "text_wordlist_flags",
     "text_url_canonical",
+    # round-8 additions
+    "multimodal_audio_mfcc",
+    "multimodal_shot_cuts",
 ]
 
 

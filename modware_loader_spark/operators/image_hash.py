@@ -152,6 +152,74 @@ def synth_gray_ppm(
     )
 
 
+def synth_video_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_frames: int = 4,
+    cut_at: int = 2,
+    n_bases: int = 17,
+    noise_threshold: int = 4,
+) -> DataFrame:
+    """Deterministic per-row frame sequences for shot-cut testing: one
+    real binary-PPM per (row, frame), ``(media_id, frame_index,
+    payload)``.
+
+    Frames ``[0, cut_at)`` draw from base pattern
+    ``md5('vb:' || id % n_bases || ':a:' || x || ':' || y)``, frames
+    ``[cut_at, n_frames)`` from the ``:b:`` twin — a hard scene change —
+    plus the same md5-gated per-frame noise as ``synth_pixels`` (keyed
+    ``'v:id:f:x:y'`` / ``'vn:id:f:x:y'``), so within-shot dHash distance
+    stays at a few bits while the cut jumps ~half the bits. An external
+    SQL engine restates the pixel arithmetic with md5 hex prefixes, no
+    video stack needed (the REAL container path is covered by the
+    MJPEG-AVI round-trip tests).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base_cache: dict[tuple[int, str], list[int]] = {}
+
+        def base_for(b: int, seg: str) -> list[int]:
+            if (b, seg) not in base_cache:
+                base_cache[(b, seg)] = [
+                    _md5_byte(f"vb:{b}:{seg}:{x}:{y}")
+                    for y in range(GRID_H)
+                    for x in range(GRID_W)
+                ]
+            return base_cache[(b, seg)]
+
+        for pdf in it:
+            ids, fids, payloads = [], [], []
+            for mid in pdf[id_col].astype("int64"):
+                mid = int(mid)
+                for f in range(n_frames):
+                    seg = "a" if f < cut_at else "b"
+                    gray = list(base_for(mid % n_bases, seg))
+                    i = 0
+                    for y in range(GRID_H):
+                        for x in range(GRID_W):
+                            if _md5_byte(f"v:{mid}:{f}:{x}:{y}") < noise_threshold:
+                                gray[i] = _md5_byte(f"vn:{mid}:{f}:{x}:{y}")
+                            i += 1
+                    rgb = bytes(g for g in gray for _ in range(3))
+                    ids.append(mid)
+                    fids.append(f)
+                    payloads.append(encode_ppm(GRID_W, GRID_H, rgb))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_index": fids, "payload": payloads}
+            )
+
+    return ensure_min_partitions(df.select(id_col)).mapInPandas(
+        batches,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("frame_index", T.IntegerType(), False),
+                T.StructField("payload", T.BinaryType(), True),
+            ]
+        ),
+    )
+
+
 def dhash_words(gray: list[int]) -> list[int]:
     """Pack the 64 dHash bits of a row-major gray grid into 2x32-bit words.
 
@@ -235,8 +303,35 @@ def shot_boundaries(
     the first frame of every video a boundary (hamming_prev NULL); NULL
     fingerprints under ``on_error='null'`` propagate NULL hamming and
     do not open shots.
+
+    The surrogate pack requires ``0 <= media_id < 2^31`` and
+    ``0 <= frame_index < 2^32`` (so ``id * 2^32 + frame`` fits a signed
+    64-bit long with no collisions); out-of-range rows raise at
+    execution instead of silently scrambling per-video grouping.
     """
-    sid = (F.col("media_id").cast("long") * F.lit(1 << 32)) + F.col("frame_index")
+    in_range = (
+        (F.col("media_id") >= 0)
+        & (F.col("media_id") < F.lit(1 << 31))
+        & (F.col("frame_index") >= 0)
+        & (F.col("frame_index") < F.lit(1 << 32))
+    )
+    packed = (F.col("media_id").cast("long") * F.lit(1 << 32)) + F.col(
+        "frame_index"
+    )
+    sid = F.when(in_range, packed).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "shot_boundaries: (media_id, frame_index) outside the "
+                    "packable range [0, 2^31) x [0, 2^32): ("
+                ),
+                F.col("media_id").cast("string"),
+                F.lit(", "),
+                F.col("frame_index").cast("string"),
+                F.lit(")"),
+            )
+        ).cast("long")
+    )
     hashed = image_dhash(
         frames.select(sid.alias("media_id"), "payload"), on_error=on_error
     ).select(

@@ -176,10 +176,74 @@ AUDIO_FEATURE_SCHEMA = T.StructType(
         T.StructField("sample_rate", T.IntegerType(), True),
         T.StructField("duration_s", T.DoubleType(), True),
         T.StructField("n_frames", T.IntegerType(), True),
-        T.StructField("mfcc_mean", T.ArrayType(T.FloatType()), True),
-        T.StructField("mfcc_std", T.ArrayType(T.FloatType()), True),
+        # float64, not float32: pooled clip features are 2 x n_mfcc
+        # doubles per clip (negligible), and the driver's DuckDB oracle
+        # compares them after a 4dp round — float32's ~1e-6 relative
+        # error at that magnitude flips 4dp boundaries
+        T.StructField("mfcc_mean", T.ArrayType(T.DoubleType()), True),
+        T.StructField("mfcc_std", T.ArrayType(T.DoubleType()), True),
     ]
 )
+
+
+def synth_wav_tones(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    rate: int = 1600,
+    n_samples: int = 72,
+) -> DataFrame:
+    """Deterministic two-tone PCM16 WAV payload per input row:
+    ``x[n] = 0.4 sin(2 pi f0 n / rate) + 0.3 sin(2 pi f1 n / rate)``
+    with ``f0 = 100 + (id % 7) * 50`` and ``f1 = 300 + (id % 11) * 30``
+    (both below the Nyquist 800 Hz at the default rate).
+
+    The payloads are REAL WAV bytes (``encode_wav_pcm16``), so
+    downstream stages exercise the true container decode path, while an
+    external SQL engine can restate the decoded samples exactly as
+    ``trunc(x * 32767) / 32768`` — the int16 quantization round-trip —
+    without an audio stack. The synthesis analog of
+    ``image_hash.synth_gray_ppm``.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from modware_loader_spark.functions.audio_features import (
+            encode_wav_pcm16,
+        )
+
+        n = np.arange(n_samples)
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for mid in ids:
+                mid = int(mid)
+                f0 = 100 + (mid % 7) * 50
+                f1 = 300 + (mid % 11) * 30
+                x = 0.4 * np.sin(2 * np.pi * f0 * n / rate) + 0.3 * np.sin(
+                    2 * np.pi * f1 * n / rate
+                )
+                payloads.append(encode_wav_pcm16(rate, x))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": "audio/wav",
+                    "payload": payloads,
+                }
+            )
+
+    from modware_loader_spark.operators.ivf import ensure_min_partitions
+
+    return ensure_min_partitions(df.select(id_col)).mapInPandas(
+        batches,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("media_type", T.StringType(), True),
+                T.StructField("payload", T.BinaryType(), True),
+            ]
+        ),
+    )
 
 
 def audio_features(

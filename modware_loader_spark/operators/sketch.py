@@ -55,7 +55,12 @@ def hll_registers(
     all-zero slice scores the max rank 33). Registers never hit by a
     key are absent — the estimator treats them as 0, and sketch UNION
     is ``groupBy(...).agg(max(max_rho))`` over concatenated tables.
+
+    NULL keys are dropped up front (countDistinct semantics): md5 of a
+    NULL concat is NULL, so an unfiltered NULL key row would carry a
+    NULL max_rho into the group and poison the whole estimate to NULL.
     """
+    df = df.filter(F.col(key_col).isNotNull())
     h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
     reg = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(m))
     w = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
@@ -129,7 +134,10 @@ def cms_table(
     Built as explode-to-d-rows → one groupBy: map-side combine bounds
     the shuffle at d*width rows per partition regardless of key skew.
     Merging two sketches = union + re-sum (counters are additive).
+    NULL keys are dropped (their md5 is NULL → NULL row coordinates
+    that would silently collect into a junk counter).
     """
+    df = df.filter(F.col(key_col).isNotNull())
     val = (
         F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     )

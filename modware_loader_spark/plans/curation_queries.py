@@ -1253,3 +1253,180 @@ def pipeline_training_data_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(toks(F.col("text")))).alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------- round 8
+# Audio + video legs become driver-verifiable: deterministic payload
+# synthesis from table columns (the multimodal_dhash_fingerprint
+# pattern), REAL decode on the Spark side, full arithmetic restatement
+# on the DuckDB side.
+
+_MFCC_RATE, _MFCC_NSAMP = 1600, 72           # -> 3 frames of 40 @ hop 16
+_MFCC_FLEN, _MFCC_HOP, _MFCC_NFFT = 40, 16, 64
+_MFCC_NMELS, _MFCC_NMFCC = 26, 13
+
+_MFCC_ORACLE = f"""
+    WITH d AS (SELECT doc_id FROM documents),
+    params AS (SELECT 2595.0*log10(1.0 + 800.0/700.0) AS melmax),
+    xq AS (
+      SELECT doc_id, n,
+        trunc((0.4*sin(2*pi()*(100 + (doc_id%7)*50)*n/{_MFCC_RATE})
+             + 0.3*sin(2*pi()*(300 + (doc_id%11)*30)*n/{_MFCC_RATE})) * 32767.0)
+          / 32768.0 AS x
+      FROM d, unnest(generate_series(0, {_MFCC_NSAMP - 1})) AS t(n)),
+    hann AS (SELECT n, 0.5 - 0.5*cos(2*pi()*n/{_MFCC_FLEN - 1}) AS w
+             FROM unnest(generate_series(0, {_MFCC_FLEN - 1})) AS t(n)),
+    fr AS (SELECT unnest(generate_series(0, 2)) AS f),
+    wx AS (
+      SELECT xq.doc_id, fr.f, hann.n, xq.x * hann.w AS v
+      FROM fr JOIN hann ON true
+      JOIN xq ON xq.n = fr.f*{_MFCC_HOP} + hann.n),
+    spec AS (
+      SELECT doc_id, f, k,
+        power(sum(v * cos(2*pi()*k*n/{_MFCC_NFFT})), 2)
+          + power(sum(v * sin(2*pi()*k*n/{_MFCC_NFFT})), 2) AS p
+      FROM wx, unnest(generate_series(0, {_MFCC_NFFT // 2})) AS t(k)
+      GROUP BY doc_id, f, k),
+    mpt AS (
+      SELECT i, cast(floor(({_MFCC_NFFT}+1)
+          * (700.0*(power(10.0, (i * melmax / {_MFCC_NMELS + 1}) / 2595.0) - 1.0))
+          / {_MFCC_RATE}) AS INT) AS bin
+      FROM params, unnest(generate_series(0, {_MFCC_NMELS + 1})) AS t(i)),
+    fb AS (
+      SELECT m.i - 1 AS mel, k.k,
+        CASE WHEN k.k >= lo.bin AND k.k < m.bin AND m.bin > lo.bin
+               THEN (k.k - lo.bin)::DOUBLE / (m.bin - lo.bin)
+             WHEN k.k >= m.bin AND k.k < hi.bin AND hi.bin > m.bin
+               THEN (hi.bin - k.k)::DOUBLE / (hi.bin - m.bin)
+             ELSE 0.0 END AS w
+      FROM mpt m JOIN mpt lo ON lo.i = m.i - 1 JOIN mpt hi ON hi.i = m.i + 1,
+           unnest(generate_series(0, {_MFCC_NFFT // 2})) AS k(k)
+      WHERE m.i BETWEEN 1 AND {_MFCC_NMELS}),
+    logmel AS (
+      SELECT s.doc_id, s.f, fb.mel, ln(greatest(sum(s.p * fb.w), 1e-10)) AS lm
+      FROM spec s JOIN fb ON fb.k = s.k
+      GROUP BY s.doc_id, s.f, fb.mel),
+    dct AS (
+      SELECT j.j, m.m,
+        cos(pi()*j.j*(2*m.m+1)/(2*{_MFCC_NMELS})) * sqrt(2.0/{_MFCC_NMELS})
+          * (CASE WHEN j.j = 0 THEN 1.0/sqrt(2.0) ELSE 1.0 END) AS c
+      FROM unnest(generate_series(0, {_MFCC_NMFCC - 1})) AS j(j),
+           unnest(generate_series(0, {_MFCC_NMELS - 1})) AS m(m)),
+    coefs AS (
+      SELECT lm.doc_id, lm.f, dct.j AS coef, sum(lm.lm * dct.c) AS v
+      FROM logmel lm JOIN dct ON dct.m = lm.mel
+      GROUP BY lm.doc_id, lm.f, dct.j),
+    pooled AS (
+      SELECT doc_id, coef, avg(v) AS mean_v
+      FROM coefs GROUP BY doc_id, coef)
+    SELECT c.doc_id AS media_id, c.coef,
+      round(p.mean_v, 4) + 0.0 AS mfcc_mean,
+      round(sqrt(avg(power(c.v - p.mean_v, 2))), 4) + 0.0 AS mfcc_std
+    FROM coefs c JOIN pooled p ON p.doc_id = c.doc_id AND p.coef = c.coef
+    GROUP BY c.doc_id, c.coef, p.mean_v
+"""
+
+
+@query("multimodal_audio_mfcc", _MFCC_ORACLE)
+def multimodal_audio_mfcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio leg, driver-verified: synthesize a REAL two-tone PCM16 WAV
+    per document (``multimodal.synth_wav_tones``), run the true MFCC
+    front-end — WAV container decode, Hann framing, |rfft|^2 power, HTK
+    mel filterbank, log, orthonormal DCT-II, clip-level mean/std pooling
+    (``multimodal.audio_features``) — and posexplode the pooled vectors
+    to scalar ``(media_id, coef, mfcc_mean, mfcc_std)`` rows rounded to
+    4dp. The oracle restates every stage from first principles in SQL
+    (direct DFT, mel bins via floor of the mel->hz curve, DCT cosines);
+    the 12-doc prototype and this query agree exactly at 4dp. The
+    ``+ 0.0`` on both engines normalizes IEEE -0.0.
+    """
+    from modware_loader_spark.operators import multimodal as MM
+
+    t = load_tables(spark, sf_dir)
+    feats = MM.audio_features(
+        MM.synth_wav_tones(
+            t["documents"], rate=_MFCC_RATE, n_samples=_MFCC_NSAMP
+        ),
+        n_mfcc=_MFCC_NMFCC,
+    )
+    z = feats.select(
+        "media_id", F.posexplode(F.arrays_zip("mfcc_mean", "mfcc_std"))
+    )
+    return z.select(
+        "media_id",
+        F.col("pos").alias("coef"),
+        (F.round(F.col("col.mfcc_mean"), 4) + F.lit(0.0)).alias("mfcc_mean"),
+        (F.round(F.col("col.mfcc_std"), 4) + F.lit(0.0)).alias("mfcc_std"),
+    )
+
+
+# DuckDB twin of image_hash.synth_video_frames + dhash_words, keyed by
+# (doc_id, frame): same md5 pixel arithmetic as _DDB_DHASH_WORDS with a
+# per-frame noise gate and an a/b base-pattern switch at the cut.
+_DDB_VIDEO_WORDS = """
+    fr AS (SELECT unnest(generate_series(0, 3)) AS f),
+    px AS (
+      SELECT doc_id, f, x, y,
+        CASE WHEN CAST(('0x' || substring(md5('v:' || doc_id || ':' || f || ':' || x || ':' || y), 1, 2)) AS INT) < 4
+             THEN CAST(('0x' || substring(md5('vn:' || doc_id || ':' || f || ':' || x || ':' || y), 1, 2)) AS INT)
+             ELSE CAST(('0x' || substring(md5('vb:' || (doc_id % 17) || ':' || (CASE WHEN f < 2 THEN 'a' ELSE 'b' END) || ':' || x || ':' || y), 1, 2)) AS INT)
+        END AS g
+      FROM documents, fr,
+           unnest(generate_series(0, 8)) AS tx(x),
+           unnest(generate_series(0, 7)) AS ty(y)),
+    bits AS (
+      SELECT a.doc_id, a.f, (a.y * 8 + a.x) AS i,
+             CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+      FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.f = a.f
+                         AND b.y = a.y AND b.x = a.x + 1
+      WHERE a.x < 8),
+    words AS (
+      SELECT doc_id, f,
+        sum(CASE WHEN i < 32 THEN (bit::BIGINT << i) ELSE 0::BIGINT END)::BIGINT AS w0,
+        sum(CASE WHEN i >= 32 THEN (bit::BIGINT << (i - 32)) ELSE 0::BIGINT END)::BIGINT AS w1
+      FROM bits GROUP BY doc_id, f)
+"""
+
+
+@query(
+    "multimodal_shot_cuts",
+    f"""
+    WITH {_DDB_VIDEO_WORDS},
+    lagged AS (
+      SELECT doc_id, f, w0, w1,
+        lag(w0) OVER (PARTITION BY doc_id ORDER BY f) AS pw0,
+        lag(w1) OVER (PARTITION BY doc_id ORDER BY f) AS pw1
+      FROM words)
+    SELECT doc_id AS media_id, f AS frame_index,
+      CASE WHEN pw0 IS NULL THEN NULL
+           ELSE (bit_count(xor(w0, pw0)) + bit_count(xor(w1, pw1)))::INT
+      END AS hamming_prev,
+      CASE WHEN pw0 IS NULL THEN 1
+           WHEN (bit_count(xor(w0, pw0)) + bit_count(xor(w1, pw1))) > 16 THEN 1
+           ELSE 0 END AS is_boundary
+    FROM lagged
+    """,
+)
+def multimodal_shot_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video leg, driver-verified: synthesize 4 REAL 9x8 PPM frames per
+    document with a hard base-pattern switch at frame 2
+    (``image_hash.synth_video_frames``), round-trip them through the
+    real raster decoder into dHash fingerprints, and run per-video
+    shot-boundary detection (``image_hash.shot_boundaries``: ONE hash
+    shuffle for the lag window). The oracle restates the md5 pixel
+    arithmetic, the dHash bit packing, and the lag/XOR/popcount cut
+    test in SQL — no image decoder needed. Every video opens with a
+    boundary; the synthetic cut lands at frame 2 (~32-bit jump vs the
+    ~2-4-bit within-shot noise floor).
+    """
+    from modware_loader_spark.operators import image_hash as IH
+
+    t = load_tables(spark, sf_dir)
+    frames = IH.synth_video_frames(t["documents"], n_frames=4, cut_at=2)
+    out = IH.shot_boundaries(frames, max_hamming=16)
+    return out.select(
+        "media_id",
+        F.col("frame_index").cast("int").alias("frame_index"),
+        F.col("hamming_prev").cast("int").alias("hamming_prev"),
+        F.col("is_boundary").cast("int").alias("is_boundary"),
+    )

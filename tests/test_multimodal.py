@@ -425,3 +425,47 @@ def test_sample_frames_pyav_path(spark):
     )
     rows = sample_frames(media, 2, fake=False).collect()
     assert all(bytes(r.payload).startswith(b"P6") for r in rows)
+
+
+def test_synth_wav_tones_round_trip_and_determinism(spark):
+    """Synth payloads are REAL WAVs (decodable by wav_samples) and the
+    tone parameters depend on id % 7 / id % 11 only."""
+    import numpy as np
+
+    from modware_loader_spark.functions.audio_features import wav_samples
+    from modware_loader_spark.operators.multimodal import synth_wav_tones
+
+    docs = spark.createDataFrame([(0,), (77,), (1,)], ["doc_id"])
+    out = {r["media_id"]: bytes(r["payload"]) for r in synth_wav_tones(docs).collect()}
+    rate, x0 = wav_samples(out[0])
+    assert rate == 1600 and x0.size == 72
+    # 77 % 7 == 0 and 77 % 11 == 0 -> same tones as doc 0
+    assert out[77] == out[0]
+    assert out[1] != out[0]
+    # samples match the documented formula after int16 quantization
+    n = np.arange(72)
+    want = np.trunc(
+        (0.4 * np.sin(2 * np.pi * 100 * n / 1600)
+         + 0.3 * np.sin(2 * np.pi * 300 * n / 1600)) * 32767.0
+    ) / 32768.0
+    assert np.array_equal(x0, want)
+
+
+def test_synth_video_frames_cut_semantics(spark):
+    """Frames share the per-segment base: the dHash jump at the cut
+    dwarfs within-shot noise, and shot_boundaries flags exactly the
+    first frame and the cut for a typical document."""
+    from modware_loader_spark.operators import image_hash as IH
+
+    docs = spark.createDataFrame([(3,), (12,)], ["doc_id"])
+    frames = IH.synth_video_frames(docs, n_frames=4, cut_at=2)
+    out = {
+        (r["media_id"], r["frame_index"]): (r["hamming_prev"], r["is_boundary"])
+        for r in IH.shot_boundaries(frames, max_hamming=16).collect()
+    }
+    assert len(out) == 8
+    for mid in (3, 12):
+        assert out[(mid, 0)] == (None, 1)
+        assert out[(mid, 2)][0] > 16 and out[(mid, 2)][1] == 1
+        for f in (1, 3):
+            assert out[(mid, f)][0] <= 16 and out[(mid, f)][1] == 0

@@ -382,3 +382,15 @@ def test_shot_boundaries_null_and_multivideo(spark):
     assert out[(1, 2)] == (None, 0)   # prev hash NULL: conservative no-cut
     assert out[(2, 0)] == (None, 1)   # second video opens independently
     assert out[(2, 1)][1] == 1        # bright -> flat is a cut
+
+
+def test_shot_boundaries_rejects_unpackable_ids(spark):
+    """(media_id, frame_index) outside [0, 2^31) x [0, 2^32) must raise,
+    not silently collide in the packed surrogate (round-7 advice)."""
+    flat = IH.encode_ppm(IH.GRID_W, IH.GRID_H, bytes([50] * 216))
+    for mid, fi in ((-1, 0), (1 << 31, 0), (1, 1 << 32), (1, -1)):
+        frames = spark.createDataFrame(
+            [(mid, fi, flat)], "media_id long, frame_index long, payload binary"
+        )
+        with pytest.raises(Exception, match="packable range"):
+            IH.shot_boundaries(frames).collect()

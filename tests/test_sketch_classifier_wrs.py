@@ -258,3 +258,27 @@ def test_cms_weighted_counts(spark):
         for r in SK.cms_estimate(sk, keys, "k", depth=2, width=128).collect()
     }
     assert got == {"a": 12, "b": 1}
+
+
+def test_sketches_ignore_null_keys(spark):
+    """A single NULL key must not poison the group estimate (its md5 is
+    NULL -> NULL register/rho; countDistinct semantics ignore NULLs)."""
+    df = spark.createDataFrame(
+        [("g", f"k{i}") for i in range(40)] + [("g", None), ("h", None)],
+        ["g", "k"],
+    )
+    est = {
+        r["g"]: r["estimate"]
+        for r in SK.hll_distinct(df, "k", ["g"]).collect()
+    }
+    assert "h" not in est  # all-NULL group contributes no registers
+    assert est["g"] is not None and est["g"] > 0
+    clean = {
+        r["g"]: r["estimate"]
+        for r in SK.hll_distinct(df.filter(F.col("k").isNotNull()), "k", ["g"]).collect()
+    }
+    assert est == clean
+    # CMS: NULL keys contribute no counter mass
+    sk_null = SK.cms_table(df, "k", depth=2, width=32)
+    sk_clean = SK.cms_table(df.filter(F.col("k").isNotNull()), "k", depth=2, width=32)
+    assert sorted(map(tuple, sk_null.collect())) == sorted(map(tuple, sk_clean.collect()))
