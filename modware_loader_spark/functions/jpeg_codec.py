@@ -202,9 +202,19 @@ class _BitReader:
                 if nxt == 0x00:
                     self.pos += 1
                 else:
-                    self.marker = nxt
-                    self.pos += 1
-                    raise EOFError("marker in entropy data")
+                    # T.81 B.1.1.2: a marker may be preceded by any run
+                    # of 0xFF fill bytes — consume the run and take the
+                    # first non-0xFF byte as the marker code (a trailing
+                    # 0xFF 0x00 in the run is a stuffed data byte)
+                    while nxt == 0xFF:
+                        self.pos += 1
+                        nxt = buf[self.pos]
+                    if nxt == 0x00:
+                        self.pos += 1
+                    else:
+                        self.marker = nxt
+                        self.pos += 1
+                        raise EOFError("marker in entropy data")
             self._acc = ((self._acc & ((1 << self._n) - 1)) << 8) | b
             self._n += 8
 
@@ -234,6 +244,11 @@ class _BitReader:
                 if b == 0xFF:
                     nxt = self.buf[self.pos]
                     self.pos += 1
+                    if nxt == 0x00:
+                        continue
+                    while nxt == 0xFF:  # fill-byte run (B.1.1.2)
+                        nxt = self.buf[self.pos]
+                        self.pos += 1
                     if nxt == 0x00:
                         continue
                     self.marker = nxt
@@ -481,6 +496,9 @@ def _parse_and_decode(payload: bytes) -> tuple[int, int, bytes]:
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte preceding a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         pos += 2
         if marker == 0xD9:  # EOI
             if prog is not None:
@@ -562,15 +580,36 @@ def _parse_and_decode(payload: bytes) -> tuple[int, int, bytes]:
 
 def _decode_scan(buf, pos, frame, scan, qtabs, htabs, restart_interval):
     w, h, comps = frame
+    if len(scan) < len(comps):
+        # Non-interleaved multi-scan sequential JPEG (Ns < Nf): this
+        # path decodes exactly one scan, so rendering just the first
+        # (e.g. Y-only) would silently return a grayscale image for a
+        # 3-component file. Raise instead — decode_media falls back to
+        # Pillow / header-dims parsing (same policy as the unsupported
+        # processes above).
+        raise ValueError(
+            "non-interleaved multi-scan sequential JPEG — needs Pillow"
+        )
     byid = {cid: (hf, vf, tq) for cid, hf, vf, tq in comps}
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    single = len(scan) == 1
+    if single:
+        # T.81 A.2.2: a single-component scan has one data unit per MCU
+        # and walks the component's own row-major block grid — the
+        # interleaved MCU lattice (dy/dx sub-loops over hf x vf) would
+        # misorder blocks whenever hf or vf > 1.
+        mcux = (w + 7) // 8
+        mcuy = (h + 7) // 8
+    else:
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     planes = []
     meta = []  # (hf, vf, q, dc_table, ac_table, plane)
     for cs, td, ta in scan:
         hf, vf, tq = byid[cs]
+        if single:
+            hf = vf = 1
         plane = np.zeros((mcuy * vf * 8, mcux * hf * 8), dtype=np.float64)
         q = qtabs[tq].reshape(8, 8).astype(np.float64)
         meta.append((hf, vf, q, htabs[(0, td)], htabs[(1, ta)], plane))
@@ -614,10 +653,11 @@ def _decode_scan(buf, pos, frame, scan, qtabs, htabs, restart_interval):
                         plane[by : by + 8, bx : bx + 8] = blk
             mcu_count += 1
 
-    # upsample to full resolution and crop
+    # upsample to full resolution and crop (a single-component scan's
+    # plane is already the component's own full-resolution grid)
     full = []
     for hf, vf, _q, _d, _a, plane in meta:
-        if hf != hmax or vf != vmax:
+        if not single and (hf != hmax or vf != vmax):
             plane = np.repeat(np.repeat(plane, vmax // vf, axis=0), hmax // hf, axis=1)
         full.append(plane[:h, :w])
     return _planes_to_rgb(full, w, h)

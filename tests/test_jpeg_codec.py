@@ -165,3 +165,61 @@ def test_image_dhash_over_jpeg_corpus(spark):
     hashed = {r["media_id"]: r["hash_words"] for r in IH.image_dhash(media).collect()}
     assert hashed[1] == hashed[2]  # identical payloads, identical hash
     assert all(len(v) == 2 for v in hashed.values())
+
+def test_fill_bytes_before_markers_are_legal():
+    """T.81 B.1.1.2: any marker may be preceded by a run of 0xFF fill
+    bytes — in the segment stream and inside entropy data (before
+    RSTn). Decode must be identical to the unpadded stream."""
+    img = _test_image(24, 16, seed=5)
+    enc = encode_baseline_jpeg(
+        24, 16, img.tobytes(), quality=92, restart_interval=2
+    )
+    ref = decode_baseline_jpeg(enc)
+    padded = enc[:2] + b"\xff\xff" + enc[2:]  # fill run after SOI
+    out = bytearray()
+    i = 0
+    while i < len(padded):
+        # fill byte before every RSTn marker occurrence
+        if (
+            padded[i] == 0xFF
+            and i + 1 < len(padded)
+            and 0xD0 <= padded[i + 1] <= 0xD7
+        ):
+            out += b"\xff"
+        out.append(padded[i])
+        i += 1
+    assert decode_baseline_jpeg(bytes(out)) == ref
+    # fill bytes before EOI too
+    assert decode_baseline_jpeg(enc[:-2] + b"\xff\xff\xff" + enc[-2:]) == ref
+
+
+def test_multi_scan_sequential_raises_not_grayscale():
+    """A 3-component sequential frame whose first scan covers fewer
+    components must raise (decode_media falls back) instead of silently
+    rendering the Y scan as a grayscale image."""
+    img = _test_image(16, 16)
+    enc = bytearray(
+        encode_baseline_jpeg(16, 16, img.tobytes(), quality=90)
+    )
+    sos = enc.find(b"\xff\xda")
+    assert sos > 0
+    assert enc[sos + 4] == 3  # ns
+    enc[sos + 4] = 1  # claim a Y-only first scan
+    with pytest.raises(ValueError, match="multi-scan sequential"):
+        decode_baseline_jpeg(bytes(enc))
+
+
+def test_single_component_scan_walks_row_major_grid():
+    """T.81 A.2.2: a single-component scan has one data unit per MCU —
+    declared sampling factors must not re-order blocks into the
+    interleaved MCU lattice."""
+    img = _test_image(24, 16, seed=9)
+    enc = bytearray(
+        encode_baseline_jpeg(24, 16, img.tobytes(), quality=92, grayscale=True)
+    )
+    ref = decode_baseline_jpeg(bytes(enc))
+    sof = enc.find(b"\xff\xc0")
+    hv = sof + 2 + 2 + 1 + 2 + 2 + 1 + 1  # prec,h,w,nc,cid -> hv byte
+    assert enc[hv] == 0x11
+    enc[hv] = 0x22  # hf=vf=2 on the only component
+    assert decode_baseline_jpeg(bytes(enc)) == ref
