@@ -394,3 +394,22 @@ def test_shot_boundaries_rejects_unpackable_ids(spark):
         )
         with pytest.raises(Exception, match="packable range"):
             IH.shot_boundaries(frames).collect()
+
+
+def test_bm25_empty_corpus_and_no_matches(spark):
+    """Eager stats on an empty corpus must not divide by zero or NPE;
+    a corpus with zero matching terms returns an empty head."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert SE.bm25_topk(empty, ["spark"], k=5).collect() == []
+    nomatch = spark.createDataFrame([(1, "alpha beta")], ["doc_id", "text"])
+    assert SE.bm25_topk(nomatch, ["spark"], k=5).collect() == []
+
+
+def test_materialize_head_caps_runaway_inputs(spark):
+    """_rank_head is for bounded top-k heads only: a caller passing an
+    unbounded frame must fail fast, not collect the corpus."""
+    big = spark.range(2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).cast("double").alias("score")
+    )
+    with pytest.raises(ValueError, match="more than"):
+        SE._rank_head(big, "score")
