@@ -11,10 +11,10 @@ Spark shape (all built-ins, whole-stage codegen):
 - tokenize + explode only rows whose token is in the (small, literal)
   query-term set — the filter sits *before* the groupBy, so the shuffle
   carries matching postings only, never the full corpus posting list;
-- corpus stats (N, avgdl) are ONE row — computed eagerly and injected
-  as literals so the lazy lineage scans the corpus exactly once;
-  per-term document frequency is a tiny aggregate broadcast back onto
-  the postings;
+- corpus stats (N, avgdl) and per-term document frequency are at most
+  ``|terms| + 1`` rows — computed eagerly in ONE sentinel-row pass and
+  injected as literals, so the lazy postings lineage is the only other
+  corpus scan (two scans per query total);
 - final top-k is ``orderBy(...).limit(k)`` — a TakeOrdered over
   per-partition heads, NOT a global row_number window, so no
   single-partition exchange at 100 TB; the k-row head is then
