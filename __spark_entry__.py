@@ -77,9 +77,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # stats; sketch_hll_distinct / sketch_cms_heavy_hitters — NULL-key
 # filters); (c) the two NEW round-8 queries (multimodal_audio_mfcc,
 # multimodal_shot_cuts — the audio/video legs' first driver rows); and
-# (d) 38 of the 42 r6-green names so freshness rolls forward. The tail
-# below = the 46 unchanged r7-green names + 4 stable r6-green names
-# (m12, m13, u2, t2_t3) that rotate back in r9 with the r7 cohort.
+# (d) the NEW round-8 LM-perplexity query (text_lm_perplexity), and
+# (e) 37 of the 42 r6-green names so freshness rolls forward. The tail
+# below = the 46 unchanged r7-green names + 5 stable r6-green names
+# (m12, m13, u2, t2_t3, e12) that rotate back in r9 with the r7 cohort.
+# With 101 registered names the freshness window is now adaptive
+# (ceil(N/50) recorded rounds — see test_driver_registry_contract):
+# 50 head slots re-verify the stalest cohort each round, which is the
+# maximum freshness any rotation policy can achieve at this size.
 # Everything deprioritized stays covered every round by
 # tests/test_oracle_parity.py, which iterates the full dict.
 _DEPRIORITIZED = [
@@ -135,6 +140,7 @@ _DEPRIORITIZED = [
     "m13_deterministic_id_generation",
     "u2_normalize_id",
     "t2_t3_cutoff_and_regex_extract",
+    "e12_sample_limit",
 ]
 
 

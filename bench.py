@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     # round-8 additions
     "multimodal_audio_mfcc",
     "multimodal_shot_cuts",
+    "text_lm_perplexity",
 ]
 
 

@@ -1430,3 +1430,62 @@ def multimodal_shot_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hamming_prev").cast("int").alias("hamming_prev"),
         F.col("is_boundary").cast("int").alias("is_boundary"),
     )
+
+
+@query(
+    "text_lm_perplexity",
+    """
+    WITH tgt AS (SELECT string_split(trim(text), ' ') AS w
+                 FROM documents WHERE lang = 'en'),
+    uni AS (SELECT tok AS w1, count(*)::BIGINT AS c1
+            FROM (SELECT unnest(w) AS tok FROM tgt) GROUP BY tok),
+    st AS (SELECT sum(c1)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab
+           FROM uni),
+    bi AS (SELECT w[i] AS w1, w[i + 1] AS w2, count(*)::BIGINT AS c2
+           FROM tgt, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) g
+           WHERE len(w) >= 2 GROUP BY 1, 2),
+    tri AS (SELECT w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3,
+                   count(*)::BIGINT AS c3
+            FROM tgt, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g
+            WHERE len(w) >= 3 GROUP BY 1, 2, 3),
+    d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    dtri AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+             FROM d, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g
+             WHERE len(w) >= 3),
+    s AS (SELECT doc_id,
+            CASE WHEN tri.c3 IS NOT NULL THEN tri.c3 / bc.c2
+                 WHEN b2.c2 IS NOT NULL THEN 0.4 * b2.c2 / u2.c1
+                 ELSE 0.4 * 0.4 * (coalesce(u3.c1, 0) + 1)
+                      / (st.n_tokens + st.vocab) END AS sc
+          FROM dtri
+          LEFT JOIN tri ON tri.w1 = dtri.w1 AND tri.w2 = dtri.w2
+                        AND tri.w3 = dtri.w3
+          LEFT JOIN bi bc ON bc.w1 = dtri.w1 AND bc.w2 = dtri.w2
+          LEFT JOIN bi b2 ON b2.w1 = dtri.w2 AND b2.w2 = dtri.w3
+          LEFT JOIN uni u2 ON u2.w1 = dtri.w2
+          LEFT JOIN uni u3 ON u3.w1 = dtri.w3, st),
+    agg AS (SELECT doc_id, count(*)::BIGINT AS n,
+                   sum(CAST(round(ln(sc) * 1e6) AS BIGINT))::BIGINT AS lp
+            FROM s GROUP BY doc_id)
+    SELECT d0.doc_id,
+           coalesce(agg.n, 0)::BIGINT AS n_trigrams,
+           coalesce(agg.lp, 0)::BIGINT AS lp_micros
+    FROM documents d0 LEFT JOIN agg ON d0.doc_id = agg.doc_id
+    """,
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram LM quality scoring, Stupid Backoff (Brants et al. 2007):
+    train trigram/bigram/unigram count tables on the trusted ``lang =
+    'en'`` slice (one persisted token pass), score every document's
+    trigram positions through the backoff chain, and sum per-position
+    log-scores as exact integer micro-nats — the CCNet-style perplexity
+    filter leg of the curation stack (``operators/lm.py``). The count
+    tables are the model: persist or bucket-write them and every scoring
+    batch is five equi-joins on uniform gram keys.
+    """
+    from modware_loader_spark.operators import lm as LM
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    model = LM.ngram_lm_train(docs, F.col("lang") == "en")
+    return LM.stupid_backoff_scores(docs, model)

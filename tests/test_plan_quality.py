@@ -161,6 +161,7 @@ _BNLJ_WHITELIST = {
     "sample_dsir_weights",
     "text_bm25_topk",
     "search_hybrid_rrf_topk",
+    "text_lm_perplexity",  # 1-row LM totals broadcast attach (DSIR shape)
 }
 
 
@@ -175,6 +176,12 @@ _BNLJ_WHITELIST = {
 # lazy duplicated the whole retrieval subtree per reference (6x/16x
 # corpus scans) while every result check stayed green.
 _SCAN_BUDGET_OVERRIDES = {
+    # The persisted LM count-table base executes its corpus scan ONCE
+    # (cache fill), but InMemoryRelation.toString() reprints the cached
+    # child plan — including its "Scan parquet" line — at every one of
+    # the six cache references, so the flat-text count reads 8 where
+    # the executed I/O is 3 (fill + score side + doc join-back).
+    "text_lm_perplexity": 8,
     "pipeline_training_data_e2e": 5,
     "similarity_ann_banded_topk": 4,
     "dedup_image_dhash_pairs": 4,
