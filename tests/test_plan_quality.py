@@ -165,22 +165,29 @@ _BNLJ_WHITELIST = {
 }
 
 
-# Per-query parquet-scan budget overrides. The default budget is
-# (number of distinct source tables in the plan) + 2 — a self-join or
-# one auxiliary pass is normal; anything beyond needs a justification
-# here. These are the multi-stage ANN compositions whose plans
-# legitimately revisit one table per stage (query leg + candidate leg +
-# exact re-rank leg), and the e2e pipeline whose dedup/decontam stages
-# each join back to the corpus. A NEW query exceeding its budget is the
+# Per-query source-relation budget overrides. Relations are counted on
+# the ANALYZED logical plan — before the cache manager substitutes
+# InMemoryRelation for matching fragments — so the count is a stable
+# structural property: the physical executedPlan text both inflates
+# (InMemoryRelation.toString() reprints its child plan, scans included,
+# once per cache reference) and deflates (a cached fragment hides its
+# scan) depending on what earlier tests happened to materialize, which
+# made the first draft of this guard order-dependent under the full
+# suite. The default budget is (number of distinct source tables) + 2 —
+# a self-join or one auxiliary pass is normal; anything beyond needs a
+# justification here. The overrides are the multi-stage ANN
+# compositions whose plans legitimately revisit one table per stage
+# (query leg + candidate leg + exact re-rank leg), the e2e pipeline
+# whose dedup/decontam stages each join back to the corpus, and the LM
+# scorer whose five count-table references all resolve to ONE persisted
+# token pass at execution. A NEW query exceeding its budget is the
 # round-7 failure mode this guard exists for: `search._rank_head` left
 # lazy duplicated the whole retrieval subtree per reference (6x/16x
 # corpus scans) while every result check stayed green.
 _SCAN_BUDGET_OVERRIDES = {
-    # The persisted LM count-table base executes its corpus scan ONCE
-    # (cache fill), but InMemoryRelation.toString() reprints the cached
-    # child plan — including its "Scan parquet" line — at every one of
-    # the six cache references, so the flat-text count reads 8 where
-    # the executed I/O is 3 (fill + score side + doc join-back).
+    # 8 logical references = score side + doc join-back + uni x2 +
+    # bi x2 + tri + totals, but the six count-table legs share one
+    # persisted tokenized base: executed corpus I/O is 3 reads.
     "text_lm_perplexity": 8,
     "pipeline_training_data_e2e": 5,
     "similarity_ann_banded_topk": 4,
@@ -199,13 +206,15 @@ def test_no_single_partition_exchange_anywhere(spark, sf_dir):
     that serialized id generation before the partition-offset rework),
     (b) no unpartitioned Window node (see ``_unpartitioned_windows``),
     (c) no CartesianProduct anywhere, (d) BroadcastNestedLoopJoin
-    only in the explicit whitelist above, and (e) the plan's parquet
-    scan-node count within the per-query budget (default: distinct
-    source tables + 2; overrides documented above)."""
+    only in the explicit whitelist above, and (e) the ANALYZED plan's
+    source-relation count within the per-query budget (default:
+    distinct source tables + 2; overrides documented above —
+    cache-stable, see the override block comment)."""
     offenders = {}
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        qe = df._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
         probs = []
         n = plan.count("Exchange SinglePartition")
         if n:
@@ -217,12 +226,14 @@ def test_no_single_partition_exchange_anywhere(spark, sf_dir):
             probs.append("CartesianProduct")
         if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_WHITELIST:
             probs.append("unwhitelisted BroadcastNestedLoopJoin")
-        n_scans = len(re.findall(r"Scan parquet|FileScan parquet", plan))
+        n_scans = len(
+            re.findall(r"(?<!Local)Relation ?\[", qe.analyzed().toString())
+        )
         tables = set(re.findall(r"/(\w+)\.parquet", plan))
         budget = _SCAN_BUDGET_OVERRIDES.get(name, len(tables) + 2)
         if n_scans > budget:
             probs.append(
-                f"{n_scans} parquet scans of {sorted(tables)} "
+                f"{n_scans} source relations over {sorted(tables)} "
                 f"exceeds budget {budget}"
             )
         if probs:
