@@ -131,6 +131,23 @@ def ngram_lm_train(
     return NgramLM(uni=uni, bi=bi, tri=tri, stats=stats)
 
 
+def lm_model_literals(model: NgramLM):
+    """Collect a snapshot-sized model driver-side for the streaming twin:
+    ``(uni dict, bi dict, tri dict, n_tokens, vocab)``. Same model-size
+    bound as the classifier's literal weight map (10^4-ish grams — a
+    plan-inlined literal, not a join); web-scale models stay on the
+    batch join path."""
+    uni = {r["w1"]: r["c1"] for r in model.uni.collect()}
+    bi = {(r["w1"], r["w2"]): r["c2"] for r in model.bi.collect()}
+    tri = {
+        (r["w1"], r["w2"], r["w3"]): r["c3"] for r in model.tri.collect()
+    }
+    strow = model.stats.collect()
+    n_tokens = strow[0]["n_tokens"] if strow else 0
+    vocab = strow[0]["vocab"] if strow else 0
+    return uni, bi, tri, int(n_tokens or 0), int(vocab or 0)
+
+
 def stupid_backoff_scores(
     df: DataFrame,
     model: NgramLM,

@@ -239,3 +239,90 @@ def stream_dedup_against_history(
     else:
         raise ValueError("provide history_band_hashes or bloom_words")
     return docs.filter(~hit)
+
+
+def stream_lm_gate(
+    docs: DataFrame,
+    uni: dict,
+    bi: dict,
+    tri: dict,
+    n_tokens: int,
+    vocab: int,
+    alpha: float = 0.4,
+    min_avg_lp_micros: int = -15_000_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming Stupid-Backoff LM gate: keep documents whose average
+    per-trigram log-score clears the threshold — the streaming twin of
+    the batch ``text_lm_perplexity`` scorer (``operators/lm.py``), same
+    deployment shape as ``stream_classifier_gate``.
+
+    The batch scorer explodes trigrams and joins the count tables — a
+    shuffle shape streaming ingest should not pay. Here the snapshot
+    model ships as LITERAL maps (``lm.lm_model_literals``; grams keyed
+    by space-joined words — tokens are whitespace-split so the key is
+    unambiguous) and the whole score is one ``aggregate`` fold over
+    trigram positions: per position the published backoff chain
+    ``c3/c2ctx -> alpha*c2/c1ctx -> alpha^2*(c1+1)/(N+V)``, ``ln``
+    rounded to integer micro-nats, summed left-to-right — integer sums
+    are order-free, so the result is bit-identical to the batch scorer
+    (pinned by a batch-equivalence test). Pure row expression: append
+    mode, no state store, no watermark, no shuffle. Documents shorter
+    than three tokens carry no evidence and pass the gate untouched
+    (``n_trigrams = 0``); the threshold compare is exact integer
+    arithmetic (``lp_micros >= threshold * n_trigrams``), no division.
+    Model-size bound: literal maps inline into the plan — snapshot-sized
+    models only; web-scale LMs belong on the batch join path.
+    """
+    from modware_loader_spark.operators.text import tokens
+
+    def lit_lookup(d: dict, key_col):
+        if not d:
+            return F.lit(None).cast("long")
+        m = F.create_map(
+            *[
+                F.lit(v)
+                for k, c in sorted(
+                    (k if isinstance(k, str) else " ".join(k), c)
+                    for k, c in d.items()
+                )
+                for v in (k, int(c))
+            ]
+        )
+        return m[key_col].cast("long")
+
+    w = tokens(F.col(text_col))
+    n3 = F.greatest(F.size(w) - F.lit(2), F.lit(0)).cast("long")
+
+    def lp_at(i):
+        w1, w2, w3 = (F.element_at(w, i + j) for j in range(3))
+        c3 = lit_lookup(tri, F.concat_ws(" ", w1, w2, w3))
+        c2_ctx = lit_lookup(bi, F.concat_ws(" ", w1, w2))
+        c2 = lit_lookup(bi, F.concat_ws(" ", w2, w3))
+        c1_ctx = lit_lookup(uni, w2)
+        c1 = lit_lookup(uni, w3)
+        s = (
+            F.when(c3.isNotNull(), c3 / c2_ctx)
+            .when(c2.isNotNull(), F.lit(alpha) * c2 / c1_ctx)
+            .otherwise(
+                F.lit(alpha * alpha)
+                * (F.coalesce(c1, F.lit(0)) + F.lit(1))
+                / F.lit(float(n_tokens + vocab))
+            )
+        )
+        return F.round(F.log(s) * F.lit(1e6)).cast("long")
+
+    positions = F.when(F.size(w) >= 3, F.sequence(F.lit(1), F.size(w) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    lp_sum = F.aggregate(
+        positions, F.lit(0).cast("long"), lambda acc, i: acc + lp_at(i)
+    )
+    out = docs.withColumn("n_trigrams", n3).withColumn("lp_micros", lp_sum)
+    return out.filter(
+        (F.col("n_trigrams") == 0)
+        | (
+            F.col("lp_micros")
+            >= F.lit(int(min_avg_lp_micros)) * F.col("n_trigrams")
+        )
+    )

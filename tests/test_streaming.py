@@ -526,3 +526,44 @@ def test_stream_classifier_gate_matches_batch(spark, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert spark.sql("SELECT count(*) AS n FROM clf_empty_t").collect()[0]["n"] == 0
+
+
+def test_stream_lm_gate_matches_batch(spark, tmp_path):
+    """Streaming Stupid-Backoff gate: per-document (n_trigrams,
+    lp_micros) are bit-identical to the batch scorer, and the kept set
+    equals the batch predicate — stateless append mode."""
+    from modware_loader_spark.operators import lm as LM
+    from modware_loader_spark.streaming.events import stream_lm_gate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = LM.ngram_lm_train(docs, F.col("lang") == "en")
+    batch = {
+        r.doc_id: (r.n_trigrams, r.lp_micros)
+        for r in LM.stupid_backoff_scores(docs, model).collect()
+    }
+    uni, bi, tri, n_tok, vocab = LM.lm_model_literals(model)
+    thr = -15_000_000
+    batch_kept = sorted(
+        d for d, (n, lp) in batch.items() if n == 0 or lp >= thr * n
+    )
+    path = str(tmp_path / "docs_lm_stream")
+    docs.write.parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    q = (
+        stream_lm_gate(stream, uni, bi, tri, n_tok, vocab,
+                       min_avg_lp_micros=thr)
+        .select("doc_id", "n_trigrams", "lp_micros")
+        .writeStream.format("memory")
+        .queryName("lm_gate_t")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.doc_id: (r.n_trigrams, r.lp_micros)
+        for r in spark.sql("SELECT * FROM lm_gate_t").collect()
+    }
+    assert sorted(got) == batch_kept and len(got) > 0
+    for d, v in got.items():
+        assert v == batch[d]
