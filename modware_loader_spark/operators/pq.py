@@ -105,13 +105,14 @@ def pq_train(
     that lose all members drop out of their book, mirroring
     ``ivf_train``; downstream lookups key on the cell id, not position.
     """
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    sub = dim // m
     seed_rows = [
         (r[0], [float(x) for x in r[1]])
         for r in df.orderBy(F.asc(id_col)).limit(ksub).select(id_col, vec_col).collect()
     ]
+    if dim is None:
+        # the seeds are already on the driver — no extra first() job
+        dim = len(seed_rows[0][1])
+    sub = dim // m
     books = _block_books_from_seed_rows(seed_rows, m, sub)
     src = ensure_min_partitions(df.select(id_col, vec_col))
     for _ in range(lloyd_iters):
