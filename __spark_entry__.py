@@ -71,16 +71,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # the CORRECTNESS_r*.json artifacts): the head holds (a) the six
 # r5-stale names owed slots since r7 (q1_pricing_summary,
 # agg_rollup_priority_status, text_langid, dedup_exact_fingerprint,
-# sample_frequency_cap, text_repetition_gopher); (b) the four r7-green
+# sample_frequency_cap, text_repetition_gopher); (b) the five r7-green
 # queries whose implementation changed in round 8 (text_bm25_topk /
 # search_hybrid_rrf_topk — materialized rank head + single-pass corpus
 # stats; sketch_hll_distinct / sketch_cms_heavy_hitters — NULL-key
-# filters); (c) the two NEW round-8 queries (multimodal_audio_mfcc,
+# filters; embed_quantize_int8 — verification rows now sample every
+# 8th position); (c) the two NEW round-8 queries (multimodal_audio_mfcc,
 # multimodal_shot_cuts — the audio/video legs' first driver rows); and
 # (d) the NEW round-8 LM-perplexity query (text_lm_perplexity), and
-# (e) 37 of the 42 r6-green names so freshness rolls forward. The tail
-# below = the 46 unchanged r7-green names + 5 stable r6-green names
-# (m12, m13, u2, t2_t3, e12) that rotate back in r9 with the r7 cohort.
+# (e) 36 of the 42 r6-green names so freshness rolls forward. The tail
+# below = the 45 unchanged r7-green names + 6 stable r6-green names
+# (m12, m13, u2, t2_t3, e12, e13) that rotate back in r9 with the r7
+# cohort.
 # With 101 registered names the freshness window is now adaptive
 # (ceil(N/50) recorded rounds — see test_driver_registry_contract):
 # 50 head slots re-verify the stalest cohort each round, which is the
@@ -101,7 +103,6 @@ _DEPRIORITIZED = [
     "e7_multi_join_isin_filter",
     "e8_pivot_props",
     "e9_collect_to_delimited_string",
-    "embed_quantize_int8",
     "events_sessionization",
     "m10_grown_groups",
     "m11_window_dedup",
@@ -141,6 +142,7 @@ _DEPRIORITIZED = [
     "u2_normalize_id",
     "t2_t3_cutoff_and_regex_extract",
     "e12_sample_limit",
+    "e13_skip_list_filter",
 ]
 
 

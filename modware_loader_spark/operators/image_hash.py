@@ -310,24 +310,29 @@ def shot_boundaries(
     execution instead of silently scrambling per-video grouping.
     """
     in_range = (
-        (F.col("media_id") >= 0)
+        F.col("media_id").isNotNull()
+        & (F.col("media_id") >= 0)
         & (F.col("media_id") < F.lit(1 << 31))
+        & F.col("frame_index").isNotNull()
         & (F.col("frame_index") >= 0)
         & (F.col("frame_index") < F.lit(1 << 32))
     )
     packed = (F.col("media_id").cast("long") * F.lit(1 << 32)) + F.col(
         "frame_index"
     )
+    # concat_ws + coalesce, not concat: a NULL id must still produce the
+    # diagnostic (concat null-propagates the whole message to 'null')
     sid = F.when(in_range, packed).otherwise(
         F.raise_error(
-            F.concat(
+            F.concat_ws(
+                "",
                 F.lit(
                     "shot_boundaries: (media_id, frame_index) outside the "
                     "packable range [0, 2^31) x [0, 2^32): ("
                 ),
-                F.col("media_id").cast("string"),
+                F.coalesce(F.col("media_id").cast("string"), F.lit("NULL")),
                 F.lit(", "),
-                F.col("frame_index").cast("string"),
+                F.coalesce(F.col("frame_index").cast("string"), F.lit("NULL")),
                 F.lit(")"),
             )
         ).cast("long")

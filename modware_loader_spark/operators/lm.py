@@ -63,13 +63,23 @@ class NgramLM(NamedTuple):
 
     ``uni``: (w, c1); ``bi``: (w1, w2, c2); ``tri``: (w1, w2, w3, c3);
     ``stats``: one row (n_tokens, vocab). All four are plain DataFrames —
-    persist or write them out to reuse across scoring batches.
+    persist or write them out to reuse across scoring batches. ``base``
+    is the persisted tokenized slice the count tables read (None when
+    trained with ``persist=False``); call :meth:`unpersist` once scoring
+    (or a persist of the count tables themselves) is done, or the cached
+    token partitions stay pinned for the session.
     """
 
     uni: DataFrame
     bi: DataFrame
     tri: DataFrame
     stats: DataFrame
+    base: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        """Release the cached tokenized base (no-op if not persisted)."""
+        if self.base is not None:
+            self.base.unpersist()
 
 
 def _grams(w: Column, n: int) -> Column:
@@ -87,16 +97,16 @@ def ngram_lm_train(
     df: DataFrame,
     target_filter: Column,
     text_col: str = "text",
-    id_col: str = "doc_id",
     persist: bool = True,
 ) -> NgramLM:
     """Count-table model from the target slice (one persisted token pass).
 
     ``persist=True`` caches the tokenized slice so the three gram
     aggregates and the totals read it once instead of re-scanning the
-    corpus per table (the ``ivf_train`` persisted-assignment precedent;
-    callers that keep models across batches should persist/write the
-    returned count tables themselves and let the base unpersist).
+    corpus per table (the ``ivf_train`` persisted-assignment precedent).
+    The handle rides along as ``NgramLM.base`` — call
+    ``model.unpersist()`` when done, or persist/write the count tables
+    themselves for cross-batch reuse and release the base immediately.
     """
     base = df.filter(target_filter).select(tokens(F.col(text_col)).alias("w"))
     if persist:
@@ -128,7 +138,9 @@ def ngram_lm_train(
         )
         .drop("__g")
     )
-    return NgramLM(uni=uni, bi=bi, tri=tri, stats=stats)
+    return NgramLM(
+        uni=uni, bi=bi, tri=tri, stats=stats, base=base if persist else None
+    )
 
 
 def lm_model_literals(model: NgramLM):

@@ -835,8 +835,14 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     while the operator itself still returns full-width codes."""
     t = load_tables(spark, sf_dir)
     q = S.quantize_int8(t["embeddings"])
-    sampled = F.transform(
+    # guard the empty-codes case: sequence(0, -1, 8) throws where the
+    # old posexplode simply emitted no rows for a zero-length vector
+    positions = F.when(
+        F.size("codes") > 0,
         F.sequence(F.lit(0), F.size("codes") - 1, F.lit(8)),
+    ).otherwise(F.array().cast("array<int>"))
+    sampled = F.transform(
+        positions,
         lambda i: F.struct(
             i.cast("int").alias("pos"),
             F.element_at("codes", i + 1).alias("code"),

@@ -248,7 +248,7 @@ def stream_lm_gate(
     tri: dict,
     n_tokens: int,
     vocab: int,
-    alpha: float = 0.4,
+    alpha: float | None = None,
     min_avg_lp_micros: int = -15_000_000,
     text_col: str = "text",
 ) -> DataFrame:
@@ -272,14 +272,23 @@ def stream_lm_gate(
     (``n_trigrams = 0``); the threshold compare is exact integer
     arithmetic (``lp_micros >= threshold * n_trigrams``), no division.
     Model-size bound: literal maps inline into the plan — snapshot-sized
-    models only; web-scale LMs belong on the batch join path.
+    models only; web-scale LMs belong on the batch join path. Each map
+    literal is bound to ONE helper column (``__uni_m``/``__bi_m``/
+    ``__tri_m``) and the per-position lookups reference the column, so
+    the inlined model appears once in the plan however many lookups use
+    it; ``alpha`` defaults to the batch scorer's published constant
+    (``lm.STUPID_BACKOFF_ALPHA``) so the twins cannot silently diverge.
     """
+    from modware_loader_spark.operators.lm import STUPID_BACKOFF_ALPHA
     from modware_loader_spark.operators.text import tokens
 
-    def lit_lookup(d: dict, key_col):
+    if alpha is None:
+        alpha = STUPID_BACKOFF_ALPHA
+
+    def lit_map(d: dict):
         if not d:
-            return F.lit(None).cast("long")
-        m = F.create_map(
+            return F.lit(None).cast("map<string,bigint>")
+        return F.create_map(
             *[
                 F.lit(v)
                 for k, c in sorted(
@@ -289,18 +298,17 @@ def stream_lm_gate(
                 for v in (k, int(c))
             ]
         )
-        return m[key_col].cast("long")
 
     w = tokens(F.col(text_col))
     n3 = F.greatest(F.size(w) - F.lit(2), F.lit(0)).cast("long")
 
     def lp_at(i):
         w1, w2, w3 = (F.element_at(w, i + j) for j in range(3))
-        c3 = lit_lookup(tri, F.concat_ws(" ", w1, w2, w3))
-        c2_ctx = lit_lookup(bi, F.concat_ws(" ", w1, w2))
-        c2 = lit_lookup(bi, F.concat_ws(" ", w2, w3))
-        c1_ctx = lit_lookup(uni, w2)
-        c1 = lit_lookup(uni, w3)
+        c3 = F.col("__tri_m")[F.concat_ws(" ", w1, w2, w3)].cast("long")
+        c2_ctx = F.col("__bi_m")[F.concat_ws(" ", w1, w2)].cast("long")
+        c2 = F.col("__bi_m")[F.concat_ws(" ", w2, w3)].cast("long")
+        c1_ctx = F.col("__uni_m")[w2].cast("long")
+        c1 = F.col("__uni_m")[w3].cast("long")
         s = (
             F.when(c3.isNotNull(), c3 / c2_ctx)
             .when(c2.isNotNull(), F.lit(alpha) * c2 / c1_ctx)
@@ -318,7 +326,14 @@ def stream_lm_gate(
     lp_sum = F.aggregate(
         positions, F.lit(0).cast("long"), lambda acc, i: acc + lp_at(i)
     )
-    out = docs.withColumn("n_trigrams", n3).withColumn("lp_micros", lp_sum)
+    out = (
+        docs.withColumn("__uni_m", lit_map(uni))
+        .withColumn("__bi_m", lit_map(bi))
+        .withColumn("__tri_m", lit_map(tri))
+        .withColumn("n_trigrams", n3)
+        .withColumn("lp_micros", lp_sum)
+        .drop("__uni_m", "__bi_m", "__tri_m")
+    )
     return out.filter(
         (F.col("n_trigrams") == 0)
         | (

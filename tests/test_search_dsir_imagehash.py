@@ -67,26 +67,52 @@ def test_bm25_matches_hand_computation(spark):
     )
 
 
-def _executed_parquet_scans(spark, before: set[int]) -> int:
-    """Total parquet-scan NODES across every SQL execution recorded
-    since ``before`` (ids from ``_execution_ids``). Each execution runs
-    each of its scan nodes once, so the sum is the number of times the
-    source files were actually read — the quantity the round-7
+def _executed_plans_since(spark, before: set[int]) -> list[str]:
+    """physicalPlanDescription of every SQL execution recorded since
+    ``before`` (ids from ``_execution_ids``). The eager search path runs
+    its retrieval at construction time, so the RETURNED frame's plan is
+    a k-row LocalRelation that every repo-wide plan guard sees as empty —
+    the real retrieval plans only exist here, in the status store."""
+    store = spark._jsparkSession.sharedState().statusStore()
+    lst = store.executionsList()
+    out = []
+    for i in range(lst.size()):
+        e = lst.apply(i)
+        if e.executionId() not in before:
+            out.append(e.physicalPlanDescription())
+    return out
+
+
+def _executed_parquet_scans(plans: list[str]) -> int:
+    """Total parquet-scan NODES across the executions. Each execution
+    runs each of its scan nodes once, so the sum is the number of times
+    the source files were actually read — the quantity the round-7
     ReusedExchange pin got wrong (it asserted a plan-string property on
     a tiny fixture; the shipped plans re-scanned the corpus 6x/16x)."""
     import re as _re
 
-    store = spark._jsparkSession.sharedState().statusStore()
-    lst = store.executionsList()
-    total = 0
-    for i in range(lst.size()):
-        e = lst.apply(i)
-        if e.executionId() in before:
-            continue
-        total += len(
-            _re.findall(r"\(\d+\) Scan parquet", e.physicalPlanDescription())
-        )
-    return total
+    return sum(
+        len(_re.findall(r"\(\d+\) Scan parquet", p)) for p in plans
+    )
+
+
+def _assert_retrieval_plan_shape(plans: list[str]) -> None:
+    """Structural guard over the construction-time retrieval plans: the
+    properties test_plan_quality asserts for lazy queries, applied to
+    the executions the eager path hides from it — no single-partition
+    exchange, no unpartitioned Window (the lit(0) folding), and the
+    corpus-wide ordering planned as TakeOrdered somewhere."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_plan_quality import _unpartitioned_windows
+
+    assert any("TakeOrderedAndProject" in p for p in plans)
+    for p in plans:
+        assert "Exchange SinglePartition" not in p, p[:2000]
+        assert "CartesianProduct" not in p, p[:2000]
+        bad = _unpartitioned_windows(p)
+        assert not bad, bad
 
 
 def _execution_ids(spark) -> set[int]:
@@ -107,7 +133,9 @@ def test_bm25_topk_executes_at_most_two_corpus_scans(spark, sf_dir):
     df = SE.bm25_topk(docs, ["spark", "join"], k=5)
     rows = df.collect()
     assert 0 < len(rows) <= 5
-    assert _executed_parquet_scans(spark, before) <= 2
+    plans = _executed_plans_since(spark, before)
+    assert _executed_parquet_scans(plans) <= 2
+    _assert_retrieval_plan_shape(plans)
     # the returned frame is a local k-row relation: rank join only
     plan = _formatted_plan(df)
     assert "Window" not in plan
@@ -129,7 +157,9 @@ def test_rrf_hybrid_executes_at_most_four_scans(spark, sf_dir):
     fused = SE.rrf_fuse(bm, ann, k=10)
     rows = fused.collect()
     assert 0 < len(rows) <= 10
-    assert _executed_parquet_scans(spark, before) <= 4
+    plans = _executed_plans_since(spark, before)
+    assert _executed_parquet_scans(plans) <= 4
+    _assert_retrieval_plan_shape(plans)
 
 
 def test_bm25_dedupes_terms_and_rejects_empty(spark):
@@ -388,7 +418,7 @@ def test_shot_boundaries_rejects_unpackable_ids(spark):
     """(media_id, frame_index) outside [0, 2^31) x [0, 2^32) must raise,
     not silently collide in the packed surrogate (round-7 advice)."""
     flat = IH.encode_ppm(IH.GRID_W, IH.GRID_H, bytes([50] * 216))
-    for mid, fi in ((-1, 0), (1 << 31, 0), (1, 1 << 32), (1, -1)):
+    for mid, fi in ((-1, 0), (1 << 31, 0), (1, 1 << 32), (1, -1), (None, 0)):
         frames = spark.createDataFrame(
             [(mid, fi, flat)], "media_id long, frame_index long, payload binary"
         )
