@@ -78,12 +78,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # filters; embed_quantize_int8 — verification rows now sample every
 # 8th position); (c) the two NEW round-8 queries (multimodal_audio_mfcc,
 # multimodal_shot_cuts — the audio/video legs' first driver rows); and
-# (d) the NEW round-8 LM-perplexity query (text_lm_perplexity), and
-# (e) 36 of the 42 r6-green names so freshness rolls forward. The tail
-# below = the 45 unchanged r7-green names + 6 stable r6-green names
-# (m12, m13, u2, t2_t3, e12, e13) that rotate back in r9 with the r7
-# cohort.
-# With 101 registered names the freshness window is now adaptive
+# (d) the NEW round-8 LM-perplexity and WARC-ingestion queries
+# (text_lm_perplexity, source_warc_html_text), and (e) 35 of the 42
+# r6-green names so freshness rolls forward. The tail below = the 45
+# unchanged r7-green names + 7 stable r6-green names (m12, m13, u2,
+# t2_t3, e12, e13, e1_e2) that rotate back in r9 with the r7 cohort.
+# With 102 registered names the freshness window is now adaptive
 # (ceil(N/50) recorded rounds — see test_driver_registry_contract):
 # 50 head slots re-verify the stalest cohort each round, which is the
 # maximum freshness any rotation policy can achieve at this size.
@@ -143,6 +143,7 @@ _DEPRIORITIZED = [
     "t2_t3_cutoff_and_regex_extract",
     "e12_sample_limit",
     "e13_skip_list_filter",
+    "e1_e2_filter_computed_column",
 ]
 
 

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "multimodal_audio_mfcc",
     "multimodal_shot_cuts",
     "text_lm_perplexity",
+    "source_warc_html_text",
 ]
 
 

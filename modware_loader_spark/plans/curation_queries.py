@@ -1489,3 +1489,55 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"]
     model = LM.ngram_lm_train(docs, F.col("lang") == "en")
     return LM.stupid_backoff_scores(docs, model)
+
+
+# Escape chain of html.escape(quote=True), restated for the oracle
+# (order matters: '&' first).
+_DDB_HTML_ESC = (
+    "replace(replace(replace(replace(replace(coalesce(text, ''),"
+    " '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),"
+    " '\"', '&quot;'), '''', '&#x27;')"
+)
+
+
+@query(
+    "source_warc_html_text",
+    f"""
+    SELECT doc_id,
+      'https://crawl.example.com/doc/' || doc_id AS url,
+      200 AS http_status,
+      strlen('<html><head><title>doc ' || doc_id
+        || '</title><style>p{{color:black}}</style></head><body><p>'
+        || {_DDB_HTML_ESC}
+        || '</p><script>var x=1;</script></body></html>')::BIGINT
+        AS content_length,
+      trim('doc ' || doc_id || ' ' || trim(coalesce(text, '')))
+        AS text_extracted
+    FROM documents
+    """,
+)
+def source_warc_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-ingestion front door, driver-verified: synthesize a REAL
+    per-document WARC/1.0 response record (named fields, embedded
+    HTTP/1.1 envelope, html-escaped body, one gzip member per record),
+    walk it back through the real record parser — gzip member split,
+    header parse, HTTP envelope strip — and extract visible text with
+    the stdlib HTML parser (script/style subtrees dropped, entities
+    unescaped, whitespace collapsed). The oracle restates the URI
+    arithmetic, the escaped-body byte length and the title+body text
+    round-trip in SQL (``sources/warc.py``). At scale the same parser
+    runs over ``binaryFile``-read ``.warc.gz`` files, one file per task
+    (gzip members are not splittable; files are the crawl's parallelism
+    unit).
+    """
+    from modware_loader_spark.sources import warc as W
+
+    t = load_tables(spark, sf_dir)
+    recs = W.extract_html_text(W.warc_records(W.synth_warc(t["documents"])))
+    return recs.select(
+        F.col("source").cast("long").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("http_status").cast("int").alias("http_status"),
+        F.col("content_length").cast("long").alias("content_length"),
+        F.col("text").alias("text_extracted"),
+    )

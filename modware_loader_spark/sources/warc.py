@@ -1,0 +1,313 @@
+"""WARC (Web ARChive, ISO 28500) ingestion + HTML text extraction.
+
+The front door of a crawl-derived training-data pipeline: CCNet / C4 /
+RefinedWeb / FineWeb all start from Common-Crawl-shaped WARC files —
+length-prefixed ``WARC/1.0`` records, in practice one gzip member per
+record so readers can skip without decompressing the world. This module
+provides the three pieces the curation stack upstreams from:
+
+- ``parse_warc_records``: split a bytes blob into WARC records (plain or
+  per-record-gzip), parse the WARC named headers and, for ``response``
+  records, the embedded HTTP status line + headers — pure Python over
+  ``zlib``, shipped by value into Arrow workers.
+- ``warc_records``: the Spark source — ``(source_file, record bytes)``
+  rows in, one row per record out ``(target_uri, warc_type, http_status,
+  content_length, body binary)`` via ``mapInPandas``; the body bytes
+  never shuffle (hash/extract/filter before anything wide).
+- ``html_to_text``: stdlib ``html.parser`` boilerplate-light text
+  extraction — drops ``script``/``style``/``noscript``, unescapes
+  entities, collapses whitespace runs — the C4-style "text from markup"
+  step (real pipelines layer readability heuristics on top; the parser
+  here is the honest stdlib core, not a regex strip).
+
+Scale shape: gzip is not splittable, so the parallelism unit is the
+FILE — exactly how production crawls are laid out (millions of ~1 GB
+``.warc.gz`` files): ``read_warc(spark, glob)`` uses the ``binaryFile``
+source (one file per task) and splits records inside the task; per-doc
+payload columns (the synthesis path the driver-verified query uses)
+parallelize per row like the other media synths.
+
+Reference scope: none (the reference ingests curated flat files, not
+crawls); extension scope mandated by the north-star baseline
+(training-data pipeline ingestion).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import io
+import zlib
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+CRLF = b"\r\n"
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType(), True),
+        T.StructField("record_no", T.IntegerType(), False),
+        T.StructField("target_uri", T.StringType(), True),
+        T.StructField("warc_type", T.StringType(), True),
+        T.StructField("http_status", T.IntegerType(), True),
+        T.StructField("content_length", T.LongType(), True),
+        T.StructField("body", T.BinaryType(), True),
+    ]
+)
+
+
+def _gunzip_members(buf: bytes) -> bytes:
+    """Decompress a concatenation of gzip members (the standard WARC
+    layout: one member per record); plain bytes pass through."""
+    if not buf.startswith(b"\x1f\x8b"):
+        return buf
+    out, pos = [], 0
+    while pos < len(buf):
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out.append(d.decompress(buf[pos:]))
+        consumed = len(buf) - pos - len(d.unused_data)
+        if consumed <= 0:  # trailing garbage — stop rather than spin
+            break
+        pos += consumed
+    return b"".join(out)
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    """Case-insensitive header dict from a CRLF header block (values of
+    repeated names: last wins — WARC named fields appear once)."""
+    out: dict[str, str] = {}
+    for line in block.split(CRLF):
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            out[k.strip().decode("latin-1").lower()] = v.strip().decode(
+                "latin-1", "replace"
+            )
+    return out
+
+
+def parse_warc_records(buf: bytes) -> list[dict]:
+    """All WARC records in ``buf`` (plain or gzip-membered), each as
+    ``{target_uri, warc_type, http_status, content_length, body}``.
+
+    ``body`` is the record payload with the embedded HTTP response
+    envelope stripped for ``response`` records (``http_status`` parsed
+    from its status line); other record types carry their raw payload
+    with ``http_status`` None. Malformed trailing bytes end the walk
+    instead of raising — a truncated tail record is the normal failure
+    mode of an interrupted crawl write.
+    """
+    data = _gunzip_members(bytes(buf))
+    records, pos = [], 0
+    while True:
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            break
+        hdr_end = data.find(CRLF + CRLF, start)
+        if hdr_end < 0:
+            break
+        headers = _parse_headers(data[start:hdr_end])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        body_start = hdr_end + 4
+        body = data[body_start : body_start + length]
+        if len(body) < length:
+            break  # truncated tail record
+        status = None
+        if headers.get("warc-type") == "response" and body.startswith(b"HTTP/"):
+            http_end = body.find(CRLF + CRLF)
+            if http_end >= 0:
+                status_line = body[: body.find(CRLF)].split(b" ")
+                if len(status_line) >= 2 and status_line[1].isdigit():
+                    status = int(status_line[1])
+                body = body[http_end + 4 :]
+        records.append(
+            {
+                "target_uri": headers.get("warc-target-uri"),
+                "warc_type": headers.get("warc-type"),
+                "http_status": status,
+                "content_length": len(body),
+                "body": body,
+            }
+        )
+        pos = body_start + length
+    return records
+
+
+class _TextExtractor(HTMLParser):
+    _SKIP = {"script", "style", "noscript", "template"}
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)  # entities -> text for us
+        self.parts: list[str] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in self._SKIP:
+            self._skip_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag in self._SKIP and self._skip_depth:
+            self._skip_depth -= 1
+
+    def handle_data(self, data):
+        if not self._skip_depth and data:
+            self.parts.append(data)
+
+
+def html_to_text(markup: str) -> str:
+    """Visible text of an HTML document: tags dropped, ``script``/
+    ``style`` subtrees skipped, entities unescaped, whitespace runs
+    collapsed to single spaces, trimmed. Text nodes join with a space —
+    a tag boundary is a word boundary (``<title>a</title><p>b`` must not
+    fuse to ``ab``); with ``convert_charrefs`` the parser flushes one
+    data node per inter-tag run, so entity-split words stay whole."""
+    p = _TextExtractor()
+    p.feed(markup)
+    p.close()
+    return " ".join(" ".join(p.parts).split())
+
+
+def warc_records(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Spark source: one row per WARC record found in each payload blob.
+
+    Input needs ``(media_id or source id col..., payload binary)``; the
+    first non-payload column is carried through as ``source`` (cast to
+    string). Splitting is per-row Python over Arrow batches — the blob
+    never shuffles; downstream extraction/filters run map-side.
+    """
+    carry = next(c for c in media.columns if c != payload_col)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {f.name: [] for f in WARC_SCHEMA.fields}
+            for src, payload in zip(pdf[carry], pdf[payload_col]):
+                recs = (
+                    parse_warc_records(bytes(payload))
+                    if payload is not None
+                    else []
+                )
+                for i, r in enumerate(recs):
+                    rows["source"].append(str(src))
+                    rows["record_no"].append(i)
+                    for k in (
+                        "target_uri",
+                        "warc_type",
+                        "http_status",
+                        "content_length",
+                        "body",
+                    ):
+                        rows[k].append(r[k])
+            yield pd.DataFrame(rows)
+
+    return media.select(carry, payload_col).mapInPandas(
+        batches, schema=WARC_SCHEMA
+    )
+
+
+def extract_html_text(records: DataFrame) -> DataFrame:
+    """``warc_records`` output + a ``text`` column: utf-8 decode of the
+    body run through ``html_to_text``. One Arrow map stage — the body
+    bytes are consumed here and do not survive into the (narrow) output,
+    so nothing binary ever shuffles."""
+    schema = T.StructType(
+        [f for f in WARC_SCHEMA.fields if f.name != "body"]
+        + [T.StructField("text", T.StringType(), True)]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.drop(columns=["body"]).copy()
+            out["text"] = [
+                html_to_text(bytes(b).decode("utf-8", "replace"))
+                if b is not None
+                else None
+                for b in pdf["body"]
+            ]
+            yield out
+
+    return records.mapInPandas(batches, schema=schema)
+
+
+def read_warc(spark, path_glob: str) -> DataFrame:
+    """File-level WARC reader: ``binaryFile`` source (one file per task —
+    gzip members are not splittable, files are the crawl's parallelism
+    unit) piped through ``warc_records``; ``source`` is the file path."""
+    files = spark.read.format("binaryFile").load(path_glob).select(
+        "path", "content"
+    )
+    return warc_records(
+        files.withColumnRenamed("content", "payload"), payload_col="payload"
+    )
+
+
+def synth_warc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gzip_records: bool = True,
+) -> DataFrame:
+    """Deterministic per-row WARC response record (REAL bytes: WARC/1.0
+    named fields, embedded HTTP/1.1 envelope, html-escaped body, one
+    gzip member per record by default) — the synthesis analog of
+    ``synth_gray_ppm``/``synth_wav_tones``, so the driver-verified query
+    exercises the true record walk + gzip + HTML extraction while an
+    external SQL engine can restate the construction (URI arithmetic,
+    escaped body length) without a WARC stack."""
+    import gzip as _gzip
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for mid, text in zip(pdf[id_col].astype("int64"), pdf[text_col]):
+                mid = int(mid)
+                body_html = (
+                    "<html><head><title>doc "
+                    + str(mid)
+                    + '</title><style>p{color:black}</style></head><body><p>'
+                    + _html.escape(text or "")
+                    + "</p><script>var x=1;</script></body></html>"
+                ).encode("utf-8")
+                http = (
+                    b"HTTP/1.1 200 OK" + CRLF
+                    + b"Content-Type: text/html" + CRLF
+                    + b"Content-Length: " + str(len(body_html)).encode() + CRLF
+                    + CRLF + body_html
+                )
+                uri = f"https://crawl.example.com/doc/{mid}"
+                rec = (
+                    b"WARC/1.0" + CRLF
+                    + b"WARC-Type: response" + CRLF
+                    + ("WARC-Target-URI: " + uri).encode() + CRLF
+                    + b"WARC-Record-ID: <urn:uuid:" + str(mid).encode() + b">" + CRLF
+                    + b"Content-Type: application/http;msgtype=response" + CRLF
+                    + b"Content-Length: " + str(len(http)).encode() + CRLF
+                    + CRLF + http + CRLF + CRLF
+                )
+                if gzip_records:
+                    buf = io.BytesIO()
+                    # fixed mtime: byte-deterministic output
+                    with _gzip.GzipFile(
+                        fileobj=buf, mode="wb", mtime=0
+                    ) as gz:
+                        gz.write(rec)
+                    rec = buf.getvalue()
+                ids.append(mid)
+                payloads.append(rec)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    from modware_loader_spark.operators.ivf import ensure_min_partitions
+
+    return ensure_min_partitions(df.select(id_col, text_col)).mapInPandas(
+        batches,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), True),
+            ]
+        ),
+    )
