@@ -155,9 +155,14 @@ def lm_model_literals(model: NgramLM):
         (r["w1"], r["w2"], r["w3"]): r["c3"] for r in model.tri.collect()
     }
     strow = model.stats.collect()
-    n_tokens = strow[0]["n_tokens"] if strow else 0
-    vocab = strow[0]["vocab"] if strow else 0
-    return uni, bi, tri, int(n_tokens or 0), int(vocab or 0)
+    n_tokens = int((strow[0]["n_tokens"] if strow else 0) or 0)
+    vocab = int((strow[0]["vocab"] if strow else 0) or 0)
+    if n_tokens + vocab == 0:
+        raise ValueError(
+            "empty LM model (n_tokens + vocab == 0): the unigram floor "
+            "(c1+1)/(N+V) would divide by zero; train on a non-empty slice"
+        )
+    return uni, bi, tri, n_tokens, vocab
 
 
 def stupid_backoff_scores(

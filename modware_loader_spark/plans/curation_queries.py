@@ -1487,7 +1487,11 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    model = LM.ngram_lm_train(docs, F.col("lang") == "en")
+    # persist=False: the registered query returns a lazy DataFrame and
+    # could never unpersist the tokenized base, so repeated driver/bench
+    # invocations would pin one cached slice per call for the session;
+    # re-scanning the sf-sized en-slice per count table is cheaper.
+    model = LM.ngram_lm_train(docs, F.col("lang") == "en", persist=False)
     return LM.stupid_backoff_scores(docs, model)
 
 
@@ -1511,7 +1515,8 @@ _DDB_HTML_ESC = (
         || {_DDB_HTML_ESC}
         || '</p><script>var x=1;</script></body></html>')::BIGINT
         AS content_length,
-      trim('doc ' || doc_id || ' ' || trim(coalesce(text, '')))
+      trim('doc ' || doc_id || ' '
+        || trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))
         AS text_extracted
     FROM documents
     """,

@@ -180,7 +180,13 @@ def warc_records(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     string). Splitting is per-row Python over Arrow batches — the blob
     never shuffles; downstream extraction/filters run map-side.
     """
-    carry = next(c for c in media.columns if c != payload_col)
+    carry = next((c for c in media.columns if c != payload_col), None)
+    if carry is None:
+        raise ValueError(
+            f"warc_records expects an (id, {payload_col!r}) shaped input: "
+            f"need at least one non-payload column to carry through as "
+            f"'source', got columns {media.columns!r}"
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

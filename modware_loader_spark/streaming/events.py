@@ -284,6 +284,12 @@ def stream_lm_gate(
 
     if alpha is None:
         alpha = STUPID_BACKOFF_ALPHA
+    if n_tokens + vocab == 0:
+        raise ValueError(
+            "empty LM model (n_tokens + vocab == 0): the unigram floor "
+            "(c1+1)/(N+V) would divide by zero and emit Inf/NaN scores; "
+            "the batch twin yields zero stats rows on this input instead"
+        )
 
     def lit_map(d: dict):
         if not d:

@@ -77,3 +77,26 @@ def test_short_docs_and_partitioning_invariance(spark, sf_dir):
     two = sorted(map(tuple,
         LM.stupid_backoff_scores(docs.repartition(13), model).collect()))
     assert one == two
+
+
+def test_empty_model_literals_raise(spark):
+    """lm_model_literals must refuse an empty model: the streaming twin's
+    unigram floor (c1+1)/(N+V) would divide by zero and emit Inf/NaN
+    log-scores silently cast to long, breaking the bit-identical-twins
+    contract (the batch scorer yields zero stats rows instead)."""
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b c", 0)], ["doc_id", "text", "is_en"])
+    m = LM.ngram_lm_train(docs, F.col("is_en") == 1, persist=False)
+    with pytest.raises(ValueError, match="n_tokens \\+ vocab == 0"):
+        LM.lm_model_literals(m)
+
+
+def test_stream_lm_gate_rejects_empty_model(spark):
+    import pytest
+
+    from modware_loader_spark.streaming.events import stream_lm_gate
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="n_tokens \\+ vocab == 0"):
+        stream_lm_gate(docs, {}, {}, {}, n_tokens=0, vocab=0)

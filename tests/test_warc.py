@@ -96,3 +96,14 @@ def test_read_warc_file_level(spark, tmp_path):
     assert sorted(r["text"] for r in out) == ["doc 0", "doc 1", "doc 2"]
     assert all(r["http_status"] == 404 for r in out)
     assert all(r["source"].endswith("crawl-0.warc.gz") for r in out)
+
+
+def test_warc_records_requires_carry_column(spark):
+    """A payload-only input has no id column to carry through as
+    ``source`` — fail loudly with the expected shape, not a bare
+    StopIteration from the column scan."""
+    import pytest
+
+    df = spark.createDataFrame([(b"x",)], "payload binary")
+    with pytest.raises(ValueError, match="non-payload column"):
+        W.warc_records(df)
