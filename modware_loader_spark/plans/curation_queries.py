@@ -1546,3 +1546,209 @@ def source_warc_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("content_length").cast("long").alias("content_length"),
         F.col("text").alias("text_extracted"),
     )
+
+
+# Spark-side twin of html.escape(quote=True) ('&' first, like the
+# oracle's _DDB_HTML_ESC chain above).
+def _spark_html_escape(col):
+    out = col
+    for a, b in (
+        ("&", "&amp;"),
+        ("<", "&lt;"),
+        (">", "&gt;"),
+        ('"', "&quot;"),
+        ("'", "&#x27;"),
+    ):
+        out = F.replace(out, F.lit(a), F.lit(b))
+    return out
+
+
+@query(
+    "text_main_content",
+    """
+    WITH d AS (SELECT doc_id,
+                 trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS t
+               FROM documents),
+    w AS (SELECT doc_id,
+            CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                 ELSE string_split(t, ' ') END AS ws
+          FROM d),
+    c AS (SELECT doc_id, len(ws) AS n,
+                 CAST(ceil(len(ws) / 2.0) AS BIGINT) AS h, ws
+          FROM w)
+    SELECT doc_id,
+      (4 + CASE WHEN h >= 1 THEN 1 ELSE 0 END
+         + CASE WHEN n - h >= 1 THEN 1 ELSE 0 END)::BIGINT AS n_blocks,
+      (CASE WHEN h >= 10 THEN 1 ELSE 0 END)::BIGINT AS n_content_blocks,
+      CASE WHEN h >= 10 THEN array_to_string(ws[1:h], ' ') ELSE '' END
+        AS main_text,
+      (CASE WHEN h >= 10 THEN h ELSE 0 END)::BIGINT AS main_words
+    FROM c
+    """,
+)
+def text_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction (boilerplate removal), driver-verified:
+    synthesize a boilerplate-framed page per document ENTIRELY in JVM
+    expressions — title, link-only nav, short h1, a plain content
+    paragraph holding the first ceil(n/2) words of the text, a second
+    paragraph holding the remaining words each wrapped in an anchor,
+    and a linky footer — then run the jusText/Boilerpipe densitometric
+    block classifier (``sources/warc.py``: segment at block tags, keep
+    blocks with >= 10 words AND link density <= 1/3, exact integer
+    compare ``3 * linked <= words``). The all-linked second paragraph
+    is data-sized, so the oracle's 'main_text = first half only when
+    its word count clears the threshold' genuinely gates BOTH rules:
+    keeping p2 (link density) or short p1 (word count) hash-mismatches.
+    Row-local end to end — zero shuffle at any corpus size; the plain
+    ``html_to_text`` used by ``source_warc_html_text`` keeps this
+    nav/footer noise (C4/RefinedWeb treat its removal as load-bearing).
+    """
+    from modware_loader_spark.sources import warc as W
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), "\\s+", " ")).alias("t"),
+    )
+    ws = F.when(F.col("t") == "", F.array().cast("array<string>")).otherwise(
+        F.split(_spark_html_escape(F.col("t")), " ")
+    )
+    d = d.withColumn("ws", ws).withColumn("n", F.size("ws")).withColumn(
+        "h", F.ceil(F.col("n") / F.lit(2.0)).cast("int")
+    )
+    sid = F.col("doc_id").cast("string")
+    p1 = F.array_join(F.slice("ws", F.lit(1), F.col("h")), " ")
+    p2 = F.array_join(
+        F.transform(
+            F.slice("ws", F.col("h") + F.lit(1), F.col("n") - F.col("h")),
+            lambda w: F.concat(F.lit('<a href="#">'), w, F.lit("</a>")),
+        ),
+        " ",
+    )
+    html = F.concat(
+        F.lit("<html><head><title>doc "), sid, F.lit("</title></head><body>"),
+        F.lit('<nav><a href="/">Home</a> <a href="/a">About</a>'
+              ' <a href="/c">Contact</a></nav>'),
+        F.lit("<h1>doc "), sid, F.lit(" heading</h1>"),
+        F.lit("<p>"), p1, F.lit("</p>"),
+        F.lit("<p>"), p2, F.lit("</p>"),
+        F.lit('<footer>© 2026 crawl.example.com <a href="/t">Terms</a></footer>'),
+        F.lit("</body></html>"),
+    )
+    out = W.extract_main_content(
+        d.select("doc_id", html.alias("html")), "html", min_words=10
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("n_content_blocks").cast("long").alias("n_content_blocks"),
+        "main_text",
+        F.col("main_words").cast("long").alias("main_words"),
+    )
+
+
+@query(
+    "dedup_substring_rewrite",
+    """
+    WITH d AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                 ELSE string_split(trim(text), ' ') END AS ws FROM documents),
+    g AS (SELECT doc_id, i - 1 AS pos,
+            cast('0x' || substring(md5(array_to_string(ws[i:i+4], ' ')), 1, 15)
+                 AS BIGINT) AS wh
+          FROM d, LATERAL (SELECT unnest(generate_series(1, len(ws) - 4)) AS i)
+          WHERE len(ws) >= 5),
+    f AS (SELECT wh FROM g GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+    r AS (SELECT g.doc_id, g.pos,
+            row_number() OVER (PARTITION BY g.wh ORDER BY g.doc_id, g.pos) AS rn
+          FROM g JOIN f USING (wh)),
+    marks AS (SELECT doc_id, pos FROM r WHERE rn > 1),
+    cov AS (SELECT DISTINCT doc_id, pos + j AS idx
+            FROM marks, LATERAL (SELECT unnest(generate_series(0, 4)) AS j)),
+    tok AS (SELECT doc_id, i - 1 AS idx, ws[i] AS tokw
+            FROM d, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)),
+    kept AS (SELECT t.doc_id, t.idx, t.tokw FROM tok t
+             LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.idx = c.idx
+             WHERE c.doc_id IS NULL),
+    agg AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+                   string_agg(tokw, ' ' ORDER BY idx) AS text_dedup
+            FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, len(d.ws)::BIGINT AS n_tokens,
+           (len(d.ws) - coalesce(agg.n_kept, 0))::BIGINT AS n_removed,
+           coalesce(agg.text_dedup, '') AS text_dedup
+    FROM d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup REMOVAL over rolling 5-token windows
+    (stride 1; real pipelines use ~50 — the synthetic 31-word
+    vocabulary needs a short window to contain repeats, matching
+    ``dedup_substring_windows``): the first occurrence of each
+    cross-document duplicated window (min ``(doc_id, pos)``) survives,
+    every later occurrence's span is excised, overlapping spans merge,
+    and the remaining tokens reassemble into ``text_dedup``
+    (``dedup.substring_dedup_rewrite``; Lee et al. 2022). The oracle
+    restates winner selection (row_number over the window hash),
+    span coverage (pos + 0..4 index expansion) and reassembly
+    (ordered string_agg over uncovered token indexes) relationally."""
+    from modware_loader_spark.operators import dedup as D
+
+    t = load_tables(spark, sf_dir)
+    return D.substring_dedup_rewrite(t["documents"], window_tokens=5)
+
+
+@query(
+    "source_warc_files",
+    f"""
+    SELECT doc_id,
+      'https://crawl.example.com/doc/' || doc_id AS url,
+      200 AS http_status,
+      strlen('<html><head><title>doc ' || doc_id
+        || '</title><style>p{{color:black}}</style></head><body><p>'
+        || {_DDB_HTML_ESC}
+        || '</p><script>var x=1;</script></body></html>')::BIGINT
+        AS content_length,
+      trim('doc ' || doc_id || ' '
+        || trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))
+        AS text_extracted
+    FROM documents
+    WHERE doc_id % 11 = 0
+    """,
+)
+def source_warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FILE leg of the crawl front door: same record synthesis and
+    oracle arithmetic as ``source_warc_html_text``, but the records are
+    written out as real multi-record ``.warc.gz`` FILES (16 records =
+    16 concatenated gzip members per file — the standard crawl layout)
+    and read back through ``read_warc``'s ``binaryFile`` path, so the
+    driver gate exercises one-file-per-task parallelism, the gzip
+    member walk across record boundaries, and URI-based id recovery.
+    The driver-side collect is the TEST HARNESS writing fixture files
+    (bounded: a 1-in-11 document slice), not part of the operator — at
+    production scale the ``.warc.gz`` files already exist on object
+    storage and ``read_warc`` starts from the glob."""
+    import os
+    import tempfile
+
+    from modware_loader_spark.sources import warc as W
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") % 11 == 0)
+    payloads = sorted(
+        (int(r["media_id"]), bytes(r["payload"]))
+        for r in W.synth_warc(docs).collect()
+    )
+    d = tempfile.mkdtemp(prefix="mls_warc_")
+    for fno, i in enumerate(range(0, len(payloads), 16)):
+        chunk = payloads[i : i + 16]
+        with open(os.path.join(d, f"part-{fno:05d}.warc.gz"), "wb") as fh:
+            fh.write(b"".join(p for _, p in chunk))
+    recs = W.extract_html_text(W.read_warc(spark, os.path.join(d, "*.warc.gz")))
+    return recs.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("http_status").cast("int").alias("http_status"),
+        F.col("content_length").cast("long").alias("content_length"),
+        F.col("text").alias("text_extracted"),
+    )

@@ -107,3 +107,76 @@ def test_warc_records_requires_carry_column(spark):
     df = spark.createDataFrame([(b"x",)], "payload binary")
     with pytest.raises(ValueError, match="non-payload column"):
         W.warc_records(df)
+
+
+# --- main-content extraction (round 9) -------------------------------
+
+NAV = '<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>'
+FOOTER = '<footer>© 2026 example.com <a href="/t">Terms</a> <a href="/p">Privacy</a></footer>'
+LONG = " ".join(f"w{i}" for i in range(12))
+
+
+def test_main_content_keeps_long_plain_block_drops_nav_footer():
+    html = f"<html><body>{NAV}<p>{LONG}</p>{FOOTER}</body></html>"
+    got = W.main_content(html)
+    assert got == {
+        "n_blocks": 3,
+        "n_content_blocks": 1,
+        "main_text": LONG,
+        "main_words": 12,
+    }
+
+
+def test_main_content_link_density_kills_long_linky_block():
+    """A block can be long AND boilerplate: > 1/3 of its words linked
+    ('related articles' lists) — the word-count rule alone would keep it."""
+    linky = " ".join(f'<a href="#">w{i}</a>' for i in range(8)) + " x y z w"
+    html = f"<body><p>{linky}</p><p>{LONG}</p></body>"
+    got = W.main_content(html)
+    assert got["n_content_blocks"] == 1 and got["main_text"] == LONG
+    # exactly at the threshold: 4 linked of 12 -> 3*4 <= 12 keeps it
+    edge = " ".join(f'<a href="#">w{i}</a>' for i in range(4)) + " " + " ".join(
+        f"p{i}" for i in range(8)
+    )
+    got2 = W.main_content(f"<body><p>{edge}</p></body>")
+    assert got2["n_content_blocks"] == 1 and got2["main_words"] == 12
+
+
+def test_main_content_short_blocks_are_boilerplate():
+    html = "<body><h1>short heading here</h1><p>nine words is not quite enough for the gate</p></body>"
+    # p has 9 words -> below min_words=10
+    got = W.main_content(html)
+    assert got == {
+        "n_blocks": 2,
+        "n_content_blocks": 0,
+        "main_text": "",
+        "main_words": 0,
+    }
+    assert W.main_content(html, min_words=9)["n_content_blocks"] == 1
+
+
+def test_main_content_multiple_content_blocks_join_in_order():
+    a = " ".join(f"a{i}" for i in range(10))
+    b = " ".join(f"b{i}" for i in range(10))
+    html = f"<body><p>{a}</p>{NAV}<p>{b}</p></body>"
+    got = W.main_content(html)
+    assert got["main_text"] == a + " " + b and got["n_content_blocks"] == 2
+
+
+def test_html_blocks_inline_tags_do_not_flush_and_script_skipped():
+    html = "<p>one <b>two</b> three<script>var x='junk junk';</script> four</p>"
+    blocks = W.html_blocks(html)
+    assert len(blocks) == 1
+    assert blocks[0]["text"] == "one two three four"
+    assert blocks[0]["n_linked_words"] == 0
+
+
+def test_extract_main_content_dataframe(spark):
+    df = spark.createDataFrame(
+        [(1, f"<body>{NAV}<p>{LONG}</p></body>"), (2, "<body><p>hi</p></body>"), (3, None)],
+        ["doc_id", "html"],
+    )
+    rows = {r["doc_id"]: r for r in W.extract_main_content(df).collect()}
+    assert rows[1]["main_text"] == LONG and rows[1]["n_blocks"] == 2
+    assert rows[2] ["main_text"] == "" and rows[2]["n_content_blocks"] == 0
+    assert rows[3]["n_blocks"] == 0 and rows[3]["main_text"] == ""
