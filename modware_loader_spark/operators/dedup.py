@@ -523,3 +523,113 @@ def substring_window_stats(
             .alias("dup_fraction"),
         )
     )
+
+
+def substring_dedup_rewrite(
+    df: DataFrame,
+    window_tokens: int = 50,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring dedup REMOVAL (Lee et al. 2022: the measured LM
+    quality gain comes from excising the duplicated spans, not from the
+    per-document score ``substring_window_stats`` emits): every rolling
+    ``window_tokens``-token window whose hash appears in >=
+    ``min_docs`` distinct documents is duplicated text; the FIRST
+    occurrence (lexicographic min ``(doc_id, position)`` — a plain
+    ``groupBy`` ``min(struct)``) is kept, every other occurrence marks
+    its token span for excision; per document the marked spans are
+    merged (overlaps collapse) and the surviving tokens reassembled.
+
+    Returns ``(id, n_tokens, n_removed, text_dedup)``.
+
+    Scale shape — same no-pair-materialization property as the stats
+    op: the winner per window hash is a uniform-hash ``groupBy min``,
+    the excision marks come back via one equi-join on the hash, and
+    span merging + token filtering are row-local expressions over the
+    per-document sorted start list (bounded by document length), so
+    cluster skew can never make this quadratic in corpus size. The
+    merge keeps the filter linear-ish per document: a fully-duplicated
+    document collapses to ONE interval, not n_windows overlapping ones.
+    """
+    W = window_tokens
+    t_norm = F.trim(F.col(text_col))
+    toks = df.select(
+        F.col(id_col),
+        F.when(t_norm == "", F.array().cast("array<string>"))
+        .otherwise(F.split(t_norm, " "))
+        .alias("__w"),
+    )
+    wins = toks.select(
+        id_col,
+        F.posexplode(shingles(F.col("__w"), W)).alias("pos", "__win"),
+    ).select(
+        id_col,
+        "pos",
+        F.conv(F.substring(F.md5("__win"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("wh"),
+    )
+    dup = (
+        wins.groupBy("wh")
+        .agg(
+            F.countDistinct(id_col).alias("__dd"),
+            F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+                "__first"
+            ),
+        )
+        .filter(F.col("__dd") >= min_docs)
+        .select("wh", "__first")
+    )
+    marks = (
+        wins.join(dup, "wh")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("__first.d"))
+                & (F.col("pos") == F.col("__first.p"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    spans = marks.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("pos")).alias("__starts")
+    )
+
+    # merge sorted starts into disjoint [s, e) intervals, then keep the
+    # tokens no interval covers — both row-local folds.
+    def merge_step(acc, s):
+        last = F.element_at(acc, -1)
+        iv = F.struct(s.alias("s"), (s + F.lit(W)).alias("e"))
+        extended = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(
+                F.struct(
+                    last["s"].alias("s"),
+                    F.greatest(last["e"], s + F.lit(W)).alias("e"),
+                )
+            ),
+        )
+        return (
+            F.when(F.size(acc) == 0, F.array(iv))
+            .when(last["e"] >= s, extended)
+            .otherwise(F.concat(acc, F.array(iv)))
+        )
+
+    empty_iv = F.array().cast("array<struct<s:int,e:int>>")
+    merged = F.aggregate(
+        F.coalesce("__starts", F.array().cast("array<int>")), empty_iv, merge_step
+    )
+    out = toks.join(spans, id_col, "left").withColumn("__iv", merged)
+    kept = F.filter(
+        "__w",
+        lambda x, i: ~F.exists(
+            F.col("__iv"), lambda m: (m["s"] <= i) & (i < m["e"])
+        ),
+    )
+    return out.select(
+        F.col(id_col),
+        F.size("__w").cast("long").alias("n_tokens"),
+        (F.size("__w") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("text_dedup"),
+    )

@@ -130,3 +130,61 @@ def test_hamming_topk_matches_model(spark, vecs):
         for r in hamming_topk(df, df, k=2, dim=8).collect()
     )
     assert got == sorted(model)
+
+
+# --- substring dedup rewrite vs naive model (round 9) -----------------
+
+def _substring_rewrite_model(docs, W, min_docs):
+    """Naive model: enumerate every window occurrence, find duplicated
+    window strings (>= min_docs distinct docs), keep the (min doc, min
+    pos) occurrence, mark every other occurrence's span, excise."""
+    occ = {}
+    toks = [d.split(" ") if d.strip() else [] for d in docs]
+    for i, ws in enumerate(toks):
+        for p in range(len(ws) - W + 1):
+            occ.setdefault(" ".join(ws[p : p + W]), []).append((i, p))
+    covered = [set() for _ in docs]
+    for places in occ.values():
+        if len({i for i, _ in places}) < min_docs:
+            continue
+        for i, p in sorted(places)[1:]:
+            covered[i].update(range(p, p + W))
+    out = []
+    for i, ws in enumerate(toks):
+        kept = [w for j, w in enumerate(ws) if j not in covered[i]]
+        out.append((i, len(ws), len(ws) - len(kept), " ".join(kept)))
+    return sorted(out)
+
+
+# short docs over a 2-word vocabulary with W=2..3 → dense window
+# collisions, within-doc repeats, fully-duplicated docs, empty docs
+sub_docs_strategy = st.lists(
+    st.lists(st.sampled_from(["aa", "bb"]), min_size=0, max_size=8).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=sub_docs_strategy, w=st.sampled_from([2, 3]),
+       min_docs=st.sampled_from([2, 3]))
+def test_substring_rewrite_matches_model(spark, docs, w, min_docs):
+    from modware_loader_spark.operators.dedup import substring_dedup_rewrite
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = sorted(
+        map(
+            tuple,
+            substring_dedup_rewrite(
+                df, window_tokens=w, min_docs=min_docs
+            ).collect(),
+        )
+    )
+    assert got == _substring_rewrite_model(docs, w, min_docs)
