@@ -56,3 +56,96 @@ def test_jdbc_round_trip_embedded_derby(spark, tmp_path):
         url, properties=props,
     )
     assert cat.load_jdbc(["dbxref"], url, properties=props)["dbxref"].count() == 3
+
+
+# --- end-to-end load pipelines with the JDBC mirror as the LIVE side
+# (round 9): the merge core had only ever diffed against parquet-backed
+# tables; here staging DataFrames diff against Derby-RESIDENT tables,
+# merge results write back over JDBC in FK-parent-first order, and the
+# reference goldens are asserted from a fresh JDBC read.
+
+GFF3_DIR = "/root/reference/t/test_data/gff3"
+OBO_DIR = "/root/reference/t/test_data/obo"
+
+
+def _derby(spark, tmp_path, name):
+    if not _derby_available(spark):
+        pytest.skip("embedded Derby driver not on the JVM classpath")
+    spark._jvm.java.lang.System.setProperty("derby.system.home", str(tmp_path))
+    return (
+        f"jdbc:derby:{tmp_path}/{name};create=true",
+        {"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+    )
+
+
+def test_gff3tochado_end_to_end_over_jdbc(spark, tmp_path):
+    import os
+
+    if not os.path.isdir(GFF3_DIR):
+        pytest.skip("reference fixtures not available")
+    from modware_loader_spark.catalog import (
+        restore_loader_state_jdbc,
+        save_loader_state_jdbc,
+    )
+    from modware_loader_spark.plans.gff3_load import ChadoGFF3Loader
+
+    url, props = _derby(spark, tmp_path, "gff3db")
+    l1 = ChadoGFF3Loader(spark)
+    restore_loader_state_jdbc(l1, url, props)  # empty db -> no-op
+    c1 = l1.load_file(os.path.join(GFF3_DIR, "test1.gff3"))
+    assert (c1["new_feature"], c1["new_featureloc"]) == (53, 51)
+    save_loader_state_jdbc(l1, url, props)
+
+    # fresh process analog: a NEW loader whose live side is Derby rows
+    l2 = ChadoGFF3Loader(spark)
+    restore_loader_state_jdbc(l2, url, props)
+    assert l2._auto_counter == l1._auto_counter  # sequence resumes
+    c2 = l2.load_file(os.path.join(GFF3_DIR, "test2.gff3"))
+    # t/loader/gff3tochado-update.t golden update counts
+    assert (
+        c2["new_feature"],
+        c2["new_featureloc"],
+        c2["new_feature_relationship"],
+        c2["new_featureprop"],
+    ) == (21, 21, 19, 10)
+    save_loader_state_jdbc(l2, url, props)
+
+    # assert the FINAL state from a fresh JDBC read, not loader memory
+    feat = spark.read.jdbc(url, "feature", properties=props)
+    assert feat.count() == 74
+    assert feat.select("uniquename").distinct().count() == 74
+    # featureloc holds the located rows plus test1's 2 target (rank-1)
+    # rows: 51 + 2 + 21
+    assert spark.read.jdbc(url, "featureloc", properties=props).count() == 74
+    assert (
+        spark.read.jdbc(url, "feature_relationship", properties=props).count()
+        == 58
+    )
+
+
+def test_obo2chado_end_to_end_over_jdbc(spark, tmp_path):
+    import os
+
+    if not os.path.isdir(OBO_DIR):
+        pytest.skip("reference fixtures not available")
+    from modware_loader_spark.catalog import (
+        restore_loader_state_jdbc,
+        save_loader_state_jdbc,
+    )
+    from modware_loader_spark.plans.ontology_load import ChadoOntologyLoader
+
+    url, props = _derby(spark, tmp_path, "obodb")
+    l1 = ChadoOntologyLoader(spark)
+    restore_loader_state_jdbc(l1, url, props)
+    l1.load_file(os.path.join(OBO_DIR, "eco.obo"))
+    save_loader_state_jdbc(l1, url, props)
+
+    # golden: 294 eco cvterms resident in Derby (t/loader/obo2chado.t)
+    l2 = ChadoOntologyLoader(spark)
+    restore_loader_state_jdbc(l2, url, props)
+    assert l2.cvterm_count("eco") == 294
+    assert l2.cvterm_count("eco", obsolete=1) == 3
+    # the version gate survives the JDBC round trip: same-date reload
+    # is refused off the restored metadata, not in-memory state
+    with pytest.raises(ValueError, match="not newer"):
+        l2.load_file(os.path.join(OBO_DIR, "eco.obo"))
