@@ -100,6 +100,10 @@ BENCH_QUERIES = [
     "multimodal_shot_cuts",
     "text_lm_perplexity",
     "source_warc_html_text",
+    # round-9 additions
+    "text_main_content",
+    "dedup_substring_rewrite",
+    "source_warc_files",
 ]
 
 
@@ -129,6 +133,21 @@ def main() -> None:
         ).mapInPandas(lambda it: it, schema="id long").count()
     except Exception as exc:
         print(f"python warmup failed: {exc}", file=sys.stderr)
+    # Host-contention self-diagnosis (the r7/r8 driver captures both
+    # needed manual adjudication of load spikes on byte-unchanged code):
+    # snapshot the 1/5/15-min load average around each pass so the
+    # artifact itself says "contended", and take the warm timing as the
+    # min of two samples — the second warm run is nearly free and a
+    # min-of-2 is robust to a single cross-process stall.
+    loadavg: dict[str, tuple[float, float, float]] = {}
+
+    def _load(tag: str) -> None:
+        try:
+            loadavg[tag] = tuple(round(x, 2) for x in os.getloadavg())
+        except OSError:
+            pass
+
+    _load("start")
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
@@ -142,23 +161,34 @@ def main() -> None:
         # queries in one JVM turns the tail of the run into a GC benchmark.
         for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
             rdd.unpersist()
+    _load("after_cold")
     # Warm pass: same queries on the now-JIT/codegen-warmed session. The
     # cold pass above bills each plan's one-time whole-stage-codegen
     # compile (~1s/query — fixed cost, independent of data size); the warm
     # numbers are the amortized per-run cost that scales with data, i.e.
     # what a 100 TB run's throughput extrapolates from. Both are reported.
     warm: dict[str, float] = {}
+    warm_samples: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         if name in errors:
             continue
-        t0 = time.perf_counter()
-        try:
-            qs[name](spark, SF_DIR).count()
-            warm[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # a cold-pass success that fails warm is a bug
-            errors[f"{name}__warm"] = f"{type(exc).__name__}: {exc}"[:300]
-        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-            rdd.unpersist()
+        samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                qs[name](spark, SF_DIR).count()
+                samples.append(round(time.perf_counter() - t0, 3))
+            except Exception as exc:  # cold-pass success failing warm is a bug
+                errors[f"{name}__warm"] = f"{type(exc).__name__}: {exc}"[:300]
+                break
+            for rdd in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                rdd.unpersist()
+        if samples:
+            warm_samples[name] = samples
+            warm[name] = min(samples)
+    _load("after_warm")
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -177,6 +207,10 @@ def main() -> None:
         "value_warm": round(sum(warm.values()), 3),
         "sf": sf_val,
     }
+    if "start" in loadavg and "after_warm" in loadavg:
+        # 1-min load at the bench's bookends — a start value far above
+        # the bench's own footprint flags a contended capture up front.
+        out["load1"] = [loadavg["start"][0], loadavg["after_warm"][0]]
     if errors:
         out["errors"] = {k: v[:80] for k, v in errors.items()}
     # Keep the line safely inside the driver's ~2 KB capture as the set
@@ -192,6 +226,8 @@ def main() -> None:
         **out,
         "queries": timings,
         "queries_warm": warm,
+        "queries_warm_samples": warm_samples,
+        "loadavg": loadavg,
         "errors": errors,
     }
     with open(
