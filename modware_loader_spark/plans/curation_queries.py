@@ -1603,10 +1603,16 @@ def text_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``html_to_text`` used by ``source_warc_html_text`` keeps this
     nav/footer noise (C4/RefinedWeb treat its removal as load-bearing).
     """
+    from modware_loader_spark.operators.ivf import ensure_min_partitions
     from modware_loader_spark.sources import warc as W
 
     t = load_tables(spark, sf_dir)
-    d = t["documents"].select(
+    # The Python block parser inherits the scan's split count; sf0.1's
+    # single ~2 MB parquet file would serialize 5k parses onto one core
+    # (measured in the r9 scale run: sf0.1 SLOWER than the 10x dataset,
+    # whose 30 splits engaged every worker). Guarded repartition — a
+    # production corpus with real split counts never pays the shuffle.
+    d = ensure_min_partitions(t["documents"]).select(
         "doc_id",
         F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), "\\s+", " ")).alias("t"),
     )

@@ -1,0 +1,84 @@
+"""Scale-headroom run: time the most expensive headline queries at
+sf0.1 and at the tools/gen_scale.py-expanded 10x dataset in ONE quiet
+session, print a SCALE.md-ready table of (query, t_small, t_big, ratio).
+
+Warm protocol per (query, sf): one untimed run (codegen + Python worker
+warm-up), then min-of-2 timed runs — the same contention-robust shape
+bench.py uses. Ratio is t_big / t_small on warm numbers; a bucketed /
+banded plan should land ~linear (<= ~10 for a 10x dataset on fixed
+cores, usually below because fixed per-query overhead amortizes).
+
+Usage: python tools/scale_run.py [BIG_DIR] (default /tmp/sf1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SMALL = "/root/testdata/sf0.1"
+
+QUERIES = [
+    "similarity_ivf_topk",
+    "similarity_ivfpq_topk",
+    "similarity_ann_banded_topk",
+    "dedup_image_dhash_pairs",
+    "closure_transitive_paths",
+    "similarity_pq_rerank_topk",
+    "search_hybrid_rrf_topk",
+    "similarity_cosine_bucket_pairs",
+    "similarity_hamming_topk",
+    "pipeline_training_data_e2e",
+    "text_main_content",
+    "decontam_ngram_overlap",
+    "text_bm25_topk",
+    "dedup_semantic_keep",
+    "dedup_simhash_near_pairs",
+    # the two new row-local r9 operators, for the record
+    "dedup_substring_rewrite",
+    "text_lm_perplexity",
+]
+
+
+def timed(spark, fn, sf_dir: str) -> float:
+    fn(spark, sf_dir).count()  # untimed warm-up
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        best = min(best, time.perf_counter() - t0)
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
+    return round(best, 3)
+
+
+def main() -> None:
+    big = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    from modware_loader_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("scale-run")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    rows = []
+    for name in QUERIES:
+        t_small = timed(spark, qs[name], SMALL)
+        t_big = timed(spark, qs[name], big)
+        ratio = round(t_big / t_small, 2) if t_small else float("inf")
+        rows.append((name, t_small, t_big, ratio))
+        print(f"| {name} | {t_small:.2f} | {t_big:.2f} | {ratio:.2f} |", flush=True)
+    with open("/tmp/scale_rows.json", "w") as fh:
+        json.dump(rows, fh)
+    try:
+        print("loadavg:", os.getloadavg())
+    except OSError:
+        pass
+
+
+if __name__ == "__main__":
+    main()
