@@ -180,11 +180,17 @@ def main() -> None:
                 samples.append(round(time.perf_counter() - t0, 3))
             except Exception as exc:  # cold-pass success failing warm is a bug
                 errors[f"{name}__warm"] = f"{type(exc).__name__}: {exc}"[:300]
-                break
+                # a warm-failing query contributes to errors ONLY — a
+                # partial sample in the warm headline would hide the
+                # failure — and its persisted RDDs must still be swept
+                # or they inflate every later query's warm timing.
+                samples = []
             for rdd in list(
                 spark.sparkContext._jsc.getPersistentRDDs().values()
             ):
                 rdd.unpersist()
+            if f"{name}__warm" in errors:
+                break
         if samples:
             warm_samples[name] = samples
             warm[name] = min(samples)

@@ -299,8 +299,25 @@ def restore_loader_state_jdbc(
                 loader.spark, url, "loader_meta", props
             ).collect()
         }
-    except Exception:
-        return  # nothing saved yet — keep the loader's empty state
+    except Exception as exc:
+        # ONLY a missing loader_meta table means "first run against this
+        # database". Any other failure (DB locked by another JVM, network
+        # blip, bad credentials) must propagate: swallowing it would
+        # leave the loader empty with auto_counter=0, and the NEXT
+        # save_loader_state_jdbc would overwrite every live table with
+        # state merged against nothing — silent data loss + id reuse.
+        msg = str(exc).lower()
+        if any(
+            marker in msg
+            for marker in (
+                "does not exist",  # Derby 42X05, Postgres undefined_table
+                "not found",
+                "table_or_view_not_found",
+                "object not found",
+            )
+        ):
+            return  # nothing saved yet — keep the loader's empty state
+        raise
     saved = set(json.loads(meta.get("tables", "[]")))
     for name in list(loader.tables):
         if name in saved:

@@ -1702,6 +1702,11 @@ def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.substring_dedup_rewrite(t["documents"], window_tokens=5)
 
 
+# fixture-dir memo for source_warc_files (content is deterministic per
+# sf_dir; one dir per process instead of one per invocation)
+_WARC_FIXTURE_DIRS: dict[str, str] = {}
+
+
 @query(
     "source_warc_files",
     f"""
@@ -1731,23 +1736,29 @@ def source_warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     The driver-side collect is the TEST HARNESS writing fixture files
     (bounded: a 1-in-11 document slice), not part of the operator — at
     production scale the ``.warc.gz`` files already exist on object
-    storage and ``read_warc`` starts from the glob."""
+    storage and ``read_warc`` starts from the glob. The fixture dir is
+    memoized per ``sf_dir`` (the content is deterministic), so bench's
+    cold+warm triple and repeated parity runs reuse one directory
+    instead of leaking a fresh mkdtemp + slice collect per invocation."""
     import os
     import tempfile
 
     from modware_loader_spark.sources import warc as W
 
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"].filter(F.col("doc_id") % 11 == 0)
-    payloads = sorted(
-        (int(r["media_id"]), bytes(r["payload"]))
-        for r in W.synth_warc(docs).collect()
-    )
-    d = tempfile.mkdtemp(prefix="mls_warc_")
-    for fno, i in enumerate(range(0, len(payloads), 16)):
-        chunk = payloads[i : i + 16]
-        with open(os.path.join(d, f"part-{fno:05d}.warc.gz"), "wb") as fh:
-            fh.write(b"".join(p for _, p in chunk))
+    d = _WARC_FIXTURE_DIRS.get(sf_dir)
+    if d is None or not os.path.isdir(d):
+        t = load_tables(spark, sf_dir)
+        docs = t["documents"].filter(F.col("doc_id") % 11 == 0)
+        payloads = sorted(
+            (int(r["media_id"]), bytes(r["payload"]))
+            for r in W.synth_warc(docs).collect()
+        )
+        d = tempfile.mkdtemp(prefix="mls_warc_")
+        for fno, i in enumerate(range(0, len(payloads), 16)):
+            chunk = payloads[i : i + 16]
+            with open(os.path.join(d, f"part-{fno:05d}.warc.gz"), "wb") as fh:
+                fh.write(b"".join(p for _, p in chunk))
+        _WARC_FIXTURE_DIRS[sf_dir] = d
     recs = W.extract_html_text(W.read_warc(spark, os.path.join(d, "*.warc.gz")))
     return recs.select(
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)

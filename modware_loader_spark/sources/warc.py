@@ -200,6 +200,12 @@ class _BlockExtractor(HTMLParser):
         self._cur_tag = ""
 
     def _flush(self) -> None:
+        # An anchor cannot legally span block elements, and HTMLParser
+        # does no auto-closing: without this reset one unclosed <a>
+        # ('<p><a href=/x>click here</p><p>article…</p>') would mark
+        # every later block's words as linked and the density test
+        # would discard the whole page's real content.
+        self._a_depth = 0
         n_words = sum(len(t.split()) for t, _ in self._parts)
         if n_words:
             self.blocks.append(

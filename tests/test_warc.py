@@ -180,3 +180,16 @@ def test_extract_main_content_dataframe(spark):
     assert rows[1]["main_text"] == LONG and rows[1]["n_blocks"] == 2
     assert rows[2] ["main_text"] == "" and rows[2]["n_content_blocks"] == 0
     assert rows[3]["n_blocks"] == 0 and rows[3]["main_text"] == ""
+
+
+def test_unclosed_anchor_does_not_poison_later_blocks():
+    """HTMLParser does no auto-closing: an unclosed <a> in a nav/teaser
+    block must not mark the following article's words as linked (an
+    anchor cannot legally span block elements — _a_depth resets at
+    every block boundary)."""
+    art = " ".join(f"w{i}" for i in range(20))
+    html = f'<p><a href="/x">click here</p><p>{art}</p>'
+    blocks = W.html_blocks(html)
+    assert blocks[1]["n_linked_words"] == 0
+    got = W.main_content(html)
+    assert got["main_text"] == art and got["n_content_blocks"] == 1
