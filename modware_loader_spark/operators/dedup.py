@@ -143,13 +143,36 @@ def minhash_band_table(
     return banded
 
 
-def minhash_candidate_pairs(band_table: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Distinct id pairs sharing ≥1 LSH band, with shared-band count."""
+def minhash_candidate_pairs(
+    band_table: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Distinct id pairs sharing ≥1 LSH band, with shared-band count.
+
+    ``max_bucket`` skips buckets holding more than that many documents
+    for candidate generation — the degenerate-bucket guard (a bucket of
+    c docs contributes c²/2 join rows; one boilerplate-heavy cluster
+    turns the band join quadratic). Same semantics and rationale as
+    ``similarity.cosine_bucket_near_pairs``: over-cap buckets are
+    near-dup cluster cores better handled by the components/keeper
+    operators; default None preserves exact pair semantics.
+    """
     # both join sides derive from the same (hash-heavy) subtree — the md5
     # signature pipeline must run once, not twice. localCheckpoint (eager)
     # instead of persist(): same reuse, but not pinned in the CacheManager,
     # so a long-lived session frees it on GC instead of leaking storage.
     band_table = band_table.localCheckpoint(eager=True)
+    if max_bucket is not None:
+        kept = (
+            band_table.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") <= max_bucket)
+            .select("band_id", "band_hash")
+        )
+        band_table = band_table.join(
+            kept, ["band_id", "band_hash"], "left_semi"
+        )
     a = band_table.select(
         F.col(id_col).alias("doc_a"), "band_id", "band_hash"
     )

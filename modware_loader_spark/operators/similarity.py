@@ -148,6 +148,7 @@ def cosine_bucket_near_pairs(
     stride: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-pairs above ``threshold`` via banded sign-bit LSH candidate
     generation + exact-cosine verification — the 100 TB replacement for
@@ -162,6 +163,17 @@ def cosine_bucket_near_pairs(
     expected recall ≈0.90 at the threshold boundary, higher above it).
     Measured on the synthetic embeddings at sf0.01: see
     ``tests/test_invariants.py::test_cosine_bucket_recall``.
+
+    ``max_bucket`` is the degenerate-bucket guard for production runs:
+    buckets holding more than this many vectors are skipped for
+    candidate generation (a bucket of c vectors contributes c²/2 join
+    rows — one viral duplicate cluster or a skewed hash turns the
+    bucket join quadratic; the round-9 scale run measured the τ=0.4
+    config passing ~66% of ALL pairs this way, SCALE.md). Standard LSH
+    practice: a pair loses candidacy only if EVERY band it agrees on is
+    over the cap, and members of over-cap buckets are near-dup cluster
+    cores better handled by the components/keeper operators. Default
+    None preserves exact registered-query semantics.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     # candidate generation carries bare ids only — deduping (vec_a, vec_b)
@@ -185,6 +197,17 @@ def cosine_bucket_near_pairs(
         # one job.
         .localCheckpoint(eager=False)
     )
+    if max_bucket is not None:
+        # uniform-hash groupBy; the kept-bucket key table is bounded by
+        # the number of non-degenerate buckets and joins narrow (two
+        # longs + an int) before any vectors attach.
+        kept = (
+            bands_tbl.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") <= max_bucket)
+            .select("band_id", "band_hash")
+        )
+        bands_tbl = bands_tbl.join(kept, ["band_id", "band_hash"], "left_semi")
     cands = (
         bands_tbl.select(F.col(id_col).alias("vec_a"), "band_id", "band_hash")
         .join(

@@ -70,3 +70,55 @@ def test_salted_aggregate_matches_plain(spark):
         for r in salted_aggregate(fact, ["k"], sum_cols=["v"], salt=8).collect()
     }
     assert plain == salted
+
+
+def test_cosine_bucket_max_bucket_guard(spark):
+    """Degenerate-bucket cap: a viral duplicate cluster (identical
+    vectors -> same hash in every band) is skipped for candidate
+    generation at max_bucket, while pairs living in small buckets
+    survive; default None keeps the full result."""
+    from modware_loader_spark.operators.similarity import (
+        cosine_bucket_near_pairs,
+    )
+
+    dim = 32
+    viral = [1.0] * dim  # 10 identical vectors -> bucket of 10 everywhere
+    a = [1.0] * 16 + [-1.0] * 16
+    b = [1.0] * 15 + [0.5] + [-1.0] * 16  # near a, same signs -> same buckets
+    rows = [(i, viral) for i in range(10)] + [(100, a), (101, b)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    full = cosine_bucket_near_pairs(df, threshold=0.4, stride=4)
+    capped = cosine_bucket_near_pairs(df, threshold=0.4, stride=4, max_bucket=5)
+    full_pairs = {(r.vec_a, r.vec_b) for r in full.collect()}
+    capped_pairs = {(r.vec_a, r.vec_b) for r in capped.collect()}
+    assert (100, 101) in full_pairs and (0, 1) in full_pairs
+    # the viral cluster's 45 pairs are gone; the small-bucket pair stays
+    assert (100, 101) in capped_pairs
+    assert not any(x < 10 and y < 10 for x, y in capped_pairs)
+    # capped result is a subset of the exact/full result
+    assert capped_pairs <= full_pairs
+
+
+def test_minhash_candidate_pairs_max_bucket_guard(spark):
+    from modware_loader_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_candidate_pairs,
+    )
+
+    # 8 identical docs (one viral cluster) + 2 distinct near-dup docs
+    viral = "the same viral boilerplate text repeated everywhere ok"
+    # two identical docs (Jaccard 1 -> every band collides) form the
+    # small bucket that must survive the cap
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, viral) for i in range(8)] + [(100, small), (101, small)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bt = minhash_band_table(df)
+    full = {(r.doc_a, r.doc_b) for r in minhash_candidate_pairs(bt).collect()}
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidate_pairs(bt, max_bucket=4).collect()
+    }
+    assert (100, 101) in full and (0, 1) in full
+    assert (100, 101) in capped
+    assert not any(x < 8 and y < 8 for x, y in capped)
+    assert capped <= full

@@ -567,3 +567,42 @@ def test_stream_lm_gate_matches_batch(spark, tmp_path):
     assert sorted(got) == batch_kept and len(got) > 0
     for d, v in got.items():
         assert v == batch[d]
+
+
+def test_stream_main_content_matches_batch(spark, tmp_path):
+    """Main-content extraction is stateless row-local mapInPandas, so
+    the SAME operator runs unchanged on a stream (append mode, no state
+    store, no watermark) — batch/stream results must be identical."""
+    from modware_loader_spark.sources.warc import extract_main_content
+
+    nav = '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(f"<html><body>{nav}<p>"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    batch = sorted(
+        map(tuple, extract_main_content(pages).collect())
+    )
+    path = str(tmp_path / "pages_stream")
+    pages.write.parquet(path)
+    stream = spark.readStream.schema(pages.schema).parquet(path)
+    q = (
+        extract_main_content(stream)
+        .writeStream.format("memory")
+        .queryName("main_content_t")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = sorted(
+        map(tuple, spark.sql("SELECT * FROM main_content_t").collect())
+    )
+    assert streamed == batch and len(streamed) > 0
+    # and the content survived for long docs
+    assert any(r[3] != "" for r in streamed)
