@@ -81,13 +81,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # r8-green queries whose code changed in round 9
 # (source_warc_html_text — oracle now collapses internal whitespace
 # like the extractor; text_lm_perplexity — trains with persist=False);
-# and (d) 38 of the 45 r7-green names so the whole r7 cohort stays
-# inside the window. The tail below = the 48 unchanged r8-green names
-# + the 7 r7-green names held back one round (50 head slots cannot fit
-# 45 + 7 + 3 + 2; the held-back names stay in-window until r10, where
-# they are mandatory head slots). Everything deprioritized stays
-# covered every round by tests/test_oracle_parity.py, which iterates
-# the full dict.
+# and (d) 37 of the 45 r7-green names so the whole r7 cohort stays
+# inside the window (a fourth new query, source_warc_main_content —
+# the WARC record walk chained into the block classifier — took the
+# 38th slot late in the round). The tail below = the 48 unchanged
+# r8-green names + the 8 r7-green names held back one round (50 head
+# slots cannot fit 45 + 8 + 4 + 2; the held-back names stay in-window
+# until r10, where they are mandatory head slots). Everything
+# deprioritized stays covered every round by
+# tests/test_oracle_parity.py, which iterates the full dict.
 _DEPRIORITIZED = [
     # unchanged r8-green cohort (rotate back in r10)
     "agg_cube_returnflag_linestatus",
@@ -139,6 +141,7 @@ _DEPRIORITIZED = [
     "text_winnow_fingerprints",
     "window_running_total",
     # r7-green names held back one round (mandatory r10 head slots)
+    "text_bpe_token_count",
     "text_quality_classifier",
     "text_quality_quantile_gate",
     "text_url_blocklist",

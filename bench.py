@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "text_main_content",
     "dedup_substring_rewrite",
     "source_warc_files",
+    "source_warc_main_content",
 ]
 
 
