@@ -143,6 +143,29 @@ def minhash_band_table(
     return banded
 
 
+def filter_degenerate_buckets(
+    band_table: DataFrame, max_bucket: int
+) -> DataFrame:
+    """Drop band buckets holding more than ``max_bucket`` items before
+    candidate generation — the shared degenerate-bucket guard for every
+    banded pair-mining operator (a bucket of c items contributes c²/2
+    join rows; one viral duplicate cluster or a skewed hash is enough
+    to go quadratic — measured in SCALE.md round-9). A pair loses
+    candidacy only if EVERY band it agrees on is over the cap; over-cap
+    buckets are near-dup cluster cores that belong to the
+    components/keeper operators. Expects ``(…, band_id, band_hash)``
+    rows; the kept-bucket key table is bounded by the number of
+    non-degenerate buckets and joins narrow (two longs) before any
+    payload attaches."""
+    kept = (
+        band_table.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") <= max_bucket)
+        .select("band_id", "band_hash")
+    )
+    return band_table.join(kept, ["band_id", "band_hash"], "left_semi")
+
+
 def minhash_candidate_pairs(
     band_table: DataFrame,
     id_col: str = "doc_id",
@@ -150,29 +173,20 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """Distinct id pairs sharing ≥1 LSH band, with shared-band count.
 
-    ``max_bucket`` skips buckets holding more than that many documents
-    for candidate generation — the degenerate-bucket guard (a bucket of
-    c docs contributes c²/2 join rows; one boilerplate-heavy cluster
-    turns the band join quadratic). Same semantics and rationale as
-    ``similarity.cosine_bucket_near_pairs``: over-cap buckets are
-    near-dup cluster cores better handled by the components/keeper
-    operators; default None preserves exact pair semantics.
+    ``max_bucket`` routes through :func:`filter_degenerate_buckets`
+    (see there for semantics); default None preserves exact pair
+    semantics.
     """
-    # both join sides derive from the same (hash-heavy) subtree — the md5
-    # signature pipeline must run once, not twice. localCheckpoint (eager)
-    # instead of persist(): same reuse, but not pinned in the CacheManager,
-    # so a long-lived session frees it on GC instead of leaking storage.
-    band_table = band_table.localCheckpoint(eager=True)
     if max_bucket is not None:
-        kept = (
-            band_table.groupBy("band_id", "band_hash")
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .filter(F.col("__c") <= max_bucket)
-            .select("band_id", "band_hash")
-        )
-        band_table = band_table.join(
-            kept, ["band_id", "band_hash"], "left_semi"
-        )
+        band_table = filter_degenerate_buckets(band_table, max_bucket)
+    # both join sides derive from the same (hash-heavy) subtree — the md5
+    # signature pipeline must run once, not twice; with the bucket guard
+    # on, the checkpoint also keeps the count+semi-join one-shot instead
+    # of replaying under each self-join side. localCheckpoint (eager)
+    # instead of persist(): same reuse, but not pinned in the
+    # CacheManager, so a long-lived session frees it on GC instead of
+    # leaking storage.
+    band_table = band_table.localCheckpoint(eager=True)
     a = band_table.select(
         F.col(id_col).alias("doc_a"), "band_id", "band_hash"
     )

@@ -189,25 +189,21 @@ def cosine_bucket_near_pairs(
             F.posexplode(sign_band_hashes(F.col(vec_col), bands, bits, stride)),
         )
         .withColumnsRenamed({"pos": "band_id", "col": "band_hash"})
-        # lazy: eager localCheckpoint would launch a job at *construction*
-        # time (before any action). Checkpointed blocks are not
-        # recomputable on executor loss — acceptable here because the
-        # band table is cheap to rebuild by re-running the query; the
-        # pinning exists only to avoid scanning the source twice within
-        # one job.
-        .localCheckpoint(eager=False)
     )
     if max_bucket is not None:
-        # uniform-hash groupBy; the kept-bucket key table is bounded by
-        # the number of non-degenerate buckets and joins narrow (two
-        # longs + an int) before any vectors attach.
-        kept = (
-            bands_tbl.groupBy("band_id", "band_hash")
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .filter(F.col("__c") <= max_bucket)
-            .select("band_id", "band_hash")
+        from modware_loader_spark.operators.dedup import (
+            filter_degenerate_buckets,
         )
-        bands_tbl = bands_tbl.join(kept, ["band_id", "band_hash"], "left_semi")
+
+        bands_tbl = filter_degenerate_buckets(bands_tbl, max_bucket)
+    # Checkpoint AFTER the optional guard so the count + semi-join run
+    # once too, not once per self-join side. lazy: eager localCheckpoint
+    # would launch a job at *construction* time (before any action).
+    # Checkpointed blocks are not recomputable on executor loss —
+    # acceptable here because the band table is cheap to rebuild by
+    # re-running the query; the pinning exists only to avoid scanning
+    # the source twice within one job.
+    bands_tbl = bands_tbl.localCheckpoint(eager=False)
     cands = (
         bands_tbl.select(F.col(id_col).alias("vec_a"), "band_id", "band_hash")
         .join(

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import html as _html
 import io
+import re
 import zlib
 from collections.abc import Iterator
 from html.parser import HTMLParser
@@ -45,6 +46,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 CRLF = b"\r\n"
+
+# ASCII-only whitespace, matching Spark's Java-regex ``\s`` and DuckDB's
+# RE2 ``\s`` — Python's bare ``str.split()`` additionally treats U+00A0,
+# U+000B, U+2028 etc. as separators, which would silently diverge word
+# counts (and therefore the main-content threshold) from every SQL
+# oracle the moment a crawl carries non-ASCII whitespace.
+_ASCII_WS = re.compile(r"\s+", re.ASCII)
+
+
+def _ws_split(s: str) -> list[str]:
+    """Split on ASCII whitespace runs, no empty tokens."""
+    return [t for t in _ASCII_WS.split(s) if t]
 
 WARC_SCHEMA = T.StructType(
     [
@@ -169,7 +182,7 @@ def html_to_text(markup: str) -> str:
     p = _TextExtractor()
     p.feed(markup)
     p.close()
-    return " ".join(" ".join(p.parts).split())
+    return " ".join(_ws_split(" ".join(p.parts)))
 
 
 _BLOCK_TAGS = {
@@ -206,17 +219,19 @@ class _BlockExtractor(HTMLParser):
         # every later block's words as linked and the density test
         # would discard the whole page's real content.
         self._a_depth = 0
-        n_words = sum(len(t.split()) for t, _ in self._parts)
+        n_words = sum(len(_ws_split(t)) for t, _ in self._parts)
         if n_words:
             self.blocks.append(
                 {
                     "tag": self._cur_tag,
                     "text": " ".join(
-                        " ".join(t for t, _ in self._parts).split()
+                        _ws_split(" ".join(t for t, _ in self._parts))
                     ),
                     "n_words": n_words,
                     "n_linked_words": sum(
-                        len(t.split()) for t, linked in self._parts if linked
+                        len(_ws_split(t))
+                        for t, linked in self._parts
+                        if linked
                     ),
                 }
             )

@@ -68,9 +68,11 @@ def test_html_to_text_semantics():
         "<script>var x = '<p>no</p>';</script>"
         "<noscript>skip</noscript><div>  spaced\n\tout </div></body></html>"
     )
-    # &nbsp; unescapes to \xa0, which str.split() treats as whitespace —
-    # the collapse normalizes it to a plain space
-    assert W.html_to_text(html) == "T Hello & world spaced out"
+    # &nbsp; unescapes to \xa0 and is PRESERVED: the collapse uses
+    # ASCII \s+ (matching Spark's Java regex and DuckDB's RE2), so word
+    # boundaries and round-trips agree with every SQL oracle; Python's
+    # bare str.split() would have eaten it and silently diverged counts
+    assert W.html_to_text(html) == "T Hello\xa0& world spaced out"
     assert W.html_to_text("") == ""
     assert W.html_to_text("plain text") == "plain text"
 
