@@ -195,3 +195,43 @@ def test_unclosed_anchor_does_not_poison_later_blocks():
     assert blocks[1]["n_linked_words"] == 0
     got = W.main_content(html)
     assert got["main_text"] == art and got["n_content_blocks"] == 1
+
+
+def test_main_content_matches_model_hypothesis():
+    """Random pages assembled from blocks with known word/link structure
+    vs the classifier: the parser's segmentation and densitometric
+    arithmetic must agree with the naive model for any block mix."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    block = st.tuples(
+        st.integers(min_value=0, max_value=14),  # plain words
+        st.integers(min_value=0, max_value=14),  # linked words
+        st.sampled_from(["p", "div", "li", "h2", "footer"]),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(block, min_size=0, max_size=6), st.integers(2, 12))
+    def run(blocks, min_words):
+        html_parts, expect_kept = [], []
+        for i, (n_plain, n_linked, tag) in enumerate(blocks):
+            words = [f"w{i}x{j}" for j in range(n_plain)]
+            links = [f'<a href="#">l{i}x{j}</a>' for j in range(n_linked)]
+            html_parts.append(f"<{tag}>{' '.join(words + links)}</{tag}>")
+            total = n_plain + n_linked
+            if total >= min_words and 3 * n_linked <= total:
+                expect_kept.append(
+                    " ".join(
+                        [f"w{i}x{j}" for j in range(n_plain)]
+                        + [f"l{i}x{j}" for j in range(n_linked)]
+                    )
+                )
+        got = W.main_content(
+            f"<html><body>{''.join(html_parts)}</body></html>", min_words
+        )
+        n_nonempty = sum(1 for p, l, _ in blocks if p + l > 0)
+        assert got["n_blocks"] == n_nonempty
+        assert got["n_content_blocks"] == len(expect_kept)
+        assert got["main_text"] == " ".join(expect_kept)
+
+    run()
