@@ -394,6 +394,14 @@ def dhash_near_pairs(
     with no replication. The bucket-size census is a partial-agg over
     the 4-rows-per-image band table and the hot list broadcasts (at most
     ``4n / threshold`` entries).
+
+    No ``max_bucket`` drop-guard here, deliberately (unlike the LSH
+    operators' ``dedup.filter_degenerate_buckets``): pigeonhole bands
+    are EXACTNESS-bearing — a pair at d <= 3 may match in only one
+    chunk, so skipping an over-full bucket drops true pairs, not just
+    candidates. When the true pair set itself is cluster-quadratic
+    (round-9 scale run: 682k -> 68.0M pairs at 10x), the scale path is
+    the connected-components/keeper formulation, not a lossy cap.
     """
     if max_hamming >= 4:
         raise ValueError("4-chunk pigeonhole banding guarantees d <= 3 only")
