@@ -141,3 +141,191 @@ def synth_weight_table(
             * F.lit(scale_micros)
         ).alias("w_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training (batch gradient descent) — the other half of the fastText-style
+# quality gate. ``linear_classifier_score`` above consumes a trained weight
+# table; production pipelines (CCNet's fastText LM filter, DCLM / FineWeb-Edu
+# quality classifiers) must first TRAIN that table on labeled documents. At
+# 100 TB that is a distributed batch job: each gradient-descent iteration is
+# one map-side-combinable aggregation over (doc, bucket) count pairs with the
+# current weight vector broadcast as a literal map, and only the d+1 gradient
+# components (d = n_buckets, small by construction) ever reach the driver —
+# the same bounded-collect class as IVF centroids and PQ codebooks.
+#
+# Engine-portable arithmetic: scores are exact integer micro-units (weights
+# bigint micros x integer counts), per-document residuals are quantized to
+# integer micros BEFORE the gradient sum, so the per-bucket gradient is an
+# order-free integer sum — identical under any partitioning, retry order, or
+# SQL engine. The only float steps are the sigmoid (one libm exp per doc per
+# iteration, computed from an exact integer score) and the round() in the
+# weight update (computed from exact integer gradient / count) — the same
+# float-parity regime the Stupid-Backoff LM oracle established.
+#
+# Reference scope: none (extension scope — text-analysis family of the
+# north-star baseline).
+# ---------------------------------------------------------------------------
+
+_INTERCEPT_BUCKET = -1
+
+
+def _round_half_away(x: float) -> int:
+    """Round ties away from zero — the tie rule Spark's ``F.round``
+    (HALF_UP) and DuckDB's ``round`` share. Python's builtin ``round``
+    is banker's (half-even), which WOULD diverge from the SQL oracle on
+    an exact .5 update step (reachable: ``0.1 * 5.0 == 0.5`` exactly in
+    IEEE), so the driver-side weight update must not use it."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def hashed_features(
+    df: DataFrame,
+    n_buckets: int,
+    label: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Hashed bag-of-words design matrix in COO form plus labels.
+
+    Returns ``(feats, labels)``: ``feats`` is ``(id, bucket, c)`` — token
+    occurrences per md5 feature slot (empty tokens dropped), UNIONed with
+    one intercept row ``(id, -1, 1)`` per document so the bias is just
+    the weight of bucket -1 and token-free documents still score.
+    ``labels`` is ``(id, y)`` with ``y`` the 0/1 cast of ``label``.
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok"))
+        .filter(F.col("__tok") != "")
+        .select(
+            F.col(id_col),
+            hash_bucket(F.col("__tok"), n_buckets).cast("int").alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    intercept = df.select(
+        F.col(id_col),
+        F.lit(_INTERCEPT_BUCKET).cast("int").alias("bucket"),
+        F.lit(1).cast("long").alias("c"),
+    )
+    labels = df.select(F.col(id_col), label.cast("int").alias("y"))
+    return toks.unionByName(intercept), labels
+
+
+def _weight_map(weights: dict[int, int]) -> Column:
+    """Literal ``map<int, bigint>`` of the current weight vector (dense
+    over buckets -1..n-1, so lookups never miss)."""
+    pairs: list[Column] = []
+    for b in sorted(weights):
+        pairs.append(F.lit(b))
+        pairs.append(F.lit(int(weights[b])).cast("long"))
+    return F.create_map(*pairs)
+
+
+def _doc_scores(feats: DataFrame, weights: dict[int, int], id_col: str) -> DataFrame:
+    """Exact integer score per document under a literal weight map:
+    ``(id, score_micros)``. One partial-aggregating shuffle on the id."""
+    wmap = _weight_map(weights)
+    return feats.groupBy(id_col).agg(
+        F.sum(F.col("c") * F.element_at(wmap, F.col("bucket"))).alias("score_micros")
+    )
+
+
+def train_logreg_hashed(
+    df: DataFrame,
+    label: Column,
+    n_buckets: int = 32,
+    iters: int = 3,
+    lr: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist: bool = True,
+) -> dict[int, int]:
+    """Train a hashed-feature logistic regression by full-batch gradient
+    descent; returns the final weight vector ``{bucket: w_micros}``
+    (bucket -1 is the intercept).
+
+    Per iteration: score every document under the current literal weight
+    map (exact integer micros), quantize the residual ``sigmoid(score) -
+    y`` to integer micros, and accumulate the per-bucket gradient
+    ``sum(residual_micros * c)`` — an order-free integer sum, so the
+    trained model is bit-identical across partitionings and engines.
+    Update: ``w[b] -= round(lr * grad[b] / n_docs)`` in micro-units.
+
+    Scale shape: ``iters`` passes over the (doc, bucket) COO matrix, each
+    one Exchange on the doc id plus one on the bucket id (both partially
+    aggregated map-side); the weight vector rides along as a plan literal
+    (no join), and only d+1 gradient rows reach the driver per iteration.
+    Training is eager; the COO matrix is persisted for the loop and
+    unpersisted before returning (pass ``persist=False`` to skip).
+    """
+    feats, labels = hashed_features(
+        df, n_buckets, label, text_col=text_col, id_col=id_col
+    )
+    if persist:
+        feats = feats.persist()
+        labels = labels.persist()
+    try:
+        n_docs = labels.count()
+        if n_docs == 0:
+            raise ValueError("train_logreg_hashed: empty corpus (0 labeled docs)")
+        weights = {b: 0 for b in range(-1, n_buckets)}
+        for _ in range(iters):
+            sm = _doc_scores(feats, weights, id_col)
+            resid = sm.join(labels, id_col).select(
+                F.col(id_col),
+                F.round(
+                    (
+                        F.lit(1.0)
+                        / (F.lit(1.0) + F.exp(-F.col("score_micros") / F.lit(1e6)))
+                        - F.col("y")
+                    )
+                    * F.lit(1e6)
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            grad = {
+                row["bucket"]: row["g"]
+                for row in feats.join(resid, id_col)
+                .groupBy("bucket")
+                .agg(F.sum(F.col("r") * F.col("c")).alias("g"))
+                .collect()
+            }
+            weights = {
+                b: w - _round_half_away(lr * grad.get(b, 0) / n_docs)
+                for b, w in weights.items()
+            }
+        return weights
+    finally:
+        if persist:
+            feats.unpersist()
+            labels.unpersist()
+
+
+def logreg_predictions(
+    df: DataFrame,
+    weights: dict[int, int],
+    n_buckets: int,
+    label: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document under a trained weight vector: ``(id, y,
+    score_micros, pred)`` with ``pred = score >= 0``. Pure map + one
+    partially-aggregated shuffle on the id — the inference twin of
+    ``train_logreg_hashed`` (and of ``linear_classifier_score``, with
+    the model as a literal map instead of a broadcast table)."""
+    feats, labels = hashed_features(
+        df, n_buckets, label, text_col=text_col, id_col=id_col
+    )
+    sm = _doc_scores(feats, weights, id_col)
+    return sm.join(labels, id_col).select(
+        F.col(id_col),
+        F.col("y"),
+        F.col("score_micros").cast("long").alias("score_micros"),
+        (F.col("score_micros") >= 0).cast("int").alias("pred"),
+    )

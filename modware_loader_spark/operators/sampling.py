@@ -360,3 +360,99 @@ def dsir_log_weights(
         )
         .withColumn("keep", (F.col("weight_micros") > 0).cast("int"))
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    source_col: str,
+    alpha: float = 0.5,
+    budget_frac: float = 0.6,
+) -> DataFrame:
+    """Multinomial temperature-sampling keep rates: ``(source, n_rows,
+    rate)`` with per-source sampling share proportional to
+    ``n_rows^alpha`` (the XLM-R / mT5 / Llama mixture recipe — alpha < 1
+    upweights small sources relative to proportional sampling).
+
+    ``budget = floor(budget_frac * total_rows)`` rows are targeted;
+    ``rate_s = min(1, budget * (n_s^alpha / sum n^alpha) / n_s)`` —
+    scarce sources saturate at 1 (no upsampling; the realized total then
+    lands slightly under budget, the standard convention).
+
+    Fully relational — unlike ``mixture_rates`` there is no driver
+    collect: one aggregation to source cardinality, a 1-row broadcast
+    totals attach (the DSIR/LM-stats shape), and the corpus never
+    shuffles. ``alpha = 0.5`` is computed with ``sqrt`` (IEEE
+    correctly-rounded, hence engine-portable bit-for-bit); other alphas
+    go through ``pow``, whose last-ulp behavior is libm-specific — fine
+    operationally, but pin 0.5 where an external oracle must agree.
+    """
+    counts = df.groupBy(F.col(source_col).alias(source_col)).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w = (
+        F.sqrt(F.col("n_rows").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("n_rows").cast("double"), F.lit(float(alpha)))
+    )
+    # Quantize per-source weights to integer micros BEFORE summing: a
+    # float sum over sources would be accumulation-order-dependent
+    # (different last-ulp per engine/partitioning); integer sums are
+    # order-free — the repo-wide micro-units discipline (DSIR, LM).
+    weighted = counts.select(
+        source_col,
+        "n_rows",
+        F.round(w * F.lit(1e6)).cast("long").alias("w_micros"),
+    )
+    # groupBy(lit(0)), not a global agg: hashes instead of funneling
+    # through an Exchange SinglePartition (repo-wide plan guard)
+    totals = (
+        weighted.groupBy(F.lit(0).alias("__g"))
+        .agg(
+            F.sum("n_rows").alias("total_rows"),
+            F.sum("w_micros").alias("total_w_micros"),
+        )
+        .drop("__g")
+    )
+    return weighted.join(F.broadcast(totals)).select(
+        source_col,
+        "n_rows",
+        F.least(
+            F.lit(1.0),
+            F.floor(F.lit(float(budget_frac)) * F.col("total_rows"))
+            * (F.col("w_micros") / F.col("total_w_micros"))
+            / F.col("n_rows"),
+        ).alias("rate"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    budget_frac: float = 0.6,
+    salt: str = "temp",
+) -> DataFrame:
+    """Per-row temperature-sampling verdicts: the input plus
+    ``(n_source, rate_micros, keep)``.
+
+    Membership is the deterministic ``hash_uniform`` draw on
+    ``key_col`` — identical under repartitioning, retries and engines.
+    The rates frame (source cardinality) broadcasts; the corpus side is
+    a zero-shuffle map filter. Emitting the keep FLAG (not just kept
+    rows) lets downstream audit realized vs target mixture; filter on
+    ``keep = 1`` for the sampled corpus.
+    """
+    rates = temperature_rates(
+        df, source_col, alpha=alpha, budget_frac=budget_frac
+    )
+    return df.join(F.broadcast(rates), source_col, "left").select(
+        *[F.col(c) for c in df.columns],
+        F.col("n_rows").alias("n_source"),
+        F.round(F.col("rate") * F.lit(1e6))
+        .cast("long")
+        .alias("rate_micros"),
+        (hash_uniform(F.col(key_col), salt=salt) < F.col("rate"))
+        .cast("int")
+        .alias("keep"),
+    )

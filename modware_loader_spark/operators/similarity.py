@@ -490,3 +490,69 @@ def matryoshka_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "target_id", "cos", "rank")
     )
+
+
+def rp_sign_matrix(out_dims: int, in_dims: int) -> list[list[float]]:
+    """Deterministic ±1 Johnson-Lindenstrauss projection matrix: sign of
+    row k, input dim j (1-based) = parity of the first md5 hex digit of
+    ``"rp:{k}:{j}"``. Computed driver-side with hashlib; an external SQL
+    engine regenerates the identical matrix from the same md5 arithmetic
+    (the ``embed_random_projection`` oracle does)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"rp:{k}:{j}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for j in range(1, in_dims + 1)
+        ]
+        for k in range(out_dims)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    out_dims: int,
+    in_dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection of an embedding column
+    to ``out_dims``: exploded output ``(id, k, proj)`` with ``proj``
+    rounded to 6 decimals (the repo's float-portability convention for
+    sequential index-ordered sums).
+
+    The Achlioptas (2003) database-friendly JL variant: entries ±1, so
+    the projection is ``out_dims`` index-ordered add/subtract folds —
+    no multiplies beyond the sign, no trained state, and distances are
+    preserved within (1±eps) at out_dims = O(ln n / eps^2). The matrix
+    rides as a PLAN LITERAL (out_dims × in_dims doubles — a few KB), so
+    this is a zero-shuffle map stage at any corpus size: the cheap
+    front-stage for ANN shortlisting or clustering on a reduced
+    dimension, complementing ``matryoshka_rerank_topk`` (which needs
+    MRL-trained embeddings — JL works on any embedding).
+
+    Scaling the ±1 sum by ``1/sqrt(out_dims)`` (the usual unit-variance
+    normalization) is left to the consumer — a constant factor that
+    cancels in cosine/rank comparisons.
+    """
+    rows = rp_sign_matrix(out_dims, in_dims)
+    mat = F.array(*[F.array(*[F.lit(v) for v in row]) for row in rows])
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(out_dims - 1)),
+        lambda k: F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.element_at(mat, k + 1),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(proj).alias("k", "__proj")
+    ).select(
+        id_col, "k", F.round(F.col("__proj"), 6).alias("proj")
+    )

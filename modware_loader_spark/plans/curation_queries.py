@@ -1816,3 +1816,180 @@ def source_warc_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         "main_text",
         F.col("main_words").cast("long").alias("main_words"),
     )
+
+
+def _logreg_oracle(n_buckets: int, iters: int, lr: float) -> str:
+    """DuckDB restatement of the FULL logistic-regression training chain
+    (``operators/classifier.py::train_logreg_hashed``): hashed COO
+    features + intercept rows, then ``iters`` unrolled gradient-descent
+    iterations (exact integer scores, micro-quantized residuals,
+    integer gradient sums, half-away-rounded weight updates), then the
+    final prediction pass. Generated, not handwritten — the iteration
+    body is the same four CTEs stamped per step."""
+    head = f"""
+    WITH feats AS (
+      SELECT doc_id, bucket, count(*)::BIGINT AS c FROM (
+        SELECT doc_id,
+               CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)
+                    % {n_buckets} AS INT) AS bucket
+        FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+              FROM documents)
+        WHERE tok <> ''
+      ) GROUP BY 1, 2
+      UNION ALL
+      SELECT doc_id, -1 AS bucket, 1::BIGINT AS c FROM documents
+    ),
+    lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents),
+    nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+    w0 AS (SELECT CAST(unnest(range(-1, {n_buckets})) AS INT) AS bucket,
+                  0::BIGINT AS w)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+    s{i} AS (SELECT f.doc_id, sum(f.c * w.w)::BIGINT AS sm
+             FROM feats f JOIN w{i - 1} w USING (bucket) GROUP BY 1),
+    r{i} AS (SELECT s.doc_id,
+                    CAST(round((1.0 / (1.0 + exp(-s.sm / 1000000.0)) - l.y)
+                               * 1000000.0) AS BIGINT) AS r
+             FROM s{i} s JOIN lab l USING (doc_id)),
+    g{i} AS (SELECT f.bucket, sum(r.r * f.c)::BIGINT AS g
+             FROM feats f JOIN r{i} r USING (doc_id) GROUP BY 1),
+    w{i} AS (SELECT w.bucket,
+                    (w.w - CAST(round({lr} * coalesce(g.g, 0) / nd.n)
+                                AS BIGINT))::BIGINT AS w
+             FROM w{i - 1} w LEFT JOIN g{i} g USING (bucket), nd)""")
+    tail = f""",
+    sf AS (SELECT f.doc_id, sum(f.c * w.w)::BIGINT AS sm
+           FROM feats f JOIN w{iters} w USING (bucket) GROUP BY 1)
+    SELECT s.doc_id, l.y, s.sm AS score_micros,
+           CASE WHEN s.sm >= 0 THEN 1 ELSE 0 END::INT AS pred
+    FROM sf s JOIN lab l USING (doc_id)
+    """
+    return head + "".join(steps) + tail
+
+
+@query("text_classifier_train", _logreg_oracle(n_buckets=32, iters=3, lr=0.1))
+def text_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier TRAINING, not just inference: full-batch
+    gradient descent on a hashed bag-of-words logistic regression
+    (fastText shape — the CCNet / DCLM / FineWeb-Edu gate), then score
+    every document under the trained model. Each iteration is one
+    map-side-combinable aggregation pair over the (doc, bucket) COO
+    matrix with the weight vector broadcast as a plan literal; only
+    d+1 gradient rows reach the driver per step. All sums are exact
+    integer micro-units, so the model and the scores are bit-identical
+    across partitionings and engines; the oracle restates the entire
+    3-iteration training chain in unrolled SQL
+    (``operators/classifier.py::train_logreg_hashed``)."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    label = F.col("lang") == "en"
+    w = CL.train_logreg_hashed(docs, label, n_buckets=32, iters=3, lr=0.1)
+    return CL.logreg_predictions(docs, w, 32, label)
+
+
+_TEMP_U01 = (
+    "(CAST(('0x' || substr(md5('temp' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    " AS UBIGINT) / 4294967296.0)"
+)
+
+
+@query(
+    "sample_temperature",
+    f"""
+    WITH counts AS (SELECT source, count(*)::BIGINT AS n
+                    FROM documents GROUP BY source),
+    w AS (SELECT source, n,
+                 CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   AS w_micros
+          FROM counts),
+    tot AS (SELECT sum(n)::BIGINT AS total_rows,
+                   sum(w_micros)::BIGINT AS total_w_micros FROM w),
+    rates AS (SELECT source, n,
+                     least(1.0, floor(0.6 * total_rows)
+                                * (w_micros / total_w_micros) / n) AS rate
+              FROM w, tot)
+    SELECT d.doc_id, d.source, r.n AS n_source,
+           CAST(round(r.rate * 1000000.0) AS BIGINT) AS rate_micros,
+           CAST(CASE WHEN {_TEMP_U01} < r.rate THEN 1 ELSE 0 END AS INT)
+             AS keep
+    FROM documents d LEFT JOIN rates r USING (source)
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial temperature sampling (the XLM-R / mT5 / Llama data-
+    mixing recipe): per-source sampling share proportional to
+    ``n^alpha`` with alpha = 0.5, budget 60% of the corpus, scarce
+    sources saturating at rate 1. Fully relational — source counts, a
+    1-row totals broadcast attach, a broadcast rates join, and a
+    zero-shuffle deterministic hash-Bernoulli verdict per row
+    (``operators/sampling.py::temperature_sample``). alpha = 0.5 rides
+    ``sqrt`` (IEEE correctly-rounded), so the oracle agrees
+    bit-for-bit."""
+    t = load_tables(spark, sf_dir)
+    out = SA.temperature_sample(
+        t["documents"], "source", "doc_id", alpha=0.5, budget_frac=0.6
+    )
+    return out.select("doc_id", "source", "n_source", "rate_micros", "keep")
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """DuckDB restatement of the FULL k-step BPE training chain
+    (``operators/bpe.py``): word-frequency table with space-joined
+    symbol strings, then per step an adjacent-pair count, a
+    deterministic arg-max, and a ``list_reduce`` fold replaying the
+    exact left-to-right non-overlapping merge the Spark ``F.aggregate``
+    fold applies. Generated — the step body is stamped k times."""
+    head = """
+    WITH w0 AS (
+      SELECT word, count(*)::BIGINT AS n,
+             array_to_string(list_transform(range(1, length(word) + 1),
+                                            i -> substr(word, CAST(i AS INT), 1)),
+                             ' ') || ' </w>' AS s
+      FROM (SELECT unnest(string_split(trim(text), ' ')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY word
+    )"""
+    steps = []
+    finals = []
+    for i in range(1, n_merges + 1):
+        steps.append(f""",
+    p{i} AS (SELECT pr[1] AS l, pr[2] AS r, sum(n)::BIGINT AS cnt
+             FROM (SELECT n,
+                          unnest(list_zip(arr[1:len(arr) - 1], arr[2:])) AS pr
+                   FROM (SELECT n, string_split(s, ' ') AS arr FROM w{i - 1}))
+             GROUP BY 1, 2),
+    t{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+    w{i} AS (SELECT word, n,
+                    list_reduce(list_prepend('', string_split(s, ' ')),
+                      (acc, x) ->
+                      CASE WHEN acc = '' THEN x
+                           WHEN x = t.r AND (acc = t.l
+                                OR right(acc, length(t.l) + 1) = ' ' || t.l)
+                           THEN substr(acc, 1, length(acc) - length(t.l))
+                                || t.l || t.r
+                           ELSE acc || ' ' || x END) AS s
+             FROM w{i - 1}, t{i} t)""")
+        finals.append(
+            f"SELECT {i} AS step, l AS left_sym, r AS right_sym,"
+            f" l || r AS merged_sym, cnt AS pair_count FROM t{i}"
+        )
+    return head + "".join(steps) + "\n    " + "\n    UNION ALL ".join(finals)
+
+
+@query("text_bpe_train_merges", _bpe_oracle(4))
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-rule TRAINING (Sennrich et al. 2016) as relational
+    algebra: collapse the corpus to its word-frequency table (the one
+    corpus-wide shuffle), then per merge step one adjacent-pair
+    aggregation, a 1-row deterministic arg-max collect, and a
+    zero-shuffle ``F.aggregate`` fold rewriting the symbol strings
+    left-to-right non-overlapping. The oracle unrolls the entire
+    4-step chain, replaying the fold with ``list_reduce``
+    (``operators/bpe.py``)."""
+    from modware_loader_spark.operators import bpe as BP
+
+    t = load_tables(spark, sf_dir)
+    steps = BP.train_merges(t["documents"], n_merges=4)
+    return BP.merge_table(spark, steps)

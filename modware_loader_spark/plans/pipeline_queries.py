@@ -997,3 +997,30 @@ def similarity_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_rerank_topk(
         emb.filter(F.col("vec_id") < 20), emb, shortlist=200, k=5, m=8, ksub=16
     )
+
+
+@query(
+    "embed_random_projection",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+               FROM embeddings)
+    SELECT vec_id, k,
+           round(list_sum(list_transform(generate_series(1, 64), j ->
+             e[j] * (CASE WHEN CAST(('0x' || substr(md5('rp:'
+                        || CAST(k AS VARCHAR) || ':' || CAST(j AS VARCHAR)),
+                        1, 1)) AS INT) % 2 = 0
+                     THEN 1.0 ELSE -1.0 END))), 6) AS proj
+    FROM v, LATERAL (SELECT unnest(generate_series(0, 15)) AS k) u
+    """,
+)
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection (Achlioptas 2003):
+    64-dim embeddings down to 16 dims with a deterministic md5-sign
+    matrix riding as a plan literal — a zero-shuffle map stage at any
+    corpus size, the cheap dimensionality-reduction front stage for ANN
+    shortlists and clustering on embeddings that are NOT
+    Matryoshka-trained. The oracle regenerates the identical matrix
+    from the same md5 parity and replays the index-ordered sums
+    (``operators/similarity.py::random_projection``)."""
+    t = load_tables(spark, sf_dir)
+    return S.random_projection(t["embeddings"], out_dims=16, in_dims=64)

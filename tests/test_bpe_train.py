@@ -1,0 +1,112 @@
+"""BPE merge training: naive Sennrich-model parity (Hypothesis),
+left-to-right non-overlapping merge semantics, tie-breaking, early
+stop, and lineage checkpointing (full-chain oracle parity is covered by
+test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from modware_loader_spark.operators import bpe as BP
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _naive_train(texts: list[str], n_merges: int):
+    """Pure-Python Sennrich BPE on a word-frequency dict: every adjacent
+    position counted (overlapping included), argmax by (count desc,
+    pair asc), merges applied left-to-right non-overlapping."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for text in texts:
+        for word in text.strip().split(" "):
+            if word:
+                key = tuple(word) + (BP.END_OF_WORD,)
+                vocab[key] = vocab.get(key, 0) + 1
+    steps = []
+    for step in range(1, n_merges + 1):
+        stats: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                stats[p] = stats.get(p, 0) + n
+        if not stats:
+            break
+        (l, r), cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        steps.append((step, l, r, cnt))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, n in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+    return steps
+
+
+_corpora = st.lists(
+    st.lists(
+        st.text(alphabet="abz", min_size=1, max_size=5), min_size=0, max_size=6
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(**_SETTINGS)
+@given(_corpora, st.integers(min_value=1, max_value=5))
+def test_train_matches_naive_sennrich(spark, texts, k):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = BP.train_merges(df, n_merges=k, persist=False)
+    assert got == _naive_train(texts, k)
+
+
+def test_merge_is_left_to_right_non_overlapping(spark):
+    words = spark.createDataFrame([(1, "a a a a a")], ["n", "s"]).select(
+        "n", F.col("s")
+    )
+    out = BP.apply_merge(words, "a", "a").collect()[0]["s"]
+    assert out == "aa aa a"
+
+
+def test_merged_symbol_not_retriggered(spark):
+    # rule (a, b): 'ab' produced by the fold must not match as left 'a'
+    words = spark.createDataFrame([(1, "a b b")], ["n", "s"])
+    assert BP.apply_merge(words, "a", "b").collect()[0]["s"] == "ab b"
+
+
+def test_tie_break_lexicographic(spark):
+    # 'xy' and 'yx'-free corpus where (b,</w>) and (a,</w>) tie: the
+    # lexicographically smaller pair must win.
+    df = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    steps = BP.train_merges(df, n_merges=1, persist=False)
+    assert steps == [(1, "a", "</w>", 1)]
+
+
+def test_early_stop_when_fully_merged(spark):
+    # single 1-char word: one possible merge, then no pairs remain
+    df = spark.createDataFrame([(0, "x x x")], ["doc_id", "text"])
+    steps = BP.train_merges(df, n_merges=5, persist=False)
+    assert steps == [(1, "x", "</w>", 3)]
+
+
+def test_checkpoint_every_preserves_results(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the hat"), (2, "that cat")],
+        ["doc_id", "text"],
+    )
+    a = BP.train_merges(df, n_merges=4, persist=False)
+    b = BP.train_merges(df, n_merges=4, persist=False, checkpoint_every=2)
+    assert a == b

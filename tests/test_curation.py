@@ -317,3 +317,34 @@ def test_bloom_decontaminate_sound_and_tight(spark):
     # tightness at this sizing: no false positives on this corpus
     assert bloom_kept == exact_kept
     assert len(bloom_kept) > 0
+
+
+def test_temperature_rates_saturate_and_budget(spark):
+    # 90/10 skew, alpha=0.5: the scarce source's share rises; with a
+    # generous budget it saturates at rate 1 (never upsampled).
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    rates = {
+        r["source"]: r["rate"]
+        for r in SA.temperature_rates(df, "source", alpha=0.5, budget_frac=0.9).collect()
+    }
+    assert rates["small"] == 1.0  # 90 * (sqrt10/(sqrt90+sqrt10)) / 10 > 1
+    assert 0 < rates["big"] < 1
+    # alpha=1 is proportional sampling: every source keeps budget_frac.
+    prop = {
+        r["source"]: r["rate"]
+        for r in SA.temperature_rates(df, "source", alpha=1.0, budget_frac=0.5).collect()
+    }
+    assert prop["big"] == prop["small"] == 0.5
+
+
+def test_temperature_sample_deterministic_and_flagged(spark):
+    rows = [(i, f"s{i % 3}") for i in range(120)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    a = SA.temperature_sample(df, "source", "doc_id").collect()
+    b = SA.temperature_sample(df.repartition(11), "source", "doc_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # keep is a flag over ALL rows, not a filtered subset
+    assert len(a) == 120
+    kept = sum(r["keep"] for r in a)
+    assert 0 < kept < 120

@@ -162,6 +162,7 @@ _BNLJ_WHITELIST = {
     "text_bm25_topk",
     "search_hybrid_rrf_topk",
     "text_lm_perplexity",  # 1-row LM totals broadcast attach (DSIR shape)
+    "sample_temperature",  # 1-row corpus-totals broadcast attach (DSIR shape)
 }
 
 
