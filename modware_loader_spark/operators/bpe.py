@@ -177,3 +177,75 @@ def merge_table(spark, steps: list[tuple[int, str, str, int]]) -> DataFrame:
         "step int, left_sym string, right_sym string,"
         " merged_sym string, pair_count long",
     )
+
+
+def apply_merges_to_words(words: DataFrame, merges) -> DataFrame:
+    """Apply an ordered list of trained merge rules ``[(left, right),
+    ...]`` to the word table — one zero-shuffle fold per rule, chained.
+    Rule order matters (later rules consume earlier rules' symbols)."""
+    cur = words
+    for left, right in merges:
+        cur = apply_merge(cur, left, right)
+    return cur
+
+
+def encode_token_counts(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BPE ENCODING under a trained merge table, reduced to per-document
+    token counts: ``(id, n_words, n_sym0, n_tokens_bpe)`` — symbol count
+    before merges (chars + </w> per word) and after.
+
+    The fold runs once per DISTINCT word (the word table), not per
+    occurrence — the same vocabulary-collapse trick as training: a
+    corpus-wide groupBy to (doc, word) counts, the merge folds on the
+    |vocab|-sized side, and a join-back keyed on the word. At 100 TB
+    both shuffles carry near-uniform word keys; the merge table rides
+    as plan literals (``train_merges`` already reduced it to driver
+    scale). Token-budget planning for packing/chunking is the consumer:
+    this is the real-tokenizer count the ``text_bpe_token_count``
+    regex estimate approximates.
+    """
+    occurrences = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    vocab = occurrences.select("word").distinct().withColumn(
+        "s",
+        F.concat(
+            F.expr(
+                "concat_ws(' ', transform(sequence(1, length(word)),"
+                " i -> substring(word, i, 1)))"
+            ),
+            F.lit(" " + END_OF_WORD),
+        ),
+    )
+    encoded = apply_merges_to_words(vocab, merges).select(
+        "word",
+        (F.length("word") + F.lit(1)).alias("n_sym0"),
+        F.size(F.split(F.col("s"), " ")).alias("n_sym"),
+    )
+    per_doc = (
+        occurrences.join(encoded, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_occ").alias("n_words"),
+            F.sum(F.col("n_occ") * F.col("n_sym0")).alias("n_sym0"),
+            F.sum(F.col("n_occ") * F.col("n_sym")).alias("n_tokens_bpe"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_sym0", F.lit(0)).cast("long").alias("n_sym0"),
+            F.coalesce("n_tokens_bpe", F.lit(0)).cast("long").alias("n_tokens_bpe"),
+        )
+    )

@@ -1934,7 +1934,7 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_source", "rate_micros", "keep")
 
 
-def _bpe_oracle(n_merges: int) -> str:
+def _bpe_chain(n_merges: int):
     """DuckDB restatement of the FULL k-step BPE training chain
     (``operators/bpe.py``): word-frequency table with space-joined
     symbol strings, then per step an adjacent-pair count, a
@@ -1975,7 +1975,36 @@ def _bpe_oracle(n_merges: int) -> str:
             f"SELECT {i} AS step, l AS left_sym, r AS right_sym,"
             f" l || r AS merged_sym, cnt AS pair_count FROM t{i}"
         )
+    return head, steps, finals
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    head, steps, finals = _bpe_chain(n_merges)
     return head + "".join(steps) + "\n    " + "\n    UNION ALL ".join(finals)
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Training chain + ENCODING: fold the final merged vocabulary back
+    onto per-document word occurrences and sum symbol counts."""
+    head, steps, _ = _bpe_chain(n_merges)
+    tail = f""",
+    occ AS (SELECT doc_id, word, count(*)::BIGINT AS n_occ
+            FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+                  FROM documents)
+            WHERE word <> '' GROUP BY 1, 2),
+    enc AS (SELECT word, (length(word) + 1)::BIGINT AS n_sym0,
+                   len(string_split(s, ' '))::BIGINT AS n_sym
+            FROM w{n_merges}),
+    perdoc AS (SELECT doc_id, sum(n_occ)::BIGINT AS n_words,
+                      sum(n_occ * n_sym0)::BIGINT AS n_sym0,
+                      sum(n_occ * n_sym)::BIGINT AS n_tokens_bpe
+               FROM occ JOIN enc USING (word) GROUP BY 1)
+    SELECT d.doc_id, coalesce(n_words, 0)::BIGINT AS n_words,
+           coalesce(p.n_sym0, 0)::BIGINT AS n_sym0,
+           coalesce(n_tokens_bpe, 0)::BIGINT AS n_tokens_bpe
+    FROM documents d LEFT JOIN perdoc p USING (doc_id)
+    """
+    return head + "".join(steps) + tail
 
 
 @query("text_bpe_train_merges", _bpe_oracle(4))
@@ -1993,3 +2022,23 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     steps = BP.train_merges(t["documents"], n_merges=4)
     return BP.merge_table(spark, steps)
+
+
+@query("text_bpe_encode", _bpe_encode_oracle(4))
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING under the trained merge table — the inference half
+    of the tokenizer loop: train 4 merge rules, fold them over the
+    DISTINCT-word vocabulary (never per occurrence), join the encoded
+    symbol counts back onto per-document word occurrences, and emit the
+    real post-merge token count per document (vs the ``n_sym0``
+    char-level count). This is the token-budget number packing/chunking
+    planners actually need; the oracle replays training AND encoding in
+    one generated SQL chain (``operators/bpe.py::encode_token_counts``).
+    """
+    from modware_loader_spark.operators import bpe as BP
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    steps = BP.train_merges(docs, n_merges=4)
+    merges = [(l, r) for _, l, r, _ in steps]
+    return BP.encode_token_counts(docs, merges)

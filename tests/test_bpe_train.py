@@ -110,3 +110,27 @@ def test_checkpoint_every_preserves_results(spark):
     a = BP.train_merges(df, n_merges=4, persist=False)
     b = BP.train_merges(df, n_merges=4, persist=False, checkpoint_every=2)
     assert a == b
+
+
+def test_encode_token_counts_hand_checked(spark):
+    # corpus: 'ab ab b' — train 1 merge. Pairs over words {ab:2, b:1}:
+    # (a,b):2, (b,</w>):3 -> top is (b,</w>) cnt 3. Encoded: 'ab' =
+    # 'a b </w>' -> 'a b</w>' (2 syms), 'b' = 'b </w>' -> 'b</w>' (1).
+    df = spark.createDataFrame([(0, "ab ab b"), (1, "")], ["doc_id", "text"])
+    steps = BP.train_merges(df, n_merges=1, persist=False)
+    assert steps == [(1, "b", "</w>", 3)]
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_sym0"], r["n_tokens_bpe"])
+        for r in BP.encode_token_counts(df, [(l, r) for _, l, r, _ in steps]).collect()
+    }
+    assert out[0] == (3, 3 + 3 + 2, 2 + 2 + 1)
+    assert out[1] == (0, 0, 0)  # token-free doc still present
+
+
+def test_encode_merge_order_matters(spark):
+    # rules [(a,b), (ab,</w>)] chain: second consumes the first's output
+    df = spark.createDataFrame([(0, "ab")], ["doc_id", "text"])
+    one = BP.encode_token_counts(df, [("a", "b")]).collect()[0]
+    two = BP.encode_token_counts(df, [("a", "b"), ("ab", "</w>")]).collect()[0]
+    assert one["n_tokens_bpe"] == 2  # 'ab </w>'
+    assert two["n_tokens_bpe"] == 1  # 'ab</w>'
