@@ -105,6 +105,11 @@ BENCH_QUERIES = [
     "dedup_substring_rewrite",
     "source_warc_files",
     "source_warc_main_content",
+    "text_classifier_train",
+    "sample_temperature",
+    "text_bpe_train_merges",
+    "text_bpe_encode",
+    "embed_random_projection",
 ]
 
 

@@ -229,8 +229,14 @@ def _doc_scores(feats: DataFrame, weights: dict[int, int], id_col: str) -> DataF
     """Exact integer score per document under a literal weight map:
     ``(id, score_micros)``. One partial-aggregating shuffle on the id."""
     wmap = _weight_map(weights)
+    # coalesce: a SPARSE weight dict (user-supplied, not the dense
+    # trainer output) must weigh missing buckets 0, not NULL-poison the
+    # whole document's sum — the linear_classifier_score convention.
     return feats.groupBy(id_col).agg(
-        F.sum(F.col("c") * F.element_at(wmap, F.col("bucket"))).alias("score_micros")
+        F.sum(
+            F.col("c")
+            * F.coalesce(F.element_at(wmap, F.col("bucket")), F.lit(0).cast("long"))
+        ).alias("score_micros")
     )
 
 

@@ -536,6 +536,11 @@ def random_projection(
     Scaling the ±1 sum by ``1/sqrt(out_dims)`` (the usual unit-variance
     normalization) is left to the consumer — a constant factor that
     cancels in cosine/rank comparisons.
+
+    ``in_dims`` must equal the actual embedding length: ``zip_with``
+    pads a shorter vector with NULLs, which propagate to a NULL ``proj``
+    for that row (visible, not silently wrong — and identical in the
+    oracle's ``e[j]`` out-of-range NULLs).
     """
     rows = rp_sign_matrix(out_dims, in_dims)
     mat = F.array(*[F.array(*[F.lit(v) for v in row]) for row in rows])

@@ -347,3 +347,43 @@ def stream_lm_gate(
             >= F.lit(int(min_avg_lp_micros)) * F.col("n_trigrams")
         )
     )
+
+
+def stream_temperature_gate(
+    docs: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Streaming temperature-sampling gate: keep rows whose
+    deterministic md5-uniform draw clears their source's precomputed
+    keep rate — the streaming twin of the batch ``sample_temperature``
+    query.
+
+    The batch operator (``operators.sampling.temperature_rates``)
+    derives rates from source counts — a corpus aggregate a stream
+    cannot compute; the production shape is: batch job snapshots the
+    rates (source-cardinality-sized), the stream applies them as a
+    LITERAL map. The membership draw is the same ``hash_uniform`` as
+    the batch side, so a row admitted by the stream is exactly the row
+    the batch sampler would keep under the same rates (pinned by a
+    batch-equivalence test). Append mode, stateless, zero shuffle.
+    Sources absent from the snapshot keep rate 0 (drop) — the
+    conservative default for a crawl discovering new domains between
+    rate refreshes.
+    """
+    from modware_loader_spark.operators.sampling import hash_uniform
+
+    if rates:
+        lit_map = F.create_map(
+            *[
+                c
+                for s, r in sorted(rates.items())
+                for c in (F.lit(s), F.lit(float(r)))
+            ]
+        )
+        rate = F.coalesce(lit_map[F.col(source_col)], F.lit(0.0))
+    else:
+        rate = F.lit(0.0)
+    return docs.filter(hash_uniform(F.col(key_col), salt=salt) < rate)

@@ -134,3 +134,14 @@ def test_encode_merge_order_matters(spark):
     two = BP.encode_token_counts(df, [("a", "b"), ("ab", "</w>")]).collect()[0]
     assert one["n_tokens_bpe"] == 2  # 'ab </w>'
     assert two["n_tokens_bpe"] == 1  # 'ab</w>'
+
+
+def test_merge_symbols_with_quotes_escape_cleanly(spark):
+    # apostrophe symbols flow through the F.expr fold as escaped
+    # literals — "don't"-style words must not break the SQL embedding
+    df = spark.createDataFrame([(0, "don't don't")], ["doc_id", "text"])
+    steps = BP.train_merges(df, n_merges=2, persist=False)
+    assert len(steps) == 2 and all(c == 2 for _, _, _, c in steps)
+    words = spark.createDataFrame([(1, "d o n ' t </w>")], ["n", "s"])
+    out = BP.apply_merge(words, "'", "t").collect()[0]["s"]
+    assert out == "d o n 't </w>"

@@ -132,3 +132,10 @@ def test_empty_corpus_raises(spark):
         assert "empty corpus" in str(e)
     else:
         raise AssertionError("expected ValueError on empty corpus")
+
+
+def test_sparse_weight_dict_missing_buckets_weigh_zero(spark):
+    df = spark.createDataFrame([(0, "x y z", 1)], ["doc_id", "text", "y"])
+    # only the intercept supplied: every token slot coalesces to 0
+    out = CL.logreg_predictions(df, {-1: 7}, 4, F.col("y") == 1).collect()[0]
+    assert out["score_micros"] == 7 and out["pred"] == 1

@@ -606,3 +606,50 @@ def test_stream_main_content_matches_batch(spark, tmp_path):
     assert streamed == batch and len(streamed) > 0
     # and the content survived for long docs
     assert any(r[3] != "" for r in streamed)
+
+
+def test_stream_temperature_gate_matches_batch(spark, tmp_path):
+    """The streaming temperature gate (literal rate map, md5 draw)
+    admits exactly the rows the batch sampler keeps under the same
+    rate snapshot — stateless append mode; unknown sources drop."""
+    from modware_loader_spark.operators.sampling import (
+        temperature_rates,
+        temperature_sample,
+    )
+    from modware_loader_spark.streaming.events import stream_temperature_gate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rates = {
+        r["source"]: r["rate"]
+        for r in temperature_rates(docs, "source", alpha=0.5, budget_frac=0.6).collect()
+    }
+    batch_keep = {
+        r["doc_id"]
+        for r in temperature_sample(docs, "source", "doc_id").collect()
+        if r["keep"] == 1
+    }
+    path = str(tmp_path / "docs_temp_stream")
+    docs.write.parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    q = (
+        stream_temperature_gate(stream, rates)
+        .writeStream.format("memory")
+        .queryName("temp_t")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM temp_t").collect()}
+    assert streamed == batch_keep and len(streamed) > 0
+    # unknown source (absent from the snapshot) → rate 0 → dropped
+    q2 = (
+        stream_temperature_gate(stream, {"no-such-source": 1.0})
+        .writeStream.format("memory")
+        .queryName("temp_empty_t")
+        .outputMode("append")
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.sql("SELECT count(*) c FROM temp_empty_t").collect()[0]["c"] == 0

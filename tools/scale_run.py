@@ -42,6 +42,13 @@ QUERIES = [
     # the two new row-local r9 operators, for the record
     "dedup_substring_rewrite",
     "text_lm_perplexity",
+    # r9 continuation: the two trainers, the mixture sampler, the
+    # encoder and the JL projection
+    "text_classifier_train",
+    "sample_temperature",
+    "text_bpe_train_merges",
+    "text_bpe_encode",
+    "embed_random_projection",
 ]
 
 
@@ -74,8 +81,12 @@ def main() -> None:
     spark = get_spark("scale-run")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+    # SPARK_GRAFT_SCALE_QUERIES=a,b,c restricts the sweep (re-measuring
+    # a subset without paying for the full 20-query session)
+    only = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+    names = [n for n in only.split(",") if n] if only else QUERIES
     rows = []
-    for name in QUERIES:
+    for name in names:
         t_small = timed(spark, qs[name], SMALL)
         t_big = timed(spark, qs[name], big)
         ratio = round(t_big / t_small, 2) if t_small else float("inf")
