@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "text_bpe_train_merges",
     "text_bpe_encode",
     "embed_random_projection",
+    "pipeline_curation_v2",
 ]
 
 

@@ -335,3 +335,40 @@ def logreg_predictions(
         F.col("score_micros").cast("long").alias("score_micros"),
         (F.col("score_micros") >= 0).cast("int").alias("pred"),
     )
+
+
+def dense_fold_score(
+    text: Column,
+    weights: dict[int, int],
+    n_buckets: int,
+    bias_micros: int = 0,
+) -> Column:
+    """Zero-join classifier score as a pure column expression: one
+    ``aggregate`` fold over the token array with the DENSE weight vector
+    as a literal ARRAY indexed by bucket.
+
+    The literal-MAP form (``streaming.events.stream_classifier_gate``)
+    is right for sparse snapshot models, but a literal map's
+    ``element_at`` is a linear scan of the map — O(n_buckets) PER TOKEN,
+    which turned the composed-pipeline fold into the plan's hot spot at
+    4096 buckets (measured: ~17 s at sf0.1). A dense literal array is
+    O(1) per token (constant-folded once, indexed thereafter); for a
+    dense trained model it is strictly better. Same integer micro-unit
+    arithmetic, bit-identical scores.
+    """
+    # One F.lit(list) call, not array(*4096 lits): per-element Column
+    # construction costs a py4j round trip each, and the resulting
+    # 4096-node expression tree re-analyzes on every action — measured
+    # ~7 s of pure plan-building/analysis overhead per run at 4096
+    # buckets. A single list literal is one call and one tree node.
+    arr = F.lit([int(weights.get(b, 0)) for b in range(n_buckets)]).cast(
+        "array<long>"
+    )
+    return F.aggregate(
+        tokens(text),
+        F.lit(int(bias_micros)).cast("long"),
+        lambda acc, t: acc
+        + F.when(t == "", F.lit(0).cast("long")).otherwise(
+            F.element_at(arr, hash_bucket(t, n_buckets).cast("int") + F.lit(1))
+        ),
+    )

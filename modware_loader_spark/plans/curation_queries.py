@@ -1563,6 +1563,58 @@ def _spark_html_escape(col):
     return out
 
 
+def _boilerplate_page_frame(docs: DataFrame, carry: tuple = ()) -> DataFrame:
+    """Synthesize the boilerplate-framed test page per document ENTIRELY
+    in JVM expressions: title, link-only nav, short h1, a plain content
+    paragraph holding the first ceil(n/2) words, a second paragraph with
+    every remaining word wrapped in an anchor, and a linky footer —
+    the fixture both ``text_main_content`` and ``pipeline_curation_v2``
+    run the densitometric block classifier against. Returns
+    ``(doc_id, *carry, html)``.
+
+    The Python block parser downstream inherits the scan's split count;
+    sf0.1's single ~2 MB parquet file would serialize 5k parses onto one
+    core (measured in the r9 scale run: sf0.1 SLOWER than the 10x
+    dataset, whose 30 splits engaged every worker). Guarded repartition
+    — a production corpus with real split counts never pays the shuffle.
+    """
+    from modware_loader_spark.operators.ivf import ensure_min_partitions
+
+    d = ensure_min_partitions(docs).select(
+        "doc_id",
+        *carry,
+        F.trim(
+            F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), "\\s+", " ")
+        ).alias("t"),
+    )
+    ws = F.when(F.col("t") == "", F.array().cast("array<string>")).otherwise(
+        F.split(_spark_html_escape(F.col("t")), " ")
+    )
+    d = d.withColumn("ws", ws).withColumn("n", F.size("ws")).withColumn(
+        "h", F.ceil(F.col("n") / F.lit(2.0)).cast("int")
+    )
+    sid = F.col("doc_id").cast("string")
+    p1 = F.array_join(F.slice("ws", F.lit(1), F.col("h")), " ")
+    p2 = F.array_join(
+        F.transform(
+            F.slice("ws", F.col("h") + F.lit(1), F.col("n") - F.col("h")),
+            lambda w: F.concat(F.lit('<a href="#">'), w, F.lit("</a>")),
+        ),
+        " ",
+    )
+    html = F.concat(
+        F.lit("<html><head><title>doc "), sid, F.lit("</title></head><body>"),
+        F.lit('<nav><a href="/">Home</a> <a href="/a">About</a>'
+              ' <a href="/c">Contact</a></nav>'),
+        F.lit("<h1>doc "), sid, F.lit(" heading</h1>"),
+        F.lit("<p>"), p1, F.lit("</p>"),
+        F.lit("<p>"), p2, F.lit("</p>"),
+        F.lit('<footer>© 2026 crawl.example.com <a href="/t">Terms</a></footer>'),
+        F.lit("</body></html>"),
+    )
+    return d.select("doc_id", *carry, html.alias("html"))
+
+
 @query(
     "text_main_content",
     """
@@ -1603,46 +1655,11 @@ def text_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``html_to_text`` used by ``source_warc_html_text`` keeps this
     nav/footer noise (C4/RefinedWeb treat its removal as load-bearing).
     """
-    from modware_loader_spark.operators.ivf import ensure_min_partitions
     from modware_loader_spark.sources import warc as W
 
     t = load_tables(spark, sf_dir)
-    # The Python block parser inherits the scan's split count; sf0.1's
-    # single ~2 MB parquet file would serialize 5k parses onto one core
-    # (measured in the r9 scale run: sf0.1 SLOWER than the 10x dataset,
-    # whose 30 splits engaged every worker). Guarded repartition — a
-    # production corpus with real split counts never pays the shuffle.
-    d = ensure_min_partitions(t["documents"]).select(
-        "doc_id",
-        F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), "\\s+", " ")).alias("t"),
-    )
-    ws = F.when(F.col("t") == "", F.array().cast("array<string>")).otherwise(
-        F.split(_spark_html_escape(F.col("t")), " ")
-    )
-    d = d.withColumn("ws", ws).withColumn("n", F.size("ws")).withColumn(
-        "h", F.ceil(F.col("n") / F.lit(2.0)).cast("int")
-    )
-    sid = F.col("doc_id").cast("string")
-    p1 = F.array_join(F.slice("ws", F.lit(1), F.col("h")), " ")
-    p2 = F.array_join(
-        F.transform(
-            F.slice("ws", F.col("h") + F.lit(1), F.col("n") - F.col("h")),
-            lambda w: F.concat(F.lit('<a href="#">'), w, F.lit("</a>")),
-        ),
-        " ",
-    )
-    html = F.concat(
-        F.lit("<html><head><title>doc "), sid, F.lit("</title></head><body>"),
-        F.lit('<nav><a href="/">Home</a> <a href="/a">About</a>'
-              ' <a href="/c">Contact</a></nav>'),
-        F.lit("<h1>doc "), sid, F.lit(" heading</h1>"),
-        F.lit("<p>"), p1, F.lit("</p>"),
-        F.lit("<p>"), p2, F.lit("</p>"),
-        F.lit('<footer>© 2026 crawl.example.com <a href="/t">Terms</a></footer>'),
-        F.lit("</body></html>"),
-    )
     out = W.extract_main_content(
-        d.select("doc_id", html.alias("html")), "html", min_words=10
+        _boilerplate_page_frame(t["documents"]), "html", min_words=10
     )
     return out.select(
         "doc_id",
@@ -2042,3 +2059,112 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps = BP.train_merges(docs, n_merges=4)
     merges = [(l, r) for _, l, r, _ in steps]
     return BP.encode_token_counts(docs, merges)
+
+
+_V2_U01 = (
+    "(CAST(('0x' || substr(md5('temp' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    " AS UBIGINT) / 4294967296.0)"
+)
+
+
+@query(
+    "pipeline_curation_v2",
+    f"""
+    WITH d AS (SELECT doc_id, source,
+                 trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS t
+               FROM documents),
+    w AS (SELECT doc_id, source,
+            CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                 ELSE string_split(t, ' ') END AS ws
+          FROM d),
+    c AS (SELECT doc_id, source, len(ws) AS n,
+                 CAST(ceil(len(ws) / 2.0) AS BIGINT) AS h, ws
+          FROM w),
+    mc AS (SELECT doc_id, source, h AS main_words,
+                  array_to_string(ws[1:h], ' ') AS mt
+           FROM c WHERE h >= 10),
+    wt AS (SELECT g AS bucket,
+                  (CAST(('0x' || substr(md5('w:' || CAST(g AS VARCHAR)), 1, 2))
+                        AS BIGINT) - 128) * 1000 AS w_micros
+           FROM generate_series(0, {_CLF_BUCKETS - 1}) t(g)),
+    b AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)
+                   % {_CLF_BUCKETS} AS bucket
+          FROM (SELECT doc_id, unnest(string_split(mt, ' ')) AS tok FROM mc)),
+    s AS (SELECT b.doc_id,
+                 CAST(coalesce(sum(wt.w_micros), 0) AS BIGINT) AS score_micros
+          FROM b LEFT JOIN wt USING (bucket) GROUP BY b.doc_id),
+    surv AS (SELECT mc.doc_id, mc.source, mc.main_words, s.score_micros, mc.mt
+             FROM mc JOIN s USING (doc_id) WHERE s.score_micros >= 0),
+    cnt AS (SELECT source, count(*)::BIGINT AS n FROM surv GROUP BY source),
+    w2 AS (SELECT source, n,
+                  CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+                    AS w_micros
+           FROM cnt),
+    tot AS (SELECT sum(n)::BIGINT AS total_rows,
+                   sum(w_micros)::BIGINT AS total_w FROM w2),
+    rates AS (SELECT source,
+                     least(1.0, floor(0.6 * total_rows)
+                                * (w_micros / total_w) / n) AS rate
+              FROM w2, tot)
+    SELECT surv.doc_id, surv.source,
+           surv.main_words::BIGINT AS main_words,
+           surv.score_micros,
+           len(regexp_extract_all(surv.mt,
+               '{TX.BPE_ISH_PATTERN.replace("'", "''")}'))::BIGINT
+             AS n_bpe_tokens
+    FROM surv JOIN rates USING (source)
+    WHERE {_V2_U01} < rate
+    """,
+)
+def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-9 curation chain composed END TO END in one
+    (almost-)zero-join Catalyst plan: crawl-shaped page synthesis →
+    densitometric main-content extraction (Arrow map stage) →
+    hashed-linear quality-classifier gate as a LITERAL-MAP fold (the
+    streaming twin doubles as the composable zero-join batch form) →
+    temperature mixture sampling with an eagerly-snapshotted rate map
+    (bounded source-cardinality collect — the DSIR/centroid class) →
+    BPE-ish token budgeting. The final plan makes ONE pass over the
+    corpus with no join and no aggregation; the only extra executed
+    pass is the rate snapshot at build time. Contrast with
+    ``pipeline_training_data_e2e`` (the join-back-shaped dedup/decontam
+    chain); this is the map-dominant half of a production pipeline —
+    the shape a 100 TB crawl refresh actually runs per batch.
+    """
+    from modware_loader_spark.streaming.events import stream_temperature_gate
+
+    t = load_tables(spark, sf_dir)
+    from modware_loader_spark.sources import warc as W
+
+    mc = W.extract_main_content(
+        _boilerplate_page_frame(t["documents"], carry=("source",)),
+        "html",
+        min_words=10,
+    ).filter(F.col("main_words") >= 10)
+    # Dense literal-ARRAY fold, not the literal-map stream gate: a
+    # 4096-slot literal map's element_at is a linear scan PER TOKEN
+    # (measured ~17 s at sf0.1); the dense array is O(1) per token
+    # (1.19x at 10x either way, but absolute cost matters).
+    weights = {
+        r["bucket"]: r["w_micros"]
+        for r in CL.synth_weight_table(spark, _CLF_BUCKETS).collect()
+    }
+    surv = mc.withColumn(
+        "score_micros",
+        CL.dense_fold_score(F.col("main_text"), weights, _CLF_BUCKETS),
+    ).filter(F.col("score_micros") >= 0)
+    rates = {
+        r["source"]: r["rate"]
+        for r in SA.temperature_rates(surv, "source").collect()
+    }
+    kept = stream_temperature_gate(surv, rates)
+    return kept.select(
+        "doc_id",
+        "source",
+        F.col("main_words").cast("long").alias("main_words"),
+        F.col("score_micros").cast("long").alias("score_micros"),
+        F.size(TX.bpe_ish_tokens(F.col("main_text")))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )

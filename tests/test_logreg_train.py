@@ -139,3 +139,24 @@ def test_sparse_weight_dict_missing_buckets_weigh_zero(spark):
     # only the intercept supplied: every token slot coalesces to 0
     out = CL.logreg_predictions(df, {-1: 7}, 4, F.col("y") == 1).collect()[0]
     assert out["score_micros"] == 7 and out["pred"] == 1
+
+
+def test_dense_fold_score_matches_broadcast_scorer(spark):
+    """The zero-join dense-array fold computes bit-identical scores to
+    the broadcast-join scorer (the composed-pipeline fast path)."""
+    rows = [(i, " ".join(f"tok{j % 11}" for j in range(i + 1))) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    wt = CL.synth_weight_table(spark, 64)
+    ref = {
+        r["doc_id"]: r["score_micros"]
+        for r in CL.linear_classifier_score(df, wt, 64, bias_micros=5).collect()
+    }
+    weights = {r["bucket"]: r["w_micros"] for r in wt.collect()}
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id",
+            CL.dense_fold_score(F.col("text"), weights, 64, bias_micros=5).alias("s"),
+        ).collect()
+    }
+    assert got == ref
