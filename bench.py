@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "text_bpe_encode",
     "embed_random_projection",
     "pipeline_curation_v2",
+    "pack_training_shards",
+    "sample_cluster_balanced",
 ]
 
 

@@ -29,6 +29,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from modware_loader_spark.operators.sampling import hash_uniform
+
 
 def chunk_text(
     df: DataFrame,
@@ -145,3 +147,40 @@ def pack_sequences(
     return with_off.withColumn(
         pack_col, F.expr(f"`__start` div {int(budget)}")
     ).drop("__start")
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic training-shard layout: the input plus ``(shard,
+    pos)`` — the reproducible global shuffle every training-data export
+    ends with.
+
+    Training wants documents in random order, decorrelated from crawl /
+    source order, yet REPRODUCIBLE (re-runs, spot-instance retries and
+    incremental rebuilds must produce byte-identical shards). Both come
+    from the md5 draw: ``shard = floor(u * n_shards)`` spreads rows
+    uniformly and deterministically; ``pos`` ranks rows within a shard
+    by the same draw (key tiebreak), so within-shard order is a
+    deterministic random permutation. Downstream writers partition by
+    ``shard`` and sort by ``pos`` (``partitionBy`` + ``sortWithinPartitions``).
+
+    Scale shape: one hash shuffle on the shard key plus a
+    partition-local sort per shard — no global sort, no single
+    partition anywhere. Size ``n_shards`` so a shard fits an output
+    file (10^4-10^5 at 100 TB); skew is impossible by construction
+    (md5-uniform keys).
+    """
+    if n_shards <= 0:
+        raise ValueError(f"assign_shards: n_shards must be positive, got {n_shards}")
+    u = hash_uniform(F.col(key_col), salt=salt)
+    shard = F.floor(u * F.lit(float(n_shards))).cast("int")
+    w = Window.partitionBy(shard).orderBy(u.asc(), F.col(key_col).asc())
+    return df.select(
+        *[F.col(c) for c in df.columns],
+        shard.alias("shard"),
+        F.row_number().over(w).alias("pos"),
+    )

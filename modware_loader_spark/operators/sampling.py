@@ -456,3 +456,23 @@ def temperature_sample(
         .cast("int")
         .alias("keep"),
     )
+
+
+def frequency_cap_flags(
+    df: DataFrame,
+    group_cols: list[str],
+    cap: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """``frequency_cap`` with VERDICTS instead of a filtered subset: the
+    input plus ``(pos_in_group, keep)`` where ``keep = pos <= cap`` on
+    the deterministic hash-ordered rank. Same one-shuffle shape; emit
+    flags when downstream wants to audit what was capped away (the same
+    keep-flag convention as ``temperature_sample``)."""
+    u = hash_uniform(F.col(key_col), salt=salt)
+    w = Window.partitionBy(*group_cols).orderBy(u.asc(), F.col(key_col).asc())
+    return df.select(
+        *[F.col(c) for c in df.columns],
+        F.row_number().over(w).alias("pos_in_group"),
+    ).withColumn("keep", (F.col("pos_in_group") <= cap).cast("int"))

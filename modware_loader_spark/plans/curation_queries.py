@@ -2168,3 +2168,33 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_bpe_tokens"),
     )
+
+
+_SHARD_U01 = (
+    "(CAST(('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    " AS UBIGINT) / 4294967296.0)"
+)
+
+
+@query(
+    "pack_training_shards",
+    f"""
+    WITH u AS (SELECT doc_id, {_SHARD_U01} AS u FROM documents),
+    s AS (SELECT doc_id, CAST(floor(u * 16.0) AS INT) AS shard, u FROM u)
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY u, doc_id) AS pos
+    FROM s
+    """,
+)
+def pack_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard layout — the reproducible global
+    shuffle a training-data export ends with: md5-uniform shard
+    assignment (decorrelates crawl/source order) plus a deterministic
+    random within-shard position, so re-runs and retries produce
+    byte-identical shards. One hash shuffle + partition-local sort, no
+    global sort (``operators/packing.py::assign_shards``)."""
+    t = load_tables(spark, sf_dir)
+    out = PK.assign_shards(t["documents"], n_shards=16)
+    return out.select(
+        "doc_id", "shard", F.col("pos").cast("long").alias("pos")
+    )

@@ -1024,3 +1024,78 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators/similarity.py::random_projection``)."""
     t = load_tables(spark, sf_dir)
     return S.random_projection(t["embeddings"], out_dims=16, in_dims=64)
+
+
+_DIV_U01 = (
+    "(CAST(('0x' || substr(md5('div' || CAST(vec_id AS VARCHAR)), 1, 8))"
+    " AS UBIGINT) / 4294967296.0)"
+)
+
+
+@query(
+    "sample_cluster_balanced",
+    f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+               FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS centroid
+           FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)),
+    d0 AS (SELECT v.vec_id, c0.cell,
+             round(list_sum(list_transform(generate_series(1, len(v.e)),
+               i -> (v.e[i] - c0.centroid[i]) * (v.e[i] - c0.centroid[i]))), 6) AS dist
+           FROM v CROSS JOIN c0),
+    a0 AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+             FROM d0) WHERE rn = 1),
+    dims AS (SELECT a0.cell, u.s.pos AS pos, u.s.val AS val
+             FROM a0 JOIN v USING (vec_id),
+                  LATERAL (SELECT unnest(list_transform(generate_series(1, len(v.e)),
+                            i -> {{'pos': i, 'val': v.e[i]}})) AS s) u),
+    m AS (SELECT cell, pos,
+                 round(sum(CAST(val AS DECIMAL(28,12)))::DOUBLE / count(*), 6) AS m
+          FROM dims GROUP BY cell, pos),
+    c1 AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM m GROUP BY cell),
+    d1 AS (SELECT v.vec_id, c1.cell,
+             round(list_sum(list_transform(generate_series(1, len(v.e)),
+               i -> (v.e[i] - c1.centroid[i]) * (v.e[i] - c1.centroid[i]))), 6) AS dist
+           FROM v CROSS JOIN c1),
+    cells AS (SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+                FROM d1) WHERE rn = 1),
+    ranked AS (SELECT vec_id, cell,
+                      row_number() OVER (PARTITION BY cell
+                                         ORDER BY {_DIV_U01}, vec_id)
+                        AS pos_in_group
+               FROM cells)
+    SELECT vec_id, cell, pos_in_group,
+           CAST(CASE WHEN pos_in_group <= 40 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM ranked
+    """,
+)
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling (the SemDeDup-adjacent
+    "spread the budget across embedding clusters" selection): assign
+    every vector to its IVF k-means cell (8 cells, deterministic seeds +
+    one exact-decimal Lloyd step — the oracle-verified index from
+    ``similarity_ivf_topk``), then keep a deterministic hash-ordered cap
+    of 40 per cell, emitting verdicts. Over-dense regions of embedding
+    space lose their excess; sparse regions keep everything — the
+    cheapest cluster-aware answer to "train on diverse data". Training
+    is the bounded-collect class (centroids); capping is one shuffle on
+    the cell key (``operators/sampling.py::frequency_cap_flags``)."""
+    from modware_loader_spark.operators import sampling as SA
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    centroids = IVF.ivf_train(emb, nlist=8, lloyd_iters=1)
+    assigned = IVF.ivf_assign(emb, centroids).select("vec_id", "cell")
+    out = SA.frequency_cap_flags(
+        assigned, ["cell"], cap=40, key_col="vec_id", salt="div"
+    )
+    return out.select(
+        "vec_id",
+        "cell",
+        F.col("pos_in_group").cast("long").alias("pos_in_group"),
+        "keep",
+    )

@@ -348,3 +348,20 @@ def test_temperature_sample_deterministic_and_flagged(spark):
     assert len(a) == 120
     kept = sum(r["keep"] for r in a)
     assert 0 < kept < 120
+
+
+def test_frequency_cap_flags_consistent_with_filter_form(spark):
+    rows = [(i, f"g{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    kept = {
+        r["doc_id"]
+        for r in SA.frequency_cap(df, ["grp"], cap=5, key_col="doc_id").collect()
+    }
+    flags = SA.frequency_cap_flags(df, ["grp"], cap=5, key_col="doc_id").collect()
+    assert len(flags) == 60  # verdicts over ALL rows
+    assert {r["doc_id"] for r in flags if r["keep"] == 1} == kept
+    per_group = {}
+    for r in flags:
+        if r["keep"]:
+            per_group[r["grp"]] = per_group.get(r["grp"], 0) + 1
+    assert all(v == 5 for v in per_group.values())

@@ -165,3 +165,35 @@ def test_mixture_rates_null_source(spark):
     assert rates["en"] > 0 and rates["de"] > 0
     kept = rebalance_mixture(df, "src", "doc_id", {"en": 1, "de": 1}).collect()
     assert kept and all(r.src is not None for r in kept)
+
+
+def test_assign_shards_deterministic_and_bounded(spark):
+    from modware_loader_spark.operators.packing import assign_shards
+
+    df = spark.range(300).withColumnRenamed("id", "doc_id")
+    a = assign_shards(df, 8).collect()
+    b = assign_shards(df.repartition(7), 8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    shards = {r["shard"] for r in a}
+    assert shards <= set(range(8)) and len(shards) == 8
+    # pos is a dense 1..n_k permutation within each shard
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # decorrelated from key order: shard 0's keys are not a prefix range
+    s0 = sorted(r["doc_id"] for r in a if r["shard"] == 0)
+    assert s0 != list(range(len(s0)))
+
+
+def test_assign_shards_rejects_nonpositive(spark):
+    from modware_loader_spark.operators.packing import assign_shards
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    try:
+        assign_shards(df, 0)
+    except ValueError as e:
+        assert "positive" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
