@@ -875,6 +875,25 @@ def cmd_legacydump(args) -> dict:
     return out
 
 
+def cmd_exportjsonl(args) -> dict:
+    """Sharded JSONL training-data export: read a parquet table (or any
+    directory Spark can read as parquet), assign reproducible shards,
+    write ``shard=K/*.json[.gz]``. The terminal stage of the curation
+    pipeline — the format trainers stream."""
+    from modware_loader_spark.sinks.jsonl import write_jsonl_shards
+
+    spark = get_spark("exportjsonl")
+    df = spark.read.parquet(args.input)
+    write_jsonl_shards(
+        df,
+        args.output,
+        n_shards=int(args.shards),
+        key_col=args.key,
+        codec=None if args.no_compress else "gzip",
+    )
+    return {"rows": df.count(), "shards": int(args.shards)}
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="modware-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -1021,6 +1040,12 @@ def main(argv=None) -> int:
            "--compress": {"action": "store_true",
                           "help": "gzip the output to <output>.gz "
                                   "(reference CanCompress role)"}})
+    add("exportjsonl", cmd_exportjsonl, catalog=False,
+        **{"--input": {"required": True, "help": "parquet dir to export"},
+           "--output": {"required": True},
+           "--shards": {"default": "16"},
+           "--key": {"default": "doc_id"},
+           "--no_compress": {"action": "store_true"}})
     add("legacydump", cmd_legacydump,
         **{"--which": {"required": True,
                        "choices": ["colleague", "colleague2gene", "curatornotes",

@@ -190,3 +190,17 @@ def test_chado2gaf_cli(capsys, tmp_path, spark):
     part = [f for f in os.listdir(out) if f.startswith("part-")]
     lines = open(os.path.join(out, part[0])).read().splitlines()
     assert lines[0] == "!gaf-version: 2.0" and len(lines) == 5
+
+
+def test_exportjsonl_cli(capsys, tmp_path):
+    out = str(tmp_path / "jexp")
+    res = _run(
+        capsys,
+        ["exportjsonl", "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", out, "--shards", "4", "--no_compress"],
+    )
+    assert res == {"rows": 500, "shards": 4}
+    import glob
+
+    dirs = sorted(os.path.basename(d) for d in glob.glob(os.path.join(out, "shard=*")))
+    assert dirs == ["shard=0", "shard=1", "shard=2", "shard=3"]
