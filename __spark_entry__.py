@@ -98,8 +98,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # text_chunk_windows, decontam_ngram_overlap,
 # e9_collect_to_delimited_string, m14_versioned_dbxref,
 # events_sessionization, e8_pivot_props —
-# demoted for the five new queries, which as never-verified names
-# must sit in the recorded head).
+# demoted one-for-one as the twelve round-9 queries took head
+# slots; never-verified names must sit in the recorded head).
 # Everything deprioritized stays covered every round by
 # tests/test_oracle_parity.py, which iterates the full dict.
 _DEPRIORITIZED = [

@@ -891,7 +891,12 @@ def cmd_exportjsonl(args) -> dict:
         key_col=args.key,
         codec=None if args.no_compress else "gzip",
     )
-    return {"rows": df.count(), "shards": int(args.shards)}
+    out = {"shards": int(args.shards)}
+    if args.count:
+        # opt-in: a row count costs a second full input scan on top of
+        # the export pass — not worth paying by default at export scale
+        out["rows"] = df.count()
+    return out
 
 
 def main(argv=None) -> int:
@@ -1045,7 +1050,8 @@ def main(argv=None) -> int:
            "--output": {"required": True},
            "--shards": {"default": "16"},
            "--key": {"default": "doc_id"},
-           "--no_compress": {"action": "store_true"}})
+           "--no_compress": {"action": "store_true"},
+           "--count": {"action": "store_true"}})
     add("legacydump", cmd_legacydump,
         **{"--which": {"required": True,
                        "choices": ["colleague", "colleague2gene", "curatornotes",

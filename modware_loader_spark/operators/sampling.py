@@ -446,16 +446,20 @@ def temperature_sample(
     rates = temperature_rates(
         df, source_col, alpha=alpha, budget_frac=budget_frac
     )
+    # NULL-source rows never match the equi-join (NULL keys don't
+    # join): coalesce the verdict columns so they audit as (0, 0, drop)
+    # — the oracle's CASE and the streaming gate's unknown-source
+    # behavior — instead of emitting NULLs that poison sum(keep) audits.
     return df.join(F.broadcast(rates), source_col, "left").select(
         *[F.col(c) for c in df.columns],
-        F.col("n_rows").alias("n_source"),
-        F.round(F.col("rate") * F.lit(1e6))
+        F.coalesce(F.col("n_rows"), F.lit(0)).cast("long").alias("n_source"),
+        F.coalesce(F.round(F.col("rate") * F.lit(1e6)), F.lit(0))
         .cast("long")
         .alias("rate_micros"),
         (hash_uniform(F.col(key_col), salt=salt) < F.col("rate"))
         .cast("int")
         .alias("keep"),
-    )
+    ).withColumn("keep", F.coalesce(F.col("keep"), F.lit(0)))
 
 
 def frequency_cap_flags(

@@ -543,7 +543,12 @@ def random_projection(
     oracle's ``e[j]`` out-of-range NULLs).
     """
     rows = rp_sign_matrix(out_dims, in_dims)
-    mat = F.array(*[F.array(*[F.lit(v) for v in row]) for row in rows])
+    # One F.lit(list) per ROW, not per element: per-element Column
+    # construction is a py4j round trip each plus an expression node
+    # re-analyzed per action (the dense_fold_score lesson, measured at
+    # ~7 s for 4096 elements); out_dims row literals keep plan-building
+    # O(out_dims), independent of in_dims.
+    mat = F.array(*[F.lit(row).cast("array<double>") for row in rows])
     proj = F.transform(
         F.sequence(F.lit(0), F.lit(out_dims - 1)),
         lambda k: F.aggregate(

@@ -1927,8 +1927,8 @@ _TEMP_U01 = (
                      least(1.0, floor(0.6 * total_rows)
                                 * (w_micros / total_w_micros) / n) AS rate
               FROM w, tot)
-    SELECT d.doc_id, d.source, r.n AS n_source,
-           CAST(round(r.rate * 1000000.0) AS BIGINT) AS rate_micros,
+    SELECT d.doc_id, d.source, coalesce(r.n, 0)::BIGINT AS n_source,
+           CAST(coalesce(round(r.rate * 1000000.0), 0) AS BIGINT) AS rate_micros,
            CAST(CASE WHEN {_TEMP_U01} < r.rate THEN 1 ELSE 0 END AS INT)
              AS keep
     FROM documents d LEFT JOIN rates r USING (source)
@@ -1979,6 +1979,7 @@ def _bpe_chain(n_merges: int):
              GROUP BY 1, 2),
     t{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
     w{i} AS (SELECT word, n,
+                    CASE WHEN t.l IS NULL THEN s ELSE
                     list_reduce(list_prepend('', string_split(s, ' ')),
                       (acc, x) ->
                       CASE WHEN acc = '' THEN x
@@ -1986,8 +1987,8 @@ def _bpe_chain(n_merges: int):
                                 OR right(acc, length(t.l) + 1) = ' ' || t.l)
                            THEN substr(acc, 1, length(acc) - length(t.l))
                                 || t.l || t.r
-                           ELSE acc || ' ' || x END) AS s
-             FROM w{i - 1}, t{i} t)""")
+                           ELSE acc || ' ' || x END) END AS s
+             FROM w{i - 1} LEFT JOIN t{i} t ON TRUE)""")
         finals.append(
             f"SELECT {i} AS step, l AS left_sym, r AS right_sym,"
             f" l || r AS merged_sym, cnt AS pair_count FROM t{i}"
@@ -2061,10 +2062,9 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BP.encode_token_counts(docs, merges)
 
 
-_V2_U01 = (
-    "(CAST(('0x' || substr(md5('temp' || CAST(doc_id AS VARCHAR)), 1, 8))"
-    " AS UBIGINT) / 4294967296.0)"
-)
+# the v2 pipeline's mixture draw is the same 'temp'-salted u01 as
+# sample_temperature — one definition, reused
+_V2_U01 = _TEMP_U01
 
 
 @query(

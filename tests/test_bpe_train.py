@@ -145,3 +145,33 @@ def test_merge_symbols_with_quotes_escape_cleanly(spark):
     words = spark.createDataFrame([(1, "d o n ' t </w>")], ["n", "s"])
     out = BP.apply_merge(words, "'", "t").collect()[0]["s"]
     assert out == "d o n 't </w>"
+
+
+def test_encode_oracle_survives_early_stop(spark):
+    """Review catch: the generated encode oracle used to CROSS JOIN each
+    w{i} with its 1-row argmax t{i}, so a corpus that fully merges
+    before n_merges steps emptied every later CTE and the oracle
+    reported all-zero counts while Spark reported real ones. The w{i}
+    fallback (LEFT JOIN ON TRUE + CASE) must keep both engines equal."""
+    import duckdb
+    import pandas as pd
+
+    from modware_loader_spark.plans.curation_queries import _bpe_encode_oracle
+
+    docs = [(0, "x x x")]  # one 1-char word: merges exhaust after step 1
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    steps = BP.train_merges(df, n_merges=4, persist=False)
+    assert len(steps) == 1  # early stop is the premise
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_sym0"], r["n_tokens_bpe"])
+        for r in BP.encode_token_counts(
+            df, [(l, r) for _, l, r, _ in steps]
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    want = {
+        row[0]: (row[1], row[2], row[3])
+        for row in con.execute(_bpe_encode_oracle(4)).fetchall()
+    }
+    assert got == want == {0: (3, 6, 3)}

@@ -197,9 +197,9 @@ def test_exportjsonl_cli(capsys, tmp_path):
     res = _run(
         capsys,
         ["exportjsonl", "--input", "/root/testdata/sf0.001/documents.parquet",
-         "--output", out, "--shards", "4", "--no_compress"],
+         "--output", out, "--shards", "4", "--no_compress", "--count"],
     )
-    assert res == {"rows": 500, "shards": 4}
+    assert res == {"shards": 4, "rows": 500}
     import glob
 
     dirs = sorted(os.path.basename(d) for d in glob.glob(os.path.join(out, "shard=*")))

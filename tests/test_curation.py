@@ -365,3 +365,15 @@ def test_frequency_cap_flags_consistent_with_filter_form(spark):
         if r["keep"]:
             per_group[r["grp"]] = per_group.get(r["grp"], 0) + 1
     assert all(v == 5 for v in per_group.values())
+
+
+def test_temperature_sample_null_source_audits_as_drop(spark):
+    """Review catch: NULL-source rows never match the rates equi-join;
+    the verdict columns must coalesce to (0, 0, drop) — the oracle CASE
+    and streaming-gate behavior — not NULL-poison sum(keep) audits."""
+    rows = [(1, "a"), (2, "a"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["doc_id"]: r for r in SA.temperature_sample(df, "source", "doc_id").collect()}
+    assert out[3]["keep"] == 0 and out[3]["n_source"] == 0
+    assert out[3]["rate_micros"] == 0
+    assert sum(r["keep"] for r in out.values()) >= 0  # no NULLs in the audit
