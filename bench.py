@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "pipeline_curation_v2",
     "pack_training_shards",
     "sample_cluster_balanced",
+    "graph_pagerank",
 ]
 
 

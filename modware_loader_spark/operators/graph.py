@@ -1,0 +1,104 @@
+"""Link-graph centrality (PageRank) in relational algebra — the
+quality prior crawl pipelines rank hosts/documents with (Common Crawl
+publishes harmonic/PageRank centrality per host; CCNet/OpenWebText-class
+corpora gate on link-based popularity).
+
+Spark shape per iteration: one equi-join of the edge list against the
+current rank vector (both shuffled on near-uniform id keys) and one
+partially-aggregated groupBy on the destination — the textbook
+map-reduce PageRank (Brin & Page 1998; Malewicz et al. 2010's Pregel
+formulation collapses to exactly this join+groupBy under Spark). No
+driver-side graph, no collect; k iterations = k chained join+agg stages
+in ONE lazy plan (checkpoint every few iterations at real depth).
+
+Engine parity: ranks are INTEGER MICRO-UNITS. Each edge contribution is
+``round(d * r_u / outdeg(u))`` — rounded BEFORE the destination sum, so
+the per-node aggregate is an order-free integer sum, bit-identical
+across engines and partitionings (the repo-wide micro-units discipline;
+floating PageRank sums would drift by accumulation order). The damping
+base ``round((1-d) * 1e6 / n)`` is a shared integer constant.
+
+Dangling nodes (outdeg 0) leak their mass — the standard simplified
+treatment; callers wanting strict stochasticity add a dangling-mass
+redistribution term per iteration (one extra 1-row aggregate).
+
+Reference scope: none (extension scope — the link-quality leg of the
+curation stack).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+
+
+def synthetic_link_edges(df: DataFrame, n_nodes: int, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic link graph over the corpus ids: every
+    document links to 3 targets ``(id * p + k) % n`` for (p, k) in
+    ((7, 1), (13, 2), (31, 3)) — uniform out-degree 3, engine-portable
+    integer arithmetic (a stand-in for a real crawl's hyperlink table,
+    which would arrive as a (src, dst) parquet)."""
+    pairs = [(7, 1), (13, 2), (31, 3)]
+    edges = [
+        df.select(
+            F.col(id_col).alias("src"),
+            F.pmod(F.col(id_col) * F.lit(p) + F.lit(k), F.lit(n_nodes)).alias("dst"),
+        )
+        for p, k in pairs
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out
+
+
+def pagerank_micros(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_nodes: int,
+    iters: int = 3,
+    damping: float = DAMPING,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``iters`` PageRank iterations over ``(src, dst)`` edges in exact
+    integer micro-units: ``(id, rank_micros)``.
+
+    ``r_0 = round(1e6 / n)`` uniform; per iteration each node receives
+    ``round((1-d) * 1e6 / n) + sum over in-edges round(d * r_src /
+    outdeg(src))`` — the rounding happens per-edge-source BEFORE the
+    sum, so every engine and partitioning computes identical ranks.
+    One join + one partial-agg groupBy per iteration; nodes with no
+    in-links keep the damping base.
+    """
+    from modware_loader_spark.operators.classifier import _round_half_away
+
+    # half-away rounding + this exact op order: the SQL oracle computes
+    # round((1.0 - d) * 1000000.0 / n) with the same IEEE steps, and
+    # (1.0 - 0.85) is NOT 0.15 exactly — formulation must match.
+    base = _round_half_away((1.0 - damping) * 1e6 / n_nodes)
+    r0 = _round_half_away(1e6 / n_nodes)
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.select(F.col(id_col), F.lit(r0).cast("long").alias("rank_micros"))
+    for _ in range(iters):
+        contribs = (
+            edges.join(outdeg, "src")
+            .join(ranks.withColumnRenamed(id_col, "src"), "src")
+            .select(
+                F.col("dst").alias(id_col),
+                F.round(
+                    F.lit(damping) * F.col("rank_micros") / F.col("outdeg")
+                )
+                .cast("long")
+                .alias("c"),
+            )
+        )
+        summed = contribs.groupBy(id_col).agg(F.sum("c").alias("in_mass"))
+        ranks = nodes.select(F.col(id_col)).join(summed, id_col, "left").select(
+            F.col(id_col),
+            (F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0)))
+            .cast("long")
+            .alias("rank_micros"),
+        )
+    return ranks

@@ -1099,3 +1099,57 @@ def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos_in_group").cast("long").alias("pos_in_group"),
         "keep",
     )
+
+
+def _pagerank_oracle(iters: int, damping: float = 0.85) -> str:
+    """DuckDB restatement of the synthetic-link PageRank chain: edge
+    synthesis, uniform init, and ``iters`` unrolled join+sum iterations
+    in the same integer micro-unit arithmetic (per-edge rounding BEFORE
+    the destination sum). The damping constants are spelled with the
+    identical IEEE op order as the Spark side ((1.0 - d) * 1e6 / n)."""
+    head = f"""
+    WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+    e AS (SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst
+          FROM documents, nn
+          UNION ALL
+          SELECT doc_id, (doc_id * 13 + 2) % nn.n FROM documents, nn
+          UNION ALL
+          SELECT doc_id, (doc_id * 31 + 3) % nn.n FROM documents, nn),
+    od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT doc_id, CAST(round(1000000.0 / nn.n) AS BIGINT) AS r
+           FROM documents, nn)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+    c{i} AS (SELECT e.dst AS doc_id,
+                    CAST(round({damping} * r.r / od.outdeg) AS BIGINT) AS c
+             FROM e JOIN od USING (src)
+             JOIN r{i - 1} r ON r.doc_id = e.src),
+    s{i} AS (SELECT doc_id, sum(c)::BIGINT AS m FROM c{i} GROUP BY doc_id),
+    r{i} AS (SELECT d.doc_id,
+                    (CAST(round((1.0 - {damping}) * 1000000.0 / nn.n)
+                          AS BIGINT) + coalesce(s.m, 0))::BIGINT AS r
+             FROM documents d LEFT JOIN s{i} s USING (doc_id), nn)""")
+    return head + "".join(steps) + f"""
+    SELECT doc_id, r AS rank_micros FROM r{iters}
+    """
+
+
+@query("graph_pagerank", _pagerank_oracle(3))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank as a quality prior (Common Crawl publishes
+    host centrality; popularity-gated corpora are the OpenWebText
+    recipe): a deterministic synthetic 3-out-degree link table over the
+    corpus ids, then 3 map-reduce PageRank iterations — per iteration
+    ONE edge-vs-ranks equi-join and one partially-aggregated groupBy,
+    no driver-side graph. Ranks are integer micro-units rounded
+    per-edge BEFORE the destination sum, so any engine/partitioning
+    computes identical ranks; the oracle unrolls the full chain
+    (``operators/graph.py``)."""
+    from modware_loader_spark.operators import graph as G
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    n = docs.count()
+    edges = G.synthetic_link_edges(docs, n)
+    return G.pagerank_micros(docs, edges, n, iters=3)

@@ -377,3 +377,35 @@ def test_temperature_sample_null_source_audits_as_drop(spark):
     assert out[3]["keep"] == 0 and out[3]["n_source"] == 0
     assert out[3]["rate_micros"] == 0
     assert sum(r["keep"] for r in out.values()) >= 0  # no NULLs in the audit
+
+
+def test_temperature_sample_matches_naive_model(spark):
+    """Pure-Python twin of the whole temperature chain (micro-quantized
+    sqrt weights, floor budget, saturation, md5 draw) over a skewed
+    multi-source corpus — the same arithmetic the DuckDB oracle
+    restates, pinned engine-free."""
+    import hashlib
+    import math
+
+    rows = [(i, f"s{min(i % 7, i % 5)}") for i in range(200)]
+
+    def u01(key, salt="temp"):
+        return int(hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:8], 16) / 2**32
+
+    counts: dict[str, int] = {}
+    for _, s in rows:
+        counts[s] = counts.get(s, 0) + 1
+    w = {s: round(math.sqrt(n) * 1e6) for s, n in counts.items()}
+    total, total_w = sum(counts.values()), sum(w.values())
+    budget = math.floor(0.6 * total)
+    rate = {s: min(1.0, budget * (w[s] / total_w) / n) for s, n in counts.items()}
+    want = {
+        i: (counts[s], int(u01(i) < rate[s]))
+        for i, s in rows
+    }
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = {
+        r["doc_id"]: (r["n_source"], r["keep"])
+        for r in SA.temperature_sample(df, "source", "doc_id").collect()
+    }
+    assert got == want

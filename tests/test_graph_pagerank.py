@@ -1,0 +1,67 @@
+"""PageRank (micro-unit relational form): hand-computed tiny graph,
+partitioning invariance, dangling/no-inlink semantics (full-chain
+oracle parity is covered by test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from modware_loader_spark.operators import graph as G
+from modware_loader_spark.operators.classifier import _round_half_away
+
+
+def _naive(nodes, edges, n, iters, d=0.85):
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = _round_half_away((1.0 - d) * 1e6 / n)
+    r = {v: _round_half_away(1e6 / n) for v in nodes}
+    for _ in range(iters):
+        nxt = {v: base for v in nodes}
+        for s, t in edges:
+            nxt[t] = nxt[t] + _round_half_away(d * r[s] / outdeg[s])
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_naive_model(spark):
+    nodes = list(range(5))
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (4, 0), (4, 4)]
+    ndf = spark.createDataFrame([(v,) for v in nodes], ["doc_id"])
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["doc_id"]: r["rank_micros"]
+        for r in G.pagerank_micros(ndf, edf, 5, iters=3).collect()
+    }
+    assert got == _naive(nodes, edges, 5, 3)
+
+
+def test_pagerank_invariant_under_repartition(spark):
+    docs = spark.range(60).withColumnRenamed("id", "doc_id")
+    e = G.synthetic_link_edges(docs, 60)
+    a = G.pagerank_micros(docs, e, 60, iters=2).collect()
+    b = G.pagerank_micros(docs.repartition(9), e.repartition(7), 60, iters=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pagerank_no_inlink_node_keeps_base(spark):
+    # node 2 has no in-edges: rank = damping base only
+    ndf = spark.createDataFrame([(0,), (1,), (2,)], ["doc_id"])
+    edf = spark.createDataFrame([(0, 1), (1, 0), (2, 0)], ["src", "dst"])
+    got = {
+        r["doc_id"]: r["rank_micros"]
+        for r in G.pagerank_micros(ndf, edf, 3, iters=1).collect()
+    }
+    assert got[2] == _round_half_away(0.15000000000000002 * 1e6 / 3)
+    assert got[0] > got[2] and got[1] > got[2]
+
+
+def test_synthetic_edges_uniform_outdegree(spark):
+    docs = spark.range(40).withColumnRenamed("id", "doc_id")
+    e = G.synthetic_link_edges(docs, 40)
+    assert e.count() == 120
+    deg = e.groupBy("src").count().select(F.collect_set("count")).first()[0]
+    assert deg == [3]
+    # all destinations in range
+    mm = e.agg(F.min("dst"), F.max("dst")).first()
+    assert mm[0] >= 0 and mm[1] < 40
