@@ -68,9 +68,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # The external driver records the FIRST 50 queries. Round-9 rotation
 # (the freshness invariant is computed by
 # tests/test_round4_invariants.py::test_driver_registry_contract from
-# the CORRECTNESS_r*.json artifacts; with 115 registered names the
-# adaptive window is ceil(115/50) = 3 recorded rounds): the head holds
-# (a) the THIRTEEN new round-9 queries (text_main_content — boilerplate-
+# the CORRECTNESS_r*.json artifacts; with 116 registered names the
+# adaptive window is ceil(116/50) = 3 recorded rounds): the head holds
+# (a) the FOURTEEN new round-9 queries (text_main_content — boilerplate-
 # removal block classifier; dedup_substring_rewrite — exact-substring
 # REMOVAL transform; source_warc_files — the binaryFile .warc.gz leg;
 # source_warc_main_content — record walk chained into the classifier;
@@ -82,7 +82,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # pipeline_curation_v2 — the map-dominant curation chain composed
 # into one zero-join plan; pack_training_shards — reproducible
 # shard layout; sample_cluster_balanced — IVF-cell diversity cap;
-# graph_pagerank — link-centrality quality prior);
+# graph_pagerank — link-centrality quality prior;
+# embed_outlier_flags — distance-to-centroid prototypicality);
 # (b) the seven r6-green names that hit the window bound and are
 # mandatory this round (m12_distinct_insert,
 # m13_deterministic_id_generation, u2_normalize_id,
@@ -91,14 +92,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # r8-green queries whose code changed in round 9
 # (source_warc_html_text — oracle now collapses internal whitespace
 # like the extractor; text_lm_perplexity — trains with persist=False);
-# and (d) 28 of the 45 r7-green names. The tail below = the 48
-# unchanged r8-green names + the 17 r7-green names held back (50 head
+# and (d) 27 of the 45 r7-green names. The tail below = the 48
+# unchanged r8-green names + the 18 r7-green names held back (50 head
 # slots cannot fit 45 + 7 + 2; held-back names stay in-window until
 # r10, where they are MANDATORY head slots: the original 8 plus
 # sample_mixture_rebalance, sample_weighted_reservoir,
 # text_chunk_windows, decontam_ngram_overlap,
 # e9_collect_to_delimited_string, m14_versioned_dbxref,
-# events_sessionization, e8_pivot_props, s13_bibtex2chado_pub —
+# events_sessionization, e8_pivot_props, s13_bibtex2chado_pub,
+# t6_blast_gbrowse_gff3 —
 # demoted one-for-one as the twelve round-9 queries took head
 # slots; never-verified names must sit in the recorded head).
 # Everything deprioritized stays covered every round by
@@ -163,6 +165,7 @@ _DEPRIORITIZED = [
     "events_sessionization",
     "e8_pivot_props",
     "s13_bibtex2chado_pub",
+    "t6_blast_gbrowse_gff3",
     "text_bpe_token_count",
     "text_quality_classifier",
     "text_quality_quantile_gate",

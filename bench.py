@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "pack_training_shards",
     "sample_cluster_balanced",
     "graph_pagerank",
+    "embed_outlier_flags",
 ]
 
 

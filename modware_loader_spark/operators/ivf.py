@@ -349,3 +349,60 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "target_id", "cos", "rank")
     )
+
+
+def cell_outlier_flags(
+    df: DataFrame,
+    centroids: DataFrame,
+    sigma: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-outlier verdicts by distance-to-centroid z-score —
+    prototypicality pruning (the SSL-prototypes selection family /
+    SemDeDup's complement: drop rows FAR from their cluster instead of
+    near-duplicates close to each other). Returns ``(id, cell,
+    dist_micros, is_outlier)`` with ``is_outlier = dist > mean_c +
+    sigma * sd_c`` over the row's own cell.
+
+    Arithmetic is the repo's engine-parity discipline: the rounded
+    squared-L2 quantizes to integer micros BEFORE the per-cell sums
+    (order-free bigint sum and sum-of-squares), and mean/variance/sd
+    derive from those exact integers in a fixed IEEE op order
+    (``mean = s/n``, ``var = ss/n - mean*mean``, ``sd =
+    sqrt(max(var, 0))``), so the flags are bit-identical across
+    engines and partitionings. Sum-of-squares headroom: dist_micros up
+    to ~4e6 on unit-ish vectors squares to 1.6e13 — bigint holds ~5e5
+    rows per cell per 10^18; size nlist accordingly at extreme scale
+    (nlist ∝ n keeps per-cell counts bounded — the same knob as
+    SemDeDup).
+
+    Plan shape: the map-side literal-centroid argmin (zero corpus
+    shuffle), one cell-cardinality aggregation, and a broadcast stats
+    re-attach — the corpus never shuffles.
+    """
+    cents = _centroid_literals(centroids)
+    m = F.array_min(_dist_cell_pairs(vec_col, cents))
+    assigned = df.select(
+        F.col(id_col),
+        m.getField("cell").alias("cell"),
+        F.round(m.getField("dist") * F.lit(1e6))
+        .cast("long")
+        .alias("dist_micros"),
+    )
+    stats = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dist_micros").alias("s"),
+        F.sum(F.col("dist_micros") * F.col("dist_micros")).alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.col("ss") / F.col("n") - mean * mean
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return assigned.join(F.broadcast(stats), "cell").select(
+        F.col(id_col),
+        "cell",
+        "dist_micros",
+        (F.col("dist_micros") > mean + F.lit(float(sigma)) * sd)
+        .cast("int")
+        .alias("is_outlier"),
+    )

