@@ -1149,10 +1149,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from modware_loader_spark.operators import graph as G
 
     t = load_tables(spark, sf_dir)
-    docs = t["documents"]
-    n = docs.count()
-    edges = G.synthetic_link_edges(docs, n)
-    return G.pagerank_micros(docs, edges, n, iters=3)
+    # Materialize the node-id list ONCE (localCheckpoint) before the
+    # iterative chain — the Pregel/GraphX shape. Without it the 3
+    # unrolled iterations re-derive ids from parquet per union leg per
+    # join: 22 source relations on the analyzed plan (caught by the
+    # repo-wide scan-budget guard), i.e. ~22 corpus scans at scale.
+    # With it: ONE parquet pass; every edge/rank reference reads the
+    # checkpointed blocks.
+    ids = t["documents"].select("doc_id").localCheckpoint(eager=True)
+    n = ids.count()
+    edges = G.synthetic_link_edges(ids, n)
+    return G.pagerank_micros(ids, edges, n, iters=3)
 
 
 @query(
