@@ -101,7 +101,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # e9_collect_to_delimited_string, m14_versioned_dbxref,
 # events_sessionization, e8_pivot_props, s13_bibtex2chado_pub,
 # t6_blast_gbrowse_gff3 —
-# demoted one-for-one as the twelve round-9 queries took head
+# demoted one-for-one as the fourteen round-9 queries took head
 # slots; never-verified names must sit in the recorded head).
 # Everything deprioritized stays covered every round by
 # tests/test_oracle_parity.py, which iterates the full dict.

@@ -47,6 +47,20 @@ from modware_loader_spark.operators.text import tokens
 END_OF_WORD = "</w>"
 
 
+def _symbol_string(word_col: str = "word"):
+    """Initial BPE symbol string for a word column: characters
+    space-joined plus the terminal ``</w>`` marker — THE symbol-string
+    convention; training (``word_symbols``) and encoding
+    (``encode_token_counts``) must always share it."""
+    return F.concat(
+        F.expr(
+            f"concat_ws(' ', transform(sequence(1, length({word_col})),"
+            f" i -> substring({word_col}, i, 1)))"
+        ),
+        F.lit(" " + END_OF_WORD),
+    )
+
+
 def word_symbols(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Collapse a corpus to its word-frequency table with initial BPE
     symbol strings: ``(word, n, s)`` where ``s`` is the word's
@@ -60,16 +74,7 @@ def word_symbols(df: DataFrame, text_col: str = "text") -> DataFrame:
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "s",
-            F.concat(
-                F.expr(
-                    "concat_ws(' ', transform(sequence(1, length(word)),"
-                    " i -> substring(word, i, 1)))"
-                ),
-                F.lit(" " + END_OF_WORD),
-            ),
-        )
+        .withColumn("s", _symbol_string("word"))
     )
 
 
@@ -216,14 +221,7 @@ def encode_token_counts(
         .agg(F.count(F.lit(1)).alias("n_occ"))
     )
     vocab = occurrences.select("word").distinct().withColumn(
-        "s",
-        F.concat(
-            F.expr(
-                "concat_ws(' ', transform(sequence(1, length(word)),"
-                " i -> substring(word, i, 1)))"
-            ),
-            F.lit(" " + END_OF_WORD),
-        ),
+        "s", _symbol_string("word")
     )
     encoded = apply_merges_to_words(vocab, merges).select(
         "word",

@@ -176,11 +176,16 @@ def assign_shards(
     """
     if n_shards <= 0:
         raise ValueError(f"assign_shards: n_shards must be positive, got {n_shards}")
+    # Re-sharding a previously exported dataset (read_jsonl_shards
+    # restores shard/pos) is the advertised incremental workflow: stale
+    # layout columns are REPLACED, not duplicated (two 'shard' columns
+    # would make the writer's repartition reference ambiguous).
+    carry = [c for c in df.columns if c not in ("shard", "pos")]
     u = hash_uniform(F.col(key_col), salt=salt)
     shard = F.floor(u * F.lit(float(n_shards))).cast("int")
     w = Window.partitionBy(shard).orderBy(u.asc(), F.col(key_col).asc())
     return df.select(
-        *[F.col(c) for c in df.columns],
+        *[F.col(c) for c in carry],
         shard.alias("shard"),
         F.row_number().over(w).alias("pos"),
     )

@@ -375,11 +375,16 @@ def stream_temperature_gate(
     """
     from modware_loader_spark.operators.sampling import hash_uniform
 
-    if rates:
+    # A NULL-source snapshot entry (temperature_rates emits one when the
+    # corpus has NULL sources) is unrepresentable as a Spark map key and
+    # unsortable against str keys; a NULL lookup coalesces to 0.0 anyway,
+    # so the entry is dead weight — skip it.
+    clean = {s: r for s, r in rates.items() if s is not None}
+    if clean:
         lit_map = F.create_map(
             *[
                 c
-                for s, r in sorted(rates.items())
+                for s, r in sorted(clean.items())
                 for c in (F.lit(s), F.lit(float(r)))
             ]
         )

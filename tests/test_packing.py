@@ -197,3 +197,20 @@ def test_assign_shards_rejects_nonpositive(spark):
         assert "positive" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_assign_shards_replaces_stale_layout_columns(spark):
+    """Review catch: re-sharding a read-back export (which restores
+    shard/pos) must replace the stale columns, not duplicate them."""
+    from modware_loader_spark.operators.packing import assign_shards
+
+    df = spark.range(50).withColumnRenamed("id", "doc_id")
+    once = assign_shards(df, 4)
+    again = assign_shards(once, 8)
+    assert again.columns.count("shard") == 1 and again.columns.count("pos") == 1
+    assert again.select("shard").distinct().count() <= 8
+    # membership derives from the key, so re-sharding at the same K is
+    # identical to sharding fresh
+    a = sorted(map(tuple, assign_shards(once, 4).collect()))
+    b = sorted(map(tuple, once.collect()))
+    assert a == b

@@ -653,3 +653,28 @@ def test_stream_temperature_gate_matches_batch(spark, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert spark.sql("SELECT count(*) c FROM temp_empty_t").collect()[0]["c"] == 0
+
+
+def test_stream_temperature_gate_tolerates_null_source_snapshot(spark, tmp_path):
+    """Review catch: a rates snapshot with a NULL source key (what
+    temperature_rates emits on a corpus with NULL sources) used to
+    crash the literal-map build (unsortable/illegal map key); it must
+    be skipped — NULL-source rows drop via the coalesce anyway."""
+    from modware_loader_spark.streaming.events import stream_temperature_gate
+
+    rows = [(1, "a"), (2, "a"), (3, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    path = str(tmp_path / "null_src_stream")
+    docs.write.parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    q = (
+        stream_temperature_gate(stream, {"a": 1.0, None: 1.0})
+        .writeStream.format("memory")
+        .queryName("temp_null_t")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM temp_null_t").collect()}
+    assert got == {1, 2}  # NULL-source row dropped, not crashed

@@ -84,7 +84,7 @@ def main() -> None:
     # SPARK_GRAFT_SCALE_QUERIES=a,b,c restricts the sweep (re-measuring
     # a subset without paying for the full 20-query session)
     only = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
-    names = [n for n in only.split(",") if n] if only else QUERIES
+    names = [n.strip() for n in only.split(",") if n.strip()] if only else QUERIES
     rows = []
     for name in names:
         t_small = timed(spark, qs[name], SMALL)
