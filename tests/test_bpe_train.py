@@ -175,3 +175,44 @@ def test_encode_oracle_survives_early_stop(spark):
         for row in con.execute(_bpe_encode_oracle(4)).fetchall()
     }
     assert got == want == {0: (3, 6, 3)}
+
+
+def _naive_encode(texts, merges):
+    """Naive Python BPE encoding twin: apply the ordered merge rules to
+    each word's symbol tuple, then sum per-doc counts."""
+    out = {}
+    for doc_id, text in texts:
+        n_words = n_sym0 = n_tok = 0
+        for word in text.strip().split(" "):
+            if not word:
+                continue
+            syms = list(word) + [BP.END_OF_WORD]
+            n_words += 1
+            n_sym0 += len(syms)
+            for l, r in merges:
+                nxt, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        nxt.append(l + r)
+                        i += 2
+                    else:
+                        nxt.append(syms[i])
+                        i += 1
+                syms = nxt
+            n_tok += len(syms)
+        out[doc_id] = (n_words, n_sym0, n_tok)
+    return out
+
+
+@settings(**_SETTINGS)
+@given(_corpora, st.integers(min_value=1, max_value=4))
+def test_encode_matches_naive_model(spark, texts, k):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    steps = BP.train_merges(df, n_merges=k, persist=False)
+    merges = [(l, r) for _, l, r, _ in steps]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_sym0"], r["n_tokens_bpe"])
+        for r in BP.encode_token_counts(df, merges).collect()
+    }
+    assert got == _naive_encode(rows, merges)

@@ -84,3 +84,30 @@ def test_cell_outlier_flags_flags_the_planted_outlier(spark):
         for r in IVF.cell_outlier_flags(df.repartition(5), cents, sigma=2.0).collect()
     }
     assert out2 == out
+
+
+def test_pagerank_property_random_graphs(spark):
+    """Randomized small graphs (dangling nodes, multi-edges,
+    self-loops) against the naive model — seeded loop, no Hypothesis
+    needed for a driver-side generator."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(6):
+        n = rng.randint(2, 12)
+        nodes = list(range(n))
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(0, 3 * n))
+        ]
+        ndf = spark.createDataFrame([(v,) for v in nodes], ["doc_id"])
+        iters = rng.randint(1, 3)
+        if edges:
+            edf = spark.createDataFrame(edges, ["src", "dst"])
+        else:
+            edf = spark.createDataFrame([], "src long, dst long")
+        got = {
+            r["doc_id"]: r["rank_micros"]
+            for r in G.pagerank_micros(ndf, edf, n, iters=iters).collect()
+        }
+        assert got == _naive(nodes, edges, n, iters), (trial, n, edges, iters)
