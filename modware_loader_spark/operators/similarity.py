@@ -140,6 +140,61 @@ def sign_band_hashes(vec: Column, bands: int, bits: int, stride: int) -> Column:
     return F.array(*out)
 
 
+def band_candidate_pairs(
+    df: DataFrame,
+    bands: int,
+    bits: int,
+    stride: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate (vec_a, vec_b) pairs sharing ≥1 sign-band hash — the
+    bucket-local candidate stage shared by ``cosine_bucket_near_pairs``
+    and the candidate-budget guard test.
+
+    Candidate generation carries bare ids only — deduping (vec_a, vec_b)
+    BEFORE joining vectors back keeps the band-join shuffle narrow (two
+    longs/row instead of two dim-width float arrays). The band table is
+    pinned so the banding pass (bands×bits sign tests per vector + the
+    source scan) runs once, not once per self-join side — same trick as
+    lsh_banded_topk's self-join shape.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    bands_tbl = (
+        df.repartition(par)
+        .select(
+            F.col(id_col),
+            F.posexplode(sign_band_hashes(F.col(vec_col), bands, bits, stride)),
+        )
+        .withColumnsRenamed({"pos": "band_id", "col": "band_hash"})
+    )
+    if max_bucket is not None:
+        from modware_loader_spark.operators.dedup import (
+            filter_degenerate_buckets,
+        )
+
+        bands_tbl = filter_degenerate_buckets(bands_tbl, max_bucket)
+    # Checkpoint AFTER the optional guard so the count + semi-join run
+    # once too, not once per self-join side. lazy: eager localCheckpoint
+    # would launch a job at *construction* time (before any action).
+    # Checkpointed blocks are not recomputable on executor loss —
+    # acceptable here because the band table is cheap to rebuild by
+    # re-running the query; the pinning exists only to avoid scanning
+    # the source twice within one job.
+    bands_tbl = bands_tbl.localCheckpoint(eager=False)
+    return (
+        bands_tbl.select(F.col(id_col).alias("vec_a"), "band_id", "band_hash")
+        .join(
+            bands_tbl.select(F.col(id_col).alias("vec_b"), "band_id", "band_hash"),
+            ["band_id", "band_hash"],
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()  # ≥1 shared band is enough
+    )
+
+
 def cosine_bucket_near_pairs(
     df: DataFrame,
     threshold: float = 0.4,
@@ -175,44 +230,14 @@ def cosine_bucket_near_pairs(
     cores better handled by the components/keeper operators. Default
     None preserves exact registered-query semantics.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    # candidate generation carries bare ids only — deduping (vec_a, vec_b)
-    # BEFORE joining vectors back keeps the band-join shuffle narrow
-    # (two longs/row instead of two dim-width float arrays). The band
-    # table is pinned so the banding pass (bands×bits sign tests per
-    # vector + the source scan) runs once, not once per self-join side —
-    # same trick as lsh_banded_topk's self-join shape.
-    bands_tbl = (
-        df.repartition(par)
-        .select(
-            F.col(id_col),
-            F.posexplode(sign_band_hashes(F.col(vec_col), bands, bits, stride)),
-        )
-        .withColumnsRenamed({"pos": "band_id", "col": "band_hash"})
-    )
-    if max_bucket is not None:
-        from modware_loader_spark.operators.dedup import (
-            filter_degenerate_buckets,
-        )
-
-        bands_tbl = filter_degenerate_buckets(bands_tbl, max_bucket)
-    # Checkpoint AFTER the optional guard so the count + semi-join run
-    # once too, not once per self-join side. lazy: eager localCheckpoint
-    # would launch a job at *construction* time (before any action).
-    # Checkpointed blocks are not recomputable on executor loss —
-    # acceptable here because the band table is cheap to rebuild by
-    # re-running the query; the pinning exists only to avoid scanning
-    # the source twice within one job.
-    bands_tbl = bands_tbl.localCheckpoint(eager=False)
-    cands = (
-        bands_tbl.select(F.col(id_col).alias("vec_a"), "band_id", "band_hash")
-        .join(
-            bands_tbl.select(F.col(id_col).alias("vec_b"), "band_id", "band_hash"),
-            ["band_id", "band_hash"],
-        )
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()  # ≥1 shared band is enough
+    cands = band_candidate_pairs(
+        df,
+        bands=bands,
+        bits=bits,
+        stride=stride,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_bucket=max_bucket,
     )
     with_norm = df.select(
         F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("nrm")
