@@ -38,6 +38,19 @@ def hex64(col: Column, bits: int = 60) -> Column:
     return F.conv(F.substring(F.md5(col.cast("string")), 1, bits // 4), 16, 10).cast("long")
 
 
+def round_half_away(x: float) -> int:
+    """Driver-side round-ties-away-from-zero — the tie rule Spark's
+    ``F.round`` (HALF_UP) and DuckDB's ``round`` share. Python's builtin
+    ``round`` is banker's (half-even), which WOULD diverge from a SQL
+    oracle on an exact .5 step (reachable: ``0.1 * 5.0 == 0.5`` exactly
+    in IEEE). Repo-wide convention for any driver-computed integer that
+    an engine-side ``round`` must reproduce (classifier weight updates,
+    PageRank micro-unit constants)."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
 def dec_round(col: Column, scale: int = 2) -> Column:
     """Aggregate-stable rounding: exact decimal arithmetic, then round, then
     double. Using decimal for the sum makes the result independent of

@@ -170,15 +170,9 @@ def synth_weight_table(
 _INTERCEPT_BUCKET = -1
 
 
-def _round_half_away(x: float) -> int:
-    """Round ties away from zero — the tie rule Spark's ``F.round``
-    (HALF_UP) and DuckDB's ``round`` share. Python's builtin ``round``
-    is banker's (half-even), which WOULD diverge from the SQL oracle on
-    an exact .5 update step (reachable: ``0.1 * 5.0 == 0.5`` exactly in
-    IEEE), so the driver-side weight update must not use it."""
-    import math
-
-    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+# Promoted to functions.scalar (repo-wide rounding convention, shared
+# with operators.graph); re-exported here for existing importers.
+from modware_loader_spark.functions.scalar import round_half_away as _round_half_away  # noqa: E402
 
 
 def hashed_features(

@@ -18,9 +18,13 @@ across engines and partitionings (the repo-wide micro-units discipline;
 floating PageRank sums would drift by accumulation order). The damping
 base ``round((1-d) * 1e6 / n)`` is a shared integer constant.
 
-Dangling nodes (outdeg 0) leak their mass — the standard simplified
-treatment; callers wanting strict stochasticity add a dangling-mass
-redistribution term per iteration (one extra 1-row aggregate).
+Dangling nodes (outdeg 0): by default they leak their mass — the
+simplified treatment. ``redistribute_dangling=True`` adds the
+strict-stochastic correction: per iteration ONE extra 1-row aggregate
+(the dangling-rank sum) cross-joined back so every node receives
+``round(d * dangling_sum / n)`` — rounded per-node like every other
+term, and on a dangling-free graph the correction is exactly +0 per
+node (identical output, tested).
 
 Reference scope: none (extension scope — the link-quality leg of the
 curation stack).
@@ -30,6 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from modware_loader_spark.functions.scalar import round_half_away as _round_half_away
 
 DAMPING = 0.85
 
@@ -54,6 +60,28 @@ def synthetic_link_edges(df: DataFrame, n_nodes: int, id_col: str = "doc_id") ->
     return out
 
 
+def host_link_edges(
+    links: DataFrame, src_col: str = "src_url", dst_col: str = "dst_url"
+) -> DataFrame:
+    """Host-level link edges from an ``extract_links`` harvest: resolved
+    hrefs canonicalized (fragment/tracking-param/default-port rewrites),
+    both sides host-reduced (lowercase, ``www.`` stripped), self-loops
+    dropped (a host's links to itself carry no centrality information),
+    distinct — the Common-Crawl-web-graph reduction. One shuffle (the
+    distinct on two short strings)."""
+    from modware_loader_spark.operators.curation import url_canonicalize, url_host
+
+    return (
+        links.filter(F.col(dst_col).isNotNull())
+        .select(
+            url_host(F.col(src_col)).alias("src"),
+            url_host(url_canonicalize(F.col(dst_col))).alias("dst"),
+        )
+        .filter((F.col("src") != F.col("dst")) & (F.col("src") != "") & (F.col("dst") != ""))
+        .distinct()
+    )
+
+
 def pagerank_micros(
     nodes: DataFrame,
     edges: DataFrame,
@@ -61,6 +89,7 @@ def pagerank_micros(
     iters: int = 3,
     damping: float = DAMPING,
     id_col: str = "doc_id",
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """``iters`` PageRank iterations over ``(src, dst)`` edges in exact
     integer micro-units: ``(id, rank_micros)``.
@@ -71,9 +100,17 @@ def pagerank_micros(
     sum, so every engine and partitioning computes identical ranks.
     One join + one partial-agg groupBy per iteration; nodes with no
     in-links keep the damping base.
-    """
-    from modware_loader_spark.operators.classifier import _round_half_away
 
+    ``redistribute_dangling=True`` adds the strict-stochastic dangling
+    correction: nodes with outdeg 0 contribute ``round(d *
+    dangling_sum / n)`` to EVERY node (Brin & Page's teleport-the-lost-
+    mass form). Cost: one anti-join + 1-row sum per iteration, cross-
+    joined back broadcast — the plan stays collect-free and lazy. The
+    share is rounded once (it is identical for every receiver), keeping
+    the integer-micro parity discipline; on a dangling-free graph
+    dangling_sum has no rows, the coalesced share is 0, and output is
+    bit-identical to the default path.
+    """
     # half-away rounding + this exact op order: the SQL oracle computes
     # round((1.0 - d) * 1000000.0 / n) with the same IEEE steps, and
     # (1.0 - 0.85) is NOT 0.15 exactly — formulation must match.
@@ -95,10 +132,38 @@ def pagerank_micros(
             )
         )
         summed = contribs.groupBy(id_col).agg(F.sum("c").alias("in_mass"))
-        ranks = nodes.select(F.col(id_col)).join(summed, id_col, "left").select(
-            F.col(id_col),
-            (F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0)))
-            .cast("long")
-            .alias("rank_micros"),
-        )
+        new_rank = F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0))
+        if redistribute_dangling:
+            dangling = (
+                ranks.join(
+                    outdeg.withColumnRenamed("src", id_col), id_col, "left_anti"
+                )
+                .agg(F.sum("rank_micros").alias("dangling_sum"))
+                .select(
+                    F.coalesce(
+                        F.round(
+                            F.lit(damping)
+                            * F.col("dangling_sum")
+                            / F.lit(n_nodes)
+                        ).cast("long"),
+                        F.lit(0),
+                    ).alias("dangling_share")
+                )
+            )
+            ranks = (
+                nodes.select(F.col(id_col))
+                .join(summed, id_col, "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    F.col(id_col),
+                    (new_rank + F.col("dangling_share"))
+                    .cast("long")
+                    .alias("rank_micros"),
+                )
+            )
+        else:
+            ranks = nodes.select(F.col(id_col)).join(summed, id_col, "left").select(
+                F.col(id_col),
+                new_rank.cast("long").alias("rank_micros"),
+            )
     return ranks

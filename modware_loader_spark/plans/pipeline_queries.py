@@ -1262,6 +1262,244 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.pagerank_micros(ids, edges, n, iters=3)
 
 
+_LINK_H = 32  # host-space size for the synthesized crawl pages
+
+
+def _synth_link_pages(docs: DataFrame) -> DataFrame:
+    """Deterministic crawl pages with REAL anchor markup, synthesized in
+    JVM expressions from doc_id (the ``source_warc_html_text`` pattern —
+    a SQL oracle can restate the construction arithmetically while the
+    Spark side exercises the true HTML walk). Page m lives on host
+    ``www.h(m%32).example.org`` and carries six anchors covering every
+    ``resolve_href``/canonicalization branch: an absolute href with a
+    tracking param + fragment, a protocol-relative href with uppercase
+    ``WWW.`` and an explicit ``:443``, a root-relative ``/about``
+    (resolves to the page's own host), a ``mailto:``, a fragment-only
+    ``#top``, and a bare ``<a>`` with no href at all."""
+    m = F.col("doc_id")
+    h = F.lit(_LINK_H)
+
+    def host(expr):
+        return F.concat(F.lit("h"), expr.cast("string"), F.lit(".example.org"))
+
+    page_url = F.concat(
+        F.lit("https://www."), host(F.pmod(m, h)), F.lit("/d/"), m.cast("string")
+    )
+    a1 = F.concat(
+        F.lit("https://"),
+        host(F.pmod(m * 7 + 1, h)),
+        F.lit("/p/"),
+        F.pmod(m, F.lit(50)).cast("string"),
+        F.lit("?utm_source=feed#sec1"),
+    )
+    a2 = F.concat(F.lit("//WWW."), host(F.pmod(m * 13 + 2, h)), F.lit(":443/x"))
+    html = F.concat(
+        F.lit('<html><body><p>doc</p><a href="'),
+        a1,
+        F.lit('">one</a><a href="'),
+        a2,
+        F.lit(
+            '">two</a><a href="/about">self</a>'
+            '<a href="mailto:crawl@example.org">mail</a>'
+            '<a href="#top">top</a><a>bare</a></body></html>'
+        ),
+    )
+    return docs.select(m, page_url.alias("url"), html.alias("html"))
+
+
+@query(
+    "source_html_links",
+    f"""
+    WITH d AS (SELECT doc_id AS m FROM documents),
+    l AS (
+      SELECT m, 'https://www.h' || (m % {_LINK_H})::VARCHAR || '.example.org/d/' || m::VARCHAR AS src_url,
+             'https://h' || ((m * 7 + 1) % {_LINK_H})::VARCHAR || '.example.org/p/' || (m % 50)::VARCHAR
+               || '?utm_source=feed#sec1' AS href,
+             'https://h' || ((m * 7 + 1) % {_LINK_H})::VARCHAR || '.example.org/p/' || (m % 50)::VARCHAR AS canon_dst
+      FROM d
+      UNION ALL
+      SELECT m, 'https://www.h' || (m % {_LINK_H})::VARCHAR || '.example.org/d/' || m::VARCHAR,
+             '//WWW.h' || ((m * 13 + 2) % {_LINK_H})::VARCHAR || '.example.org:443/x',
+             'https://www.h' || ((m * 13 + 2) % {_LINK_H})::VARCHAR || '.example.org/x'
+      FROM d
+      UNION ALL
+      SELECT m, 'https://www.h' || (m % {_LINK_H})::VARCHAR || '.example.org/d/' || m::VARCHAR,
+             '/about',
+             'https://www.h' || (m % {_LINK_H})::VARCHAR || '.example.org/about'
+      FROM d
+      UNION ALL
+      SELECT m, 'https://www.h' || (m % {_LINK_H})::VARCHAR || '.example.org/d/' || m::VARCHAR,
+             'mailto:crawl@example.org', NULL FROM d
+      UNION ALL
+      SELECT m, 'https://www.h' || (m % {_LINK_H})::VARCHAR || '.example.org/d/' || m::VARCHAR,
+             '#top', NULL FROM d
+    )
+    SELECT src_url, href, canon_dst FROM l
+    """,
+)
+def source_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink harvest from HTML — the crawl-graph source stage: pages
+    synthesized in JVM expressions (six anchors each, see
+    ``_synth_link_pages``), walked by the REAL stdlib-HTML-parser anchor
+    extractor (``sources/warc.py::extract_links``, one Arrow map stage,
+    zero shuffle), hrefs resolved (absolute kept; protocol-relative gets
+    the base scheme; root-relative gets the base origin; mailto:/
+    fragment-only/bare dropped as NULL) and canonicalized (fragment +
+    ``utm_*`` stripped, host lowercased, default :443 dropped). The
+    oracle restates the synthesis + the resolution/canonicalization
+    RESULTS arithmetically — any drift in the parser walk, resolution
+    rule, or canonical rewrites breaks value parity. The bare ``<a>``
+    is never harvested, so 5 rows per page."""
+    from modware_loader_spark.operators.curation import url_canonicalize
+    from modware_loader_spark.sources import warc as W
+
+    t = load_tables(spark, sf_dir)
+    pages = _synth_link_pages(t["documents"])
+    links = W.extract_links(pages)
+    return links.select(
+        "src_url",
+        "href",
+        F.when(
+            F.col("dst_url").isNotNull(), url_canonicalize(F.col("dst_url"))
+        ).alias("canon_dst"),
+    )
+
+
+def _pagerank_hosts_oracle(iters: int, damping: float = 0.85) -> str:
+    """DuckDB restatement of the link-harvest PageRank chain: host-level
+    edges derived arithmetically from the planted anchors (absolute leg
+    m→(7m+1)%32, protocol-relative leg m→(13m+2)%32; the root-relative
+    leg host-reduces to a self-loop and is dropped), UNION-distinct,
+    then ``iters`` unrolled integer-micro join+sum iterations over the
+    host node set."""
+    H = _LINK_H
+    head = f"""
+    WITH hosts AS (SELECT DISTINCT 'h' || (doc_id % {H})::VARCHAR || '.example.org' AS host
+                   FROM documents),
+    nn AS (SELECT count(*)::BIGINT AS n FROM hosts),
+    e AS (SELECT 'h' || (doc_id % {H})::VARCHAR || '.example.org' AS src,
+                 'h' || ((doc_id * 7 + 1) % {H})::VARCHAR || '.example.org' AS dst
+          FROM documents
+          UNION
+          SELECT 'h' || (doc_id % {H})::VARCHAR || '.example.org',
+                 'h' || ((doc_id * 13 + 2) % {H})::VARCHAR || '.example.org'
+          FROM documents),
+    od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT host, CAST(round(1000000.0 / nn.n) AS BIGINT) AS r
+           FROM hosts, nn)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+    c{i} AS (SELECT e.dst AS host,
+                    CAST(round({damping} * r.r / od.outdeg) AS BIGINT) AS c
+             FROM e JOIN od USING (src)
+             JOIN r{i - 1} r ON r.host = e.src),
+    s{i} AS (SELECT host, sum(c)::BIGINT AS m FROM c{i} GROUP BY host),
+    r{i} AS (SELECT d.host,
+                    (CAST(round((1.0 - {damping}) * 1000000.0 / nn.n)
+                          AS BIGINT) + coalesce(s.m, 0))::BIGINT AS r
+             FROM hosts d LEFT JOIN s{i} s USING (host), nn)""")
+    return head + "".join(steps) + f"""
+    SELECT host, r AS rank_micros FROM r{iters}
+    """
+
+
+@query("graph_pagerank_links", _pagerank_hosts_oracle(3))
+def graph_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over REAL harvested links — the complete crawl-prior
+    pipeline (VERDICT r9 item 3): synthesized anchor markup → stdlib
+    HTML-parser link harvest (Arrow map stage) → href resolution →
+    URL canonicalization → host reduction (self-loops dropped,
+    distinct) → 3 map-reduce PageRank iterations in integer micro-units
+    over the ~32-host graph. ``graph_pagerank`` (synthetic edge table)
+    stays as the iteration-semantics fixture; THIS row gates the
+    extraction-to-centrality chain end to end. The host edge table is
+    materialized once (eager localCheckpoint — it is the many-orders-
+    smaller reduction of the corpus, the production shape for a web
+    graph) so the 3 unrolled iterations never re-run the Arrow harvest."""
+    from modware_loader_spark.operators import graph as G
+    from modware_loader_spark.operators.curation import url_host
+    from modware_loader_spark.sources import warc as W
+
+    t = load_tables(spark, sf_dir)
+    pages = _synth_link_pages(t["documents"])
+    edges = G.host_link_edges(W.extract_links(pages)).localCheckpoint(eager=True)
+    nodes = (
+        pages.select(url_host(F.col("url")).alias("host"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    return G.pagerank_micros(nodes, edges, n, iters=3, id_col="host")
+
+
+def _pagerank_dangling_oracle(iters: int, damping: float = 0.85) -> str:
+    """Unrolled oracle for the dangling-mass redistribution form: docs
+    with doc_id % 5 == 0 have NO out-edges; each iteration adds
+    ``round(d * dangling_sum / n)`` (rounded once — the share is
+    identical for every receiver) on top of the damping base + in-mass."""
+    head = f"""
+    WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+    e AS (SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst
+          FROM documents, nn WHERE doc_id % 5 <> 0
+          UNION ALL
+          SELECT doc_id, (doc_id * 13 + 2) % nn.n
+          FROM documents, nn WHERE doc_id % 5 <> 0),
+    od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT doc_id, CAST(round(1000000.0 / nn.n) AS BIGINT) AS r
+           FROM documents, nn)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+    g{i} AS (SELECT coalesce(CAST(round({damping} * sum(r.r) / nn.n) AS BIGINT), 0) AS share
+             FROM r{i - 1} r LEFT JOIN od ON od.src = r.doc_id, nn
+             WHERE od.src IS NULL GROUP BY nn.n),
+    c{i} AS (SELECT e.dst AS doc_id,
+                    CAST(round({damping} * r.r / od.outdeg) AS BIGINT) AS c
+             FROM e JOIN od USING (src)
+             JOIN r{i - 1} r ON r.doc_id = e.src),
+    s{i} AS (SELECT doc_id, sum(c)::BIGINT AS m FROM c{i} GROUP BY doc_id),
+    r{i} AS (SELECT d.doc_id,
+                    (CAST(round((1.0 - {damping}) * 1000000.0 / nn.n)
+                          AS BIGINT) + coalesce(s.m, 0) + g{i}.share)::BIGINT AS r
+             FROM documents d LEFT JOIN s{i} s USING (doc_id), nn, g{i})""")
+    return head + "".join(steps) + f"""
+    SELECT doc_id, r AS rank_micros FROM r{iters}
+    """
+
+
+@query("graph_pagerank_dangling", _pagerank_dangling_oracle(3))
+def graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-stochastic PageRank (VERDICT r9 item 4): every doc_id
+    divisible by 5 is a DANGLING node (no out-edges; the other docs keep
+    the two-target synthetic link arithmetic), and each iteration
+    redistributes ``round(d * dangling_sum / n)`` to every node — one
+    extra anti-join + 1-row aggregate per iteration, cross-joined back
+    broadcast, still collect-free. On a dangling-free graph the flag is
+    a bit-identical no-op (``tests/test_graph_pagerank.py``)."""
+    from modware_loader_spark.operators import graph as G
+
+    t = load_tables(spark, sf_dir)
+    ids = t["documents"].select("doc_id").localCheckpoint(eager=True)
+    n = ids.count()
+    linking = ids.filter(F.col("doc_id") % 5 != 0)
+    edges = (
+        linking.select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") * 7 + 1, F.lit(n)).alias("dst"),
+        )
+        .unionByName(
+            linking.select(
+                F.col("doc_id").alias("src"),
+                F.pmod(F.col("doc_id") * 13 + 2, F.lit(n)).alias("dst"),
+            )
+        )
+    )
+    return G.pagerank_micros(
+        ids, edges, n, iters=3, redistribute_dangling=True
+    )
+
+
 @query(
     "embed_outlier_flags",
     """

@@ -403,6 +403,101 @@ def extract_html_text(records: DataFrame) -> DataFrame:
     return records.mapInPandas(batches, schema=schema)
 
 
+class _LinkExtractor(HTMLParser):
+    """Harvest raw ``<a href>`` values in document order."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v is not None:
+                    self.links.append(v)
+
+
+def html_links(markup: str) -> list[str]:
+    """All raw anchor hrefs of an HTML document, in document order
+    (empty-string hrefs included — resolution decides what survives)."""
+    p = _LinkExtractor()
+    p.feed(markup)
+    p.close()
+    return p.links
+
+
+_BASE_ORIGIN = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)")
+
+
+def resolve_href(base_url: str, href: str) -> str | None:
+    """Resolve an anchor href against its page URL for link-graph use.
+
+    Deliberately narrower than RFC 3986 / ``urllib.parse.urljoin``:
+    keeps http(s)-absolute hrefs, resolves protocol-relative (``//h/x``
+    — base scheme) and root-relative (``/x`` — base origin), and drops
+    everything else (``mailto:``/``javascript:``/other schemes,
+    fragment-only, empty, and path-relative hrefs — the last because
+    dot-segment semantics add nothing to a HOST-level graph: a
+    path-relative link always stays on the page's own host, which the
+    edge stage drops as a self-loop anyway). The three kept forms are
+    pure string concatenations, so a SQL oracle restates resolution
+    exactly.
+    """
+    h = href.strip()
+    if not h or h.startswith("#"):
+        return None
+    low = h.lower()
+    if low.startswith("http://") or low.startswith("https://"):
+        return h
+    m = _BASE_ORIGIN.match(base_url)
+    if m is None:
+        return None
+    if h.startswith("//"):
+        return m.group(1) + ":" + h
+    if h.startswith("/"):
+        return m.group(0) + h
+    return None
+
+
+LINKS_SCHEMA = T.StructType(
+    [
+        T.StructField("src_url", T.StringType(), False),
+        T.StructField("href", T.StringType(), False),
+        T.StructField("dst_url", T.StringType(), True),
+    ]
+)
+
+
+def extract_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, href, dst_url) per harvested anchor — the hyperlink
+    table a crawl-scale centrality prior starts from (Common Crawl's
+    host-level web graph is exactly this harvest, host-reduced).
+
+    One Arrow map stage (``html.parser`` anchor walk + ``resolve_href``),
+    embarrassingly parallel, zero shuffle; the HTML column is consumed
+    here and does not survive into the narrow output. ``dst_url`` is
+    NULL for dropped hrefs (mailto:/javascript:/fragment-only/
+    path-relative) so per-page harvest accounting stays queryable;
+    edge building filters the NULLs.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            src, raw, dst = [], [], []
+            for base, markup in zip(pdf[url_col], pdf[html_col]):
+                if markup is None:
+                    continue
+                for h in html_links(markup):
+                    src.append(base)
+                    raw.append(h)
+                    dst.append(resolve_href(base, h))
+            yield pd.DataFrame({"src_url": src, "href": raw, "dst_url": dst})
+
+    return pages.select(url_col, html_col).mapInPandas(batches, schema=LINKS_SCHEMA)
+
+
 def read_warc(spark, path_glob: str) -> DataFrame:
     """File-level WARC reader: ``binaryFile`` source (one file per task —
     gzip members are not splittable, files are the crawl's parallelism

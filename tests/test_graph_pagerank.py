@@ -111,3 +111,141 @@ def test_pagerank_property_random_graphs(spark):
             for r in G.pagerank_micros(ndf, edf, n, iters=iters).collect()
         }
         assert got == _naive(nodes, edges, n, iters), (trial, n, edges, iters)
+
+
+def _naive_dangling(nodes, edges, n, iters, d=0.85):
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = _round_half_away((1.0 - d) * 1e6 / n)
+    r = {v: _round_half_away(1e6 / n) for v in nodes}
+    for _ in range(iters):
+        dsum = sum(rv for v, rv in r.items() if v not in outdeg)
+        share = _round_half_away(d * dsum / n) if dsum else 0
+        nxt = {v: base + share for v in nodes}
+        for s, t in edges:
+            nxt[t] = nxt[t] + _round_half_away(d * r[s] / outdeg[s])
+        r = nxt
+    return r
+
+
+def test_dangling_redistribution_identity_on_dangling_free_graph(spark):
+    """redistribute_dangling must be a bit-identical no-op when every
+    node has out-edges (the registered graph_pagerank contract holds
+    whichever flag a caller picks)."""
+    docs = spark.range(40).withColumnRenamed("id", "doc_id")
+    e = G.synthetic_link_edges(docs, 40)
+    off = G.pagerank_micros(docs, e, 40, iters=3).collect()
+    on = G.pagerank_micros(
+        docs, e, 40, iters=3, redistribute_dangling=True
+    ).collect()
+    assert sorted(map(tuple, off)) == sorted(map(tuple, on))
+
+
+def test_dangling_redistribution_hand_computed(spark):
+    """Node 2 dangles: its mass must spread as round(d * dsum / n) to
+    every node each iteration (naive-model parity, 2 iterations)."""
+    nodes = [0, 1, 2]
+    edges = [(0, 1), (0, 2), (1, 2)]
+    ndf = spark.createDataFrame([(v,) for v in nodes], ["doc_id"])
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["doc_id"]: r["rank_micros"]
+        for r in G.pagerank_micros(
+            ndf, edf, 3, iters=2, redistribute_dangling=True
+        ).collect()
+    }
+    want = _naive_dangling(nodes, edges, 3, 2)
+    assert got == want
+    # sanity: the dangling share actually moved mass (differs from the
+    # leaky default)
+    leaky = {
+        r["doc_id"]: r["rank_micros"]
+        for r in G.pagerank_micros(ndf, edf, 3, iters=2).collect()
+    }
+    assert got != leaky
+
+
+def test_dangling_redistribution_property_random_graphs(spark):
+    import random
+
+    rng = random.Random(43)
+    for trial in range(5):
+        n = rng.randint(2, 10)
+        nodes = list(range(n))
+        # leave ~a third of nodes dangling
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(0, 2 * n))
+        ]
+        edges = [(s, t) for s, t in edges if s % 3 != 0]
+        ndf = spark.createDataFrame([(v,) for v in nodes], ["doc_id"])
+        if edges:
+            edf = spark.createDataFrame(edges, ["src", "dst"])
+        else:
+            edf = spark.createDataFrame([], "src long, dst long")
+        iters = rng.randint(1, 3)
+        got = {
+            r["doc_id"]: r["rank_micros"]
+            for r in G.pagerank_micros(
+                ndf, edf, n, iters=iters, redistribute_dangling=True
+            ).collect()
+        }
+        assert got == _naive_dangling(nodes, edges, n, iters), (trial, edges)
+
+
+def test_extract_links_resolution_semantics(spark):
+    """Anchor harvest + href resolution: absolute kept verbatim,
+    protocol-relative gets the base scheme, root-relative the base
+    origin; mailto/javascript/fragment-only/path-relative/empty drop to
+    NULL dst; bare <a> (no href) never harvested; entity-encoded hrefs
+    (&amp;) arrive decoded."""
+    from modware_loader_spark.sources.warc import extract_links
+
+    html = (
+        '<html><body>'
+        '<a href="https://other.example.com/x?a=1&amp;b=2">abs</a>'
+        '<a href="//cdn.example.com/y">proto</a>'
+        '<a href="/rooted">root</a>'
+        '<a href="relative/path">rel</a>'
+        '<a href="mailto:x@y">mail</a>'
+        '<a href="javascript:void(0)">js</a>'
+        '<a href="#frag">frag</a>'
+        '<a href="">empty</a>'
+        '<a name="anchor">bare</a>'
+        '</body></html>'
+    )
+    pages = spark.createDataFrame(
+        [("https://www.site.example.org:8080/dir/page",  html)], ["url", "html"]
+    )
+    rows = {r["href"]: r["dst_url"] for r in extract_links(pages).collect()}
+    assert rows == {
+        "https://other.example.com/x?a=1&b=2": "https://other.example.com/x?a=1&b=2",
+        "//cdn.example.com/y": "https://cdn.example.com/y",
+        "/rooted": "https://www.site.example.org:8080/rooted",
+        "relative/path": None,
+        "mailto:x@y": None,
+        "javascript:void(0)": None,
+        "#frag": None,
+        "": None,
+    }
+
+
+def test_host_link_edges_reduction(spark):
+    """Canonicalization + host reduction + self-loop drop + distinct."""
+    from modware_loader_spark.operators.graph import host_link_edges
+
+    links = spark.createDataFrame(
+        [
+            # same logical edge twice (tracking param noise) -> 1 row
+            ("https://www.a.org/p", "x", "https://B.org/q?utm_source=z"),
+            ("https://a.org/p2", "x", "https://b.org:443/q#top"),
+            # self-loop after www-strip -> dropped
+            ("https://www.a.org/p", "x", "https://a.org/self"),
+            # unresolved href -> dropped
+            ("https://a.org/p", "x", None),
+        ],
+        "src_url string, href string, dst_url string",
+    )
+    got = {(r["src"], r["dst"]) for r in host_link_edges(links).collect()}
+    assert got == {("a.org", "b.org")}

@@ -163,6 +163,9 @@ _BNLJ_WHITELIST = {
     "search_hybrid_rrf_topk",
     "text_lm_perplexity",  # 1-row LM totals broadcast attach (DSIR shape)
     "sample_temperature",  # 1-row corpus-totals broadcast attach (DSIR shape)
+    # 1-row dangling-mass aggregate broadcast back per iteration (x3) —
+    # the strict-stochastic PageRank correction, DSIR shape
+    "graph_pagerank_dangling",
 }
 
 
