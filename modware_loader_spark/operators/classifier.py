@@ -163,6 +163,16 @@ def synth_weight_table(
 # weight update (computed from exact integer gradient / count) — the same
 # float-parity regime the Stupid-Backoff LM oracle established.
 #
+# Compounding caveat (r9 ADVICE): in the TRAINING chain the sigmoid parity
+# risk compounds per iteration — if JVM and DuckDB libm exp() ever differed
+# in the last ulp at an exact .5-micro residual boundary, the flipped
+# F.round would shift that bucket's weight by 1 micro and every subsequent
+# iteration would diverge from there (unlike the one-shot float steps
+# elsewhere, where a last-ulp flip stays a 1-row diff). No boundary hit has
+# been observed across the fixture sweep; if a future train parity failure
+# appears with weights differing by ~lr micro-units, check residuals at
+# exactly N.5 micros first — that is this regime, not a logic bug.
+#
 # Reference scope: none (extension scope — text-analysis family of the
 # north-star baseline).
 # ---------------------------------------------------------------------------

@@ -43,8 +43,14 @@ def write_jsonl_shards(
     ``shard`` becomes the partition directory.
     """
     out = assign_shards(df, n_shards, key_col=key_col, salt=salt)
+    # repartitionByRange, not repartition(n, col): hash-partitioning the
+    # shard VALUE collides (hash(k) % n), leaving some tasks writing
+    # multiple shards and others none; the range partitioner lands ~one
+    # shard per task. Per-shard file content/order is deterministic
+    # either way (partitionBy splits directories, the sort orders rows);
+    # only task balance changes.
     writer = (
-        out.repartition(n_shards, F.col("shard"))
+        out.repartitionByRange(n_shards, F.col("shard"), F.col("pos"))
         .sortWithinPartitions("shard", "pos")
         .write.mode("overwrite")
         .partitionBy("shard")
