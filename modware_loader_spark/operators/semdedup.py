@@ -31,9 +31,23 @@ from modware_loader_spark.operators.ivf import ivf_assign, ivf_train
 from modware_loader_spark.operators.similarity import dot, norm
 
 
+#: target mean cell occupancy for the default nlist heuristic — the
+#: knob SCALE.md round-9 measured: with fixed nlist the cluster-local
+#: pair step grows n²/nlist (5.4x at 10x data); nlist ∝ n restores
+#: ~linear (nlist 8→80 at 10x: 7.5→5.2 s). 64 keeps the sf0.01 fixture
+#: at the oracle-pinned 8 cells (max(8, 500 // 64) == 8).
+TARGET_CELL = 64
+
+
+def default_nlist(n_vecs: int, target_cell: int = TARGET_CELL) -> int:
+    """``max(8, n // target_cell)`` — cells stay ~target_cell-sized as
+    the corpus grows, so cluster-local pair work stays ~linear in n."""
+    return max(8, int(n_vecs) // int(target_cell))
+
+
 def semantic_near_pairs(
     df: DataFrame,
-    nlist: int = 8,
+    nlist: int | None = None,
     lloyd_iters: int = 1,
     threshold: float = 0.4,
     id_col: str = "vec_id",
@@ -46,7 +60,14 @@ def semantic_near_pairs(
     SemDeDup trade: bounded work, slightly lossy recall at cluster
     edges (the banded-LSH path in ``operators/similarity`` is the
     complementary oblivious-hash variant).
+
+    ``nlist=None`` (the default) applies ``default_nlist`` — one extra
+    count job, and the n²/nlist pair bound stays ~linear in n instead
+    of silently degrading as the corpus grows (r9 SCALE.md measurement,
+    promoted from manual knob to default per VERDICT item 6).
     """
+    if nlist is None:
+        nlist = default_nlist(df.count())
     # ivf_train materializes the trained assignment (persisted): the
     # self-join below reads the cached (id, vec, cell) blocks on BOTH
     # branches instead of re-deriving the argmin per branch — one corpus
@@ -85,7 +106,7 @@ def semantic_near_pairs(
 
 def semantic_dedup(
     df: DataFrame,
-    nlist: int = 8,
+    nlist: int | None = None,
     lloyd_iters: int = 1,
     threshold: float = 0.4,
     id_col: str = "vec_id",

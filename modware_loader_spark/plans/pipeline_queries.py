@@ -786,9 +786,19 @@ _DDB_IVF_CELLS = """
 """
 
 
+# dedup_semantic_keep uses the nlist HEURISTIC (max(8, n // 64), see
+# operators/semdedup.py::default_nlist) rather than the fixed 8 cells
+# the other IVF oracles pin — the oracle restates the same heuristic in
+# its seed LIMIT so parity holds at ANY scale factor (at sf0.01 both
+# reduce to 8).
+_DDB_IVF_CELLS_DYN = _DDB_IVF_CELLS.replace(
+    "LIMIT 8", "LIMIT (SELECT greatest(8, count(*) // 64) FROM embeddings)"
+)
+
+
 @query(
     "dedup_semantic_keep",
-    _DDB_IVF_CELLS + """,
+    _DDB_IVF_CELLS_DYN + """,
     pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
               FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
               JOIN v va ON va.vec_id = a.vec_id
@@ -810,13 +820,17 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cluster-locality bounds the pair step to n²/nlist with zero corpus
     shuffle for the clustering itself; the drop set broadcasts into the
-    final anti-join. See ``operators/semdedup.py`` for the scale notes
-    and the keep-rule divergence from the paper (min-id, deterministic).
+    final anti-join. nlist defaults to the ``max(8, n // 64)`` heuristic
+    (cells stay ~64-deep as the corpus grows — the measured fix for the
+    fixed-nlist n²/nlist growth, SCALE.md r9; the oracle's seed LIMIT
+    restates the same expression). See ``operators/semdedup.py`` for
+    the scale notes and the keep-rule divergence from the paper
+    (min-id, deterministic).
     """
     t = load_tables(spark, sf_dir)
     from modware_loader_spark.operators.semdedup import semantic_dedup
 
-    return semantic_dedup(t["embeddings"], nlist=8, threshold=0.4).select(
+    return semantic_dedup(t["embeddings"], threshold=0.4).select(
         "vec_id", "label"
     )
 
@@ -1293,13 +1307,23 @@ def _synth_link_pages(docs: DataFrame) -> DataFrame:
         F.lit("?utm_source=feed#sec1"),
     )
     a2 = F.concat(F.lit("//WWW."), host(F.pmod(m * 13 + 2, h)), F.lit(":443/x"))
+    # every fourth page also links the hub host h0 — WITHOUT this the
+    # synthetic graph is 2-regular (7r+1 and 13r+2 are bijections mod 32:
+    # in-degree 2 everywhere), every host ranks exactly uniform, and any
+    # centrality gate downstream is degenerate.
+    hub = F.when(
+        F.pmod(m, F.lit(4)) == 0,
+        F.lit('<a href="https://h0.example.org/hub">hub</a>'),
+    ).otherwise(F.lit(""))
     html = F.concat(
         F.lit('<html><body><p>doc</p><a href="'),
         a1,
         F.lit('">one</a><a href="'),
         a2,
+        F.lit('">two</a>'),
+        hub,
         F.lit(
-            '">two</a><a href="/about">self</a>'
+            '<a href="/about">self</a>'
             '<a href="mailto:crawl@example.org">mail</a>'
             '<a href="#top">top</a><a>bare</a></body></html>'
         ),
@@ -1322,6 +1346,10 @@ def _synth_link_pages(docs: DataFrame) -> DataFrame:
              '//WWW.h' || ((m * 13 + 2) % {_LINK_H})::VARCHAR || '.example.org:443/x',
              'https://www.h' || ((m * 13 + 2) % {_LINK_H})::VARCHAR || '.example.org/x'
       FROM d
+      UNION ALL
+      SELECT m, 'https://www.h' || (m % {_LINK_H})::VARCHAR || '.example.org/d/' || m::VARCHAR,
+             'https://h0.example.org/hub', 'https://h0.example.org/hub'
+      FROM d WHERE m % 4 = 0
       UNION ALL
       SELECT m, 'https://www.h' || (m % {_LINK_H})::VARCHAR || '.example.org/d/' || m::VARCHAR,
              '/about',
@@ -1383,7 +1411,11 @@ def _pagerank_hosts_oracle(iters: int, damping: float = 0.85) -> str:
           UNION
           SELECT 'h' || (doc_id % {H})::VARCHAR || '.example.org',
                  'h' || ((doc_id * 13 + 2) % {H})::VARCHAR || '.example.org'
-          FROM documents),
+          FROM documents
+          UNION
+          SELECT 'h' || (doc_id % {H})::VARCHAR || '.example.org',
+                 'h0.example.org'
+          FROM documents WHERE doc_id % 4 = 0 AND doc_id % {H} <> 0),
     od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
     r0 AS (SELECT host, CAST(round(1000000.0 / nn.n) AS BIGINT) AS r
            FROM hosts, nn)"""
@@ -1497,6 +1529,70 @@ def graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return G.pagerank_micros(
         ids, edges, n, iters=3, redistribute_dangling=True
+    )
+
+
+@query(
+    "pipeline_curation_prior_gate",
+    f"""
+    WITH pr AS (SELECT * FROM ({_pagerank_hosts_oracle(3)})),
+    d AS (SELECT doc_id,
+                 'h' || (doc_id % {_LINK_H})::VARCHAR || '.example.org' AS host,
+                 len(string_split(trim(text), ' '))::BIGINT AS n_tokens
+          FROM documents)
+    SELECT d.doc_id, d.host, pr.rank_micros AS host_rank_micros, d.n_tokens,
+           CAST(CASE WHEN pr.rank_micros > CAST(round(1000000.0 /
+                  (SELECT count(DISTINCT doc_id % {_LINK_H}) FROM documents))
+                  AS BIGINT)
+                 AND d.n_tokens >= 10 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM d JOIN pr ON pr.host = d.host
+    """,
+)
+def pipeline_curation_prior_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The centrality prior USED, not just computed: every document
+    joined (broadcast — the host-rank table is the many-orders-smaller
+    web-graph reduction) against the harvested-link PageRank
+    (``graph_pagerank_links``) of its host, gated on above-uniform host
+    centrality (rank > round(1e6/n_hosts), the r0 mass) AND a minimum
+    token count — the OpenWebText-style "popularity + basic quality"
+    keep rule. Per-doc side is one map stage + one broadcast hash join;
+    no corpus shuffle anywhere."""
+    from modware_loader_spark.operators import graph as G
+    from modware_loader_spark.operators.curation import url_host
+    from modware_loader_spark.sources import warc as W
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    pages = _synth_link_pages(docs)
+    edges = G.host_link_edges(W.extract_links(pages)).localCheckpoint(eager=True)
+    nodes = (
+        pages.select(url_host(F.col("url")).alias("host"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_hosts = nodes.count()
+    ranks = G.pagerank_micros(nodes, edges, n_hosts, iters=3, id_col="host")
+    from modware_loader_spark.functions.scalar import round_half_away
+
+    r0 = round_half_away(1e6 / n_hosts)
+    m = F.col("doc_id")
+    per_doc = docs.select(
+        m,
+        F.concat(
+            F.lit("h"), F.pmod(m, F.lit(_LINK_H)).cast("string"), F.lit(".example.org")
+        ).alias("host"),
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return per_doc.join(F.broadcast(ranks), "host").select(
+        "doc_id",
+        "host",
+        F.col("rank_micros").alias("host_rank_micros"),
+        "n_tokens",
+        (
+            (F.col("rank_micros") > F.lit(r0)) & (F.col("n_tokens") >= 10)
+        )
+        .cast("int")
+        .alias("keep"),
     )
 
 
