@@ -65,115 +65,112 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q5_region_revenue"](spark, "/root/testdata/sf0.001")
 
 
-# The external driver records the FIRST 50 queries. Round-9 rotation
+# The external driver records the FIRST 50 queries. Round-10 rotation
 # (the freshness invariant is computed by
 # tests/test_round4_invariants.py::test_driver_registry_contract from
-# the CORRECTNESS_r*.json artifacts; with 116 registered names the
-# adaptive window is ceil(116/50) = 3 recorded rounds): the head holds
-# (a) the FOURTEEN new round-9 queries (text_main_content — boilerplate-
-# removal block classifier; dedup_substring_rewrite — exact-substring
-# REMOVAL transform; source_warc_files — the binaryFile .warc.gz leg;
-# source_warc_main_content — record walk chained into the classifier;
-# text_classifier_train — hashed-logreg gradient-descent training;
-# sample_temperature — n^alpha multinomial mixture sampling;
-# text_bpe_train_merges — relational Sennrich merge training;
-# embed_random_projection — JL ±1 md5-sign projection;
-# text_bpe_encode — trained-merge encoding / token budgeting;
-# pipeline_curation_v2 — the map-dominant curation chain composed
-# into one zero-join plan; pack_training_shards — reproducible
-# shard layout; sample_cluster_balanced — IVF-cell diversity cap;
-# graph_pagerank — link-centrality quality prior;
-# embed_outlier_flags — distance-to-centroid prototypicality);
-# (b) the seven r6-green names that hit the window bound and are
-# mandatory this round (m12_distinct_insert,
-# m13_deterministic_id_generation, u2_normalize_id,
-# t2_t3_cutoff_and_regex_extract, e12_sample_limit,
-# e13_skip_list_filter, e1_e2_filter_computed_column); (c) the two
-# r8-green queries whose code changed in round 9
-# (source_warc_html_text — oracle now collapses internal whitespace
-# like the extractor; text_lm_perplexity — trains with persist=False);
-# and (d) 27 of the 45 r7-green names. The tail below = the 48
-# unchanged r8-green names + the 18 r7-green names held back (50 head
-# slots cannot fit 45 + 7 + 2; held-back names stay in-window until
-# r10, where they are MANDATORY head slots: the original 8 plus
-# sample_mixture_rebalance, sample_weighted_reservoir,
-# text_chunk_windows, decontam_ngram_overlap,
+# the CORRECTNESS_r*.json artifacts; with 122 registered names the
+# adaptive window is ceil(122/50) = 3 recorded rounds). The head holds:
+# (a) the EIGHTEEN r7-green names that hit the window bound — mandatory
+# this round exactly as round 9 scheduled (sample_mixture_rebalance,
+# sample_weighted_reservoir, text_chunk_windows, decontam_ngram_overlap,
 # e9_collect_to_delimited_string, m14_versioned_dbxref,
 # events_sessionization, e8_pivot_props, s13_bibtex2chado_pub,
-# t6_blast_gbrowse_gff3 —
-# demoted one-for-one as the fourteen round-9 queries took head
-# slots; never-verified names must sit in the recorded head).
-# Everything deprioritized stays covered every round by
-# tests/test_oracle_parity.py, which iterates the full dict.
+# t6_blast_gbrowse_gff3, text_bpe_token_count, text_quality_classifier,
+# text_quality_quantile_gate, text_url_blocklist, text_url_canonical,
+# text_wordlist_flags, u4_next_rank, u6_fk_resolution_validity);
+# (b) the SIX new round-10 queries (source_html_links — HTML anchor
+# harvest + href resolution + canonicalization; graph_pagerank_links —
+# the complete harvest→host-graph→centrality chain;
+# graph_pagerank_dangling — strict-stochastic dangling-mass
+# redistribution; pipeline_export_shards — the composed terminal
+# curation→shard-manifest stage; pipeline_curation_prior_gate — the
+# centrality prior gating documents; similarity_cosine_bucket_pairs_lowt
+# — the demoted τ=0.4 banding pin);
+# (c) the THREE queries whose code changed this round
+# (similarity_cosine_bucket_pairs — re-pinned to the τ=0.8 near-dup
+# regime with planted duplicates; dedup_semantic_keep — nlist now the
+# max(8, n//64) heuristic; text_classifier_train — NULL-label coalesce
+# + per-dataset weight memo);
+# (d) 23 of the 48-name r8 cohort, staggering it NOW so the remaining
+# 24 fit r11's head alongside the first half of the 50-name r9 cohort
+# (which hits the window bound at r12 — r9's warning honored).
+# The tail below = everything else, all in-window: 24 r8-green names
+# (mandatory r11 head slots) + the r9-green cohort + this round's
+# re-verified names. Everything deprioritized stays covered every round
+# by tests/test_oracle_parity.py, which iterates the full dict.
 _DEPRIORITIZED = [
-    # unchanged r8-green cohort (rotate back in r10)
-    "agg_cube_returnflag_linestatus",
-    "agg_rollup_priority_status",
-    "closure_transitive_paths",
-    "dedup_exact_fingerprint",
-    "dedup_incremental_minhash",
-    "dedup_line_level",
-    "dedup_minhash_bands",
-    "dedup_simhash_banded_pairs",
-    "dedup_simhash_fingerprint",
-    "dedup_substring_windows",
-    "e10_ordered_assembly",
-    "e10b_splice_revcomp",
-    "embed_quantize_int8",
-    "events_asof_last_purchase",
-    "events_tumbling_window",
-    "m7_closure_refresh_delete",
-    "multimodal_audio_mfcc",
-    "multimodal_binary_meta",
-    "multimodal_shot_cuts",
-    "pack_token_budget",
-    "q1_pricing_summary",
-    "sample_dsir_weights",
-    "sample_frequency_cap",
-    "sample_stratified_hash",
-    "search_hybrid_rrf_topk",
-    "similarity_brute_force_topk",
-    "similarity_cosine_bucket_pairs",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "m1_new_keys_anti_join",
+    "m2_existing_keys_semi_join",
+    "m3_scoped_prune_set",
+    "m4_delete_with_join",
+    "m5_key_resolution_joins",
+    "m6_except_idempotent_insert",
+    "m8_scd1_update_from_join",
+    "m9_refresh_child_sets",
+    "m10_grown_groups",
+    "m11_window_dedup",
+    "m12_distinct_insert",
+    "m13_deterministic_id_generation",
+    "e1_e2_filter_computed_column",
+    "e3_disjunctive_filter",
+    "e4_not_in_subquery",
+    "e7_multi_join_isin_filter",
+    "e12_sample_limit",
+    "e13_skip_list_filter",
+    "u2_normalize_id",
+    "t1_interval_overlap_groups",
+    "t2_t3_cutoff_and_regex_extract",
+    "s11_blast_report_gff3",
+    "s5_genbank_load_features",
+    "dedup_minhash_candidate_pairs",
+    "dedup_simhash_near_pairs",
+    "dedup_cluster_components",
+    "dedup_ngram_jaccard",
     "similarity_cosine_near_pairs",
-    "similarity_hamming_rerank_topk",
-    "similarity_hamming_topk",
-    "similarity_ivf_topk",
-    "similarity_ivfpq_topk",
+    "similarity_brute_force_topk",
     "similarity_lsh_bucket_topk",
-    "similarity_matryoshka_rerank_topk",
+    "similarity_ann_banded_topk",
+    "similarity_ivf_topk",
+    "text_token_stats",
+    "text_langid",
+    "text_quality_score",
+    "text_pii_scrub",
+    "text_winnow_fingerprints",
+    "similarity_ivfpq_topk",
     "similarity_pq_adc_topk",
     "similarity_pq_rerank_topk",
-    "sketch_cms_heavy_hitters",
-    "sketch_hll_distinct",
-    "text_bm25_topk",
-    "text_gopher_quality_keep",
-    "text_langid",
-    "text_ngram_topk",
-    "text_pii_scrub",
-    "text_quality_score",
-    "text_repetition_gopher",
-    "text_token_stats",
-    "text_winnow_fingerprints",
+    "embed_random_projection",
+    "sample_cluster_balanced",
+    "graph_pagerank",
+    "embed_outlier_flags",
     "window_running_total",
-    # r7-green names held back one round (mandatory r10 head slots)
-    "sample_mixture_rebalance",
-    "sample_weighted_reservoir",
-    "text_chunk_windows",
-    "decontam_ngram_overlap",
-    "e9_collect_to_delimited_string",
-    "m14_versioned_dbxref",
-    "events_sessionization",
-    "e8_pivot_props",
-    "s13_bibtex2chado_pub",
-    "t6_blast_gbrowse_gff3",
-    "text_bpe_token_count",
-    "text_quality_classifier",
-    "text_quality_quantile_gate",
-    "text_url_blocklist",
-    "text_url_canonical",
-    "text_wordlist_flags",
-    "u4_next_rank",
-    "u6_fk_resolution_validity",
+    "sample_stratified_hash",
+    "sketch_hll_distinct",
+    "sketch_cms_heavy_hitters",
+    "text_repetition_gopher",
+    "text_gopher_quality_keep",
+    "text_ngram_topk",
+    "similarity_hamming_topk",
+    "similarity_hamming_rerank_topk",
+    "text_bm25_topk",
+    "multimodal_dhash_fingerprint",
+    "dedup_image_dhash_pairs",
+    "similarity_matryoshka_rerank_topk",
+    "search_hybrid_rrf_topk",
+    "pipeline_training_data_e2e",
+    "text_lm_perplexity",
+    "source_warc_html_text",
+    "text_main_content",
+    "dedup_substring_rewrite",
+    "source_warc_files",
+    "source_warc_main_content",
+    "sample_temperature",
+    "text_bpe_train_merges",
+    "text_bpe_encode",
+    "pipeline_curation_v2",
+    "pack_training_shards",
 ]
 
 

@@ -115,6 +115,14 @@ BENCH_QUERIES = [
     "sample_cluster_balanced",
     "graph_pagerank",
     "embed_outlier_flags",
+    # round-10 additions (similarity_cosine_bucket_pairs above is now the
+    # re-pinned tau=0.8 near-dup config; the demoted tau=0.4 _lowt twin
+    # stays out of the headline by design)
+    "source_html_links",
+    "graph_pagerank_links",
+    "graph_pagerank_dangling",
+    "pipeline_export_shards",
+    "pipeline_curation_prior_gate",
 ]
 
 

@@ -49,7 +49,33 @@ QUERIES = [
     "text_bpe_train_merges",
     "text_bpe_encode",
     "embed_random_projection",
+    # r10: the re-pinned cosine-bucket config, the heuristic-nlist
+    # semdedup default, and the new link/graph/export chains
+    "source_html_links",
+    "graph_pagerank_links",
+    "graph_pagerank_dangling",
+    "pipeline_curation_prior_gate",
+    "pipeline_export_shards",
 ]
+
+
+def _image_components(spark, sf_dir: str):
+    """Composed measurement (VERDICT r9 item 6): connected components
+    over the dHash near-pair stream — the claimed production path for
+    viral duplicate clusters. Runtime must track nodes+edges, not
+    pairs² (the dhash pair OUTPUT grows ~quadratically on this fixture;
+    the components reduction of it must not)."""
+    from modware_loader_spark.operators.components import dedup_clusters
+    from modware_loader_spark.plans.registry import QUERIES as _Q
+    from modware_loader_spark.session import load_tables
+
+    pairs = _Q["dedup_image_dhash_pairs"](spark, sf_dir).withColumnsRenamed(
+        {"id_a": "doc_a", "id_b": "doc_b"}
+    )
+    return dedup_clusters(pairs, load_tables(spark, sf_dir)["documents"])
+
+
+EXTRAS = {"image_components_over_dhash_pairs": _image_components}
 
 
 def _sweep(spark) -> None:
@@ -84,11 +110,14 @@ def main() -> None:
     # SPARK_GRAFT_SCALE_QUERIES=a,b,c restricts the sweep (re-measuring
     # a subset without paying for the full 20-query session)
     only = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
-    names = [n.strip() for n in only.split(",") if n.strip()] if only else QUERIES
+    names = [n.strip() for n in only.split(",") if n.strip()] if only else (
+        QUERIES + list(EXTRAS)
+    )
     rows = []
     for name in names:
-        t_small = timed(spark, qs[name], SMALL)
-        t_big = timed(spark, qs[name], big)
+        fn = EXTRAS.get(name) or qs[name]
+        t_small = timed(spark, fn, SMALL)
+        t_big = timed(spark, fn, big)
         ratio = round(t_big / t_small, 2) if t_small else float("inf")
         rows.append((name, t_small, t_big, ratio))
         print(f"| {name} | {t_small:.2f} | {t_big:.2f} | {ratio:.2f} |", flush=True)
