@@ -31,18 +31,22 @@ from modware_loader_spark.operators.ivf import ivf_assign, ivf_train
 from modware_loader_spark.operators.similarity import dot, norm
 
 
-#: target mean cell occupancy for the default nlist heuristic — the
-#: knob SCALE.md round-9 measured: with fixed nlist the cluster-local
-#: pair step grows n²/nlist (5.4x at 10x data); nlist ∝ n restores
-#: ~linear (nlist 8→80 at 10x: 7.5→5.2 s). 64 keeps the sf0.01 fixture
-#: at the oracle-pinned 8 cells (max(8, 500 // 64) == 8).
-TARGET_CELL = 64
+def default_nlist(n_vecs: int) -> int:
+    """``max(8, isqrt(n))`` — the textbook IVF sizing that balances the
+    two cost terms: centroid ASSIGNMENT is n·nlist distance evals (the
+    argmin against a literal centroid list) and the cluster-local pair
+    step is n²/nlist, so total cost a·n·k + b·n²/k is minimized at
+    k ∝ √n, putting both terms on n^1.5 — sub-quadratic end to end.
+    The round-10 scale run measured the alternatives at 10x data
+    (20k vectors): fixed nlist=8 → pair-step quadratic (r9: 5.38x);
+    nlist = n/64 → ASSIGNMENT quadratic at n²/64 (9.23x, 19.9 s — the
+    argmin fold against 312 literal centroids dominated); √n → both
+    terms balanced. ``isqrt`` on the Spark side ≡ ``floor(sqrt(n))``
+    in the oracle's seed LIMIT (IEEE sqrt is exact on perfect squares
+    and >1 ulp from any integer elsewhere at realistic n)."""
+    import math
 
-
-def default_nlist(n_vecs: int, target_cell: int = TARGET_CELL) -> int:
-    """``max(8, n // target_cell)`` — cells stay ~target_cell-sized as
-    the corpus grows, so cluster-local pair work stays ~linear in n."""
-    return max(8, int(n_vecs) // int(target_cell))
+    return max(8, math.isqrt(int(n_vecs)))
 
 
 def semantic_near_pairs(

@@ -786,13 +786,14 @@ _DDB_IVF_CELLS = """
 """
 
 
-# dedup_semantic_keep uses the nlist HEURISTIC (max(8, n // 64), see
+# dedup_semantic_keep uses the nlist HEURISTIC (max(8, isqrt(n)), see
 # operators/semdedup.py::default_nlist) rather than the fixed 8 cells
 # the other IVF oracles pin — the oracle restates the same heuristic in
-# its seed LIMIT so parity holds at ANY scale factor (at sf0.01 both
-# reduce to 8).
+# its seed LIMIT so parity holds at ANY scale factor.
 _DDB_IVF_CELLS_DYN = _DDB_IVF_CELLS.replace(
-    "LIMIT 8", "LIMIT (SELECT greatest(8, count(*) // 64) FROM embeddings)"
+    "LIMIT 8",
+    "LIMIT (SELECT greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT))"
+    " FROM embeddings)",
 )
 
 
@@ -820,12 +821,12 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cluster-locality bounds the pair step to n²/nlist with zero corpus
     shuffle for the clustering itself; the drop set broadcasts into the
-    final anti-join. nlist defaults to the ``max(8, n // 64)`` heuristic
-    (cells stay ~64-deep as the corpus grows — the measured fix for the
-    fixed-nlist n²/nlist growth, SCALE.md r9; the oracle's seed LIMIT
-    restates the same expression). See ``operators/semdedup.py`` for
-    the scale notes and the keep-rule divergence from the paper
-    (min-id, deterministic).
+    final anti-join. nlist defaults to the ``max(8, isqrt(n))``
+    heuristic — the IVF sizing that balances assignment (n·nlist) and
+    pair (n²/nlist) cost at n^1.5 (both alternatives measured quadratic
+    at 10x, SCALE.md r10; the oracle's seed LIMIT restates the same
+    expression). See ``operators/semdedup.py`` for the scale notes and
+    the keep-rule divergence from the paper (min-id, deterministic).
     """
     t = load_tables(spark, sf_dir)
     from modware_loader_spark.operators.semdedup import semantic_dedup
