@@ -24,14 +24,19 @@ Spark" shape:
   over the same space-joined symbol strings (the oracle of
   ``text_bpe_train_merges`` unrolls the full k-step chain).
 
-At 100 TB: the word table is |vocab| rows (~10^8 worst case — cluster-
-sized, not driver-sized; only the single winning pair is ever
-collected). Each merge step shuffles pair keys (near-uniform). For
-production-depth merge counts (~30k) the driver loop dominates; the
-standard practice this module keeps available is: persist the word
-table, run batches of merges, and localCheckpoint every few hundred
-steps to truncate the fold-chain lineage (here: after every
-``checkpoint_every`` merges).
+At 100 TB: the word table is |vocab| rows (~10^8 worst case). Each merge
+step of the relational loop shuffles pair keys (near-uniform) and costs
+one JOB — measured ~0.2 s/merge regardless of corpus size (py4j +
+scheduling is the floor; tools/bpe_depth.py, SCALE.md round-10), so at
+production depth (~30k merges) the job overhead dominates. The
+production path is ``train_merges_driver``: the distributed corpus pass
+runs once, the vocabulary table collects to the driver (bounded by
+|vocab| — the centroid/codebook bounded-artifact class, one tier
+larger), and the classic in-memory incremental-count loop trains at
+memory speed (~140x the relational rate measured, output
+exact-equivalent by construction and by test). The relational loop
+stays for cluster-sized vocabularies; ``checkpoint_every`` truncates its
+fold-chain lineage (sweep knee: 25).
 
 Reference scope: none (extension scope — tokenizer leg of the
 text-analysis family in the north-star baseline).
@@ -170,6 +175,95 @@ def train_merges(
     finally:
         if persist:
             base.unpersist()
+
+
+def train_merges_driver(
+    df: DataFrame, n_merges: int, text_col: str = "text"
+) -> list[tuple[int, str, str, int]]:
+    """Production-DEPTH merge training: identical output to
+    ``train_merges`` (property-tested), different execution shape.
+
+    The round-10 depth measurement (tools/bpe_depth.py) showed the
+    relational loop is driver/job-overhead-bound: ~0.2 s per merge
+    REGARDLESS of corpus size (sf0.1 vs sf0.01 ratio 0.91 — py4j +
+    job scheduling is the floor), i.e. ~100 minutes at a production
+    30k-merge depth. The classic fix — what reference BPE trainers do —
+    is to run the distributed corpus pass ONCE (``word_symbols``: the
+    only stage that touches the corpus) and train on the collected
+    vocabulary table in memory with incremental pair-count maintenance
+    (Sennrich et al. 2016 reference algorithm + a lazy-deletion heap
+    for the argmax). The collect is bounded by |vocab| — the same
+    bounded-artifact class as IVF centroids / PQ codebooks, one tier
+    larger (~10^8 × ~20 B worst case at 100 TB: a driver-sized table,
+    collected once). Use ``train_merges`` (never collects words) when
+    the vocabulary itself is cluster-sized; use this at real depth.
+
+    Exact-equivalence notes: pair counts weight every adjacent
+    position (overlapping included — ``get_stats``); the argmax
+    tie-break is count desc then lexicographically smallest (left,
+    right) (Python str comparison = UTF-8 code-point order = Spark's
+    binary string ordering for these symbols); rewrites merge
+    non-overlapping occurrences left-to-right; training stops when no
+    adjacent pair remains.
+    """
+    import heapq
+    from collections import defaultdict
+
+    rows = word_symbols(df, text_col=text_col).select("n", "s").collect()
+    words: list[tuple[list[str], int]] = [
+        (r["s"].split(" "), int(r["n"])) for r in rows
+    ]
+    counts: dict[tuple[str, str], int] = defaultdict(int)
+    index: dict[tuple[str, str], set[int]] = defaultdict(set)
+    heap: list[tuple[int, tuple[str, str]]] = []
+
+    def bump(pair: tuple[str, str], delta: int, wi: int | None = None) -> None:
+        counts[pair] += delta
+        if wi is not None:
+            index[pair].add(wi)
+        heapq.heappush(heap, (-counts[pair], pair))
+
+    for wi, (syms, n) in enumerate(words):
+        for a, b in zip(syms, syms[1:]):
+            bump((a, b), n, wi)
+
+    steps: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        # lazy-deletion heap argmax: entries are (−count-at-push, pair);
+        # an entry is valid only if it matches the CURRENT count.
+        best = None
+        while heap:
+            negc, pair = heapq.heappop(heap)
+            if counts.get(pair, 0) == -negc and -negc > 0:
+                best = (pair, -negc)
+                break
+        if best is None:
+            break
+        (left, right), cnt = best
+        steps.append((step, left, right, cnt))
+        merged = left + right
+        for wi in index.pop((left, right), set()):
+            syms, n = words[wi]
+            out: list[str] = []
+            i = 0
+            changed = False
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                    changed = True
+                else:
+                    out.append(syms[i])
+                    i += 1
+            if not changed:  # stale index entry
+                continue
+            for a, b in zip(syms, syms[1:]):
+                bump((a, b), -n)
+            words[wi] = (out, n)
+            for a, b in zip(out, out[1:]):
+                bump((a, b), n, wi)
+        counts.pop((left, right), None)
+    return steps
 
 
 def merge_table(spark, steps: list[tuple[int, str, str, int]]) -> DataFrame:

@@ -216,3 +216,29 @@ def test_encode_matches_naive_model(spark, texts, k):
         for r in BP.encode_token_counts(df, merges).collect()
     }
     assert got == _naive_encode(rows, merges)
+
+
+@settings(**_SETTINGS)
+@given(_corpora, st.integers(min_value=1, max_value=6))
+def test_driver_trainer_matches_naive_sennrich(spark, texts, k):
+    """train_merges_driver: same model-parity contract as the
+    relational trainer (the heap/lazy-deletion + incremental-count
+    bookkeeping must be invisible in the output)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    assert BP.train_merges_driver(df, n_merges=k) == _naive_train(texts, k)
+
+
+def test_driver_trainer_matches_relational_at_full_depth(spark):
+    """The two trainers must agree step-for-step to EXHAUSTION (early
+    stop included) on a real-text corpus — the equivalence the
+    production-depth path rests on."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(40)
+        .select("doc_id", "text")
+    )
+    a = BP.train_merges(docs, n_merges=60, persist=False)
+    b = BP.train_merges_driver(docs, n_merges=60)
+    assert a == b

@@ -87,6 +87,20 @@ def main() -> None:
         f" ({len(s_small)}) | ratio {d_big / d_small:.2f} |",
         flush=True,
     )
+
+    print("== driver trainer (train_merges_driver) at the same depths ==", flush=True)
+    from modware_loader_spark.operators import bpe as BP
+    from modware_loader_spark.session import load_tables
+
+    docs = load_tables(spark, sf01)["documents"]
+    t0 = time.perf_counter()
+    steps = BP.train_merges_driver(docs, n_merges=depth_n)
+    dt = time.perf_counter() - t0
+    print(
+        f"| driver depth {depth_n} | {dt:.1f} s | {len(steps)} merges"
+        f" | {60.0 * len(steps) / dt:.0f} merges/min |",
+        flush=True,
+    )
     try:
         print("loadavg:", os.getloadavg())
     except OSError:
