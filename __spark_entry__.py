@@ -68,8 +68,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # The external driver records the FIRST 50 queries. Round-10 rotation
 # (the freshness invariant is computed by
 # tests/test_round4_invariants.py::test_driver_registry_contract from
-# the CORRECTNESS_r*.json artifacts; with 122 registered names the
-# adaptive window is ceil(122/50) = 3 recorded rounds). The head holds:
+# the CORRECTNESS_r*.json artifacts; with 123 registered names the
+# adaptive window is ceil(123/50) = 3 recorded rounds). The head holds:
 # (a) the EIGHTEEN r7-green names that hit the window bound — mandatory
 # this round exactly as round 9 scheduled (sample_mixture_rebalance,
 # sample_weighted_reservoir, text_chunk_windows, decontam_ngram_overlap,
@@ -78,23 +78,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # t6_blast_gbrowse_gff3, text_bpe_token_count, text_quality_classifier,
 # text_quality_quantile_gate, text_url_blocklist, text_url_canonical,
 # text_wordlist_flags, u4_next_rank, u6_fk_resolution_validity);
-# (b) the SIX new round-10 queries (source_html_links — HTML anchor
+# (b) the SEVEN new round-10 queries (source_html_links — HTML anchor
 # harvest + href resolution + canonicalization; graph_pagerank_links —
 # the complete harvest→host-graph→centrality chain;
 # graph_pagerank_dangling — strict-stochastic dangling-mass
-# redistribution; pipeline_export_shards — the composed terminal
+# redistribution; graph_pagerank_weighted — token-mass-personalized
+# teleport; pipeline_export_shards — the composed terminal
 # curation→shard-manifest stage; pipeline_curation_prior_gate — the
 # centrality prior gating documents; similarity_cosine_bucket_pairs_lowt
 # — the demoted τ=0.4 banding pin);
 # (c) the THREE queries whose code changed this round
 # (similarity_cosine_bucket_pairs — re-pinned to the τ=0.8 near-dup
 # regime with planted duplicates; dedup_semantic_keep — nlist now the
-# max(8, n//64) heuristic; text_classifier_train — NULL-label coalesce
-# + per-dataset weight memo);
-# (d) 23 of the 48-name r8 cohort, staggering it NOW so the remaining
-# 24 fit r11's head alongside the first half of the 50-name r9 cohort
+# max(8, isqrt(n)) heuristic; text_classifier_train — NULL-label
+# coalesce + per-dataset weight memo);
+# (d) 22 of the 48-name r8 cohort, staggering it NOW so the remaining
+# 26 fit r11's head alongside the first half of the 50-name r9 cohort
 # (which hits the window bound at r12 — r9's warning honored).
-# The tail below = everything else, all in-window: 24 r8-green names
+# The tail below = everything else, all in-window: 26 r8-green names
 # (mandatory r11 head slots) + the r9-green cohort + this round's
 # re-verified names. Everything deprioritized stays covered every round
 # by tests/test_oracle_parity.py, which iterates the full dict.
@@ -124,6 +125,7 @@ _DEPRIORITIZED = [
     "t2_t3_cutoff_and_regex_extract",
     "s11_blast_report_gff3",
     "s5_genbank_load_features",
+    "sample_frequency_cap",
     "dedup_minhash_candidate_pairs",
     "dedup_simhash_near_pairs",
     "dedup_cluster_components",

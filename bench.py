@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "source_html_links",
     "graph_pagerank_links",
     "graph_pagerank_dangling",
+    "graph_pagerank_weighted",
     "pipeline_export_shards",
     "pipeline_curation_prior_gate",
 ]

@@ -90,6 +90,7 @@ def pagerank_micros(
     damping: float = DAMPING,
     id_col: str = "doc_id",
     redistribute_dangling: bool = False,
+    teleport_col: str | None = None,
 ) -> DataFrame:
     """``iters`` PageRank iterations over ``(src, dst)`` edges in exact
     integer micro-units: ``(id, rank_micros)``.
@@ -110,14 +111,35 @@ def pagerank_micros(
     the integer-micro parity discipline; on a dangling-free graph
     dangling_sum has no rows, the coalesced share is 0, and output is
     bit-identical to the default path.
+
+    ``teleport_col`` names a per-node LONG column on ``nodes`` holding
+    teleport weights in micros (callers make them sum ≈1e6):
+    personalized / topic-sensitive PageRank (Haveliwala 2002; Common
+    Crawl's harmonic-centrality cousin weights by host mass). With it,
+    ``r_0 = w_i`` and the per-iteration base is ``round((1.0-d) * w_i)``
+    — per-node, engine-restated with the same IEEE steps. Mutually
+    exclusive with ``redistribute_dangling`` (strict personalized
+    dangling redistribution is ∝ w, a different 1-row shape — raise
+    rather than silently blend).
     """
+    if teleport_col is not None and redistribute_dangling:
+        raise ValueError(
+            "pagerank_micros: teleport_col and redistribute_dangling are"
+            " mutually exclusive (personalized dangling redistribution"
+            " is weight-proportional — not implemented)"
+        )
     # half-away rounding + this exact op order: the SQL oracle computes
     # round((1.0 - d) * 1000000.0 / n) with the same IEEE steps, and
     # (1.0 - 0.85) is NOT 0.15 exactly — formulation must match.
-    base = _round_half_away((1.0 - damping) * 1e6 / n_nodes)
-    r0 = _round_half_away(1e6 / n_nodes)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ranks = nodes.select(F.col(id_col), F.lit(r0).cast("long").alias("rank_micros"))
+    if teleport_col is None:
+        base = F.lit(_round_half_away((1.0 - damping) * 1e6 / n_nodes))
+        r0 = F.lit(_round_half_away(1e6 / n_nodes))
+    else:
+        base = F.round(F.lit(1.0 - damping) * F.col(teleport_col))
+        r0 = F.col(teleport_col)
+    node_base = nodes.select(F.col(id_col), base.cast("long").alias("__base"))
+    ranks = nodes.select(F.col(id_col), r0.cast("long").alias("rank_micros"))
     for _ in range(iters):
         contribs = (
             edges.join(outdeg, "src")
@@ -132,7 +154,7 @@ def pagerank_micros(
             )
         )
         summed = contribs.groupBy(id_col).agg(F.sum("c").alias("in_mass"))
-        new_rank = F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0))
+        new_rank = F.col("__base") + F.coalesce(F.col("in_mass"), F.lit(0))
         if redistribute_dangling:
             dangling = (
                 ranks.join(
@@ -151,8 +173,7 @@ def pagerank_micros(
                 )
             )
             ranks = (
-                nodes.select(F.col(id_col))
-                .join(summed, id_col, "left")
+                node_base.join(summed, id_col, "left")
                 .crossJoin(F.broadcast(dangling))
                 .select(
                     F.col(id_col),
@@ -162,7 +183,7 @@ def pagerank_micros(
                 )
             )
         else:
-            ranks = nodes.select(F.col(id_col)).join(summed, id_col, "left").select(
+            ranks = node_base.join(summed, id_col, "left").select(
                 F.col(id_col),
                 new_rank.cast("long").alias("rank_micros"),
             )

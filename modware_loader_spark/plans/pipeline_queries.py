@@ -1533,6 +1533,99 @@ def graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_weighted_oracle(iters: int, damping: float = 0.85) -> str:
+    """Unrolled oracle for token-mass-personalized PageRank over the
+    harvested host graph: teleport weight w_h = round(1e6 · tokens_h /
+    total_tokens), r0 = w, per-iteration base = round((1.0-d) · w_h)."""
+    H = _LINK_H
+    head = f"""
+    WITH hd AS (SELECT 'h' || (doc_id % {H})::VARCHAR || '.example.org' AS host,
+                       len(string_split(trim(text), ' '))::BIGINT AS toks,
+                       doc_id
+                FROM documents),
+    tw AS (SELECT host, sum(toks)::BIGINT AS t FROM hd GROUP BY host),
+    tot AS (SELECT sum(t)::BIGINT AS tt FROM tw),
+    w AS (SELECT host, CAST(round(1000000.0 * t / tot.tt) AS BIGINT) AS w
+          FROM tw, tot),
+    e AS (SELECT 'h' || (doc_id % {H})::VARCHAR || '.example.org' AS src,
+                 'h' || ((doc_id * 7 + 1) % {H})::VARCHAR || '.example.org' AS dst
+          FROM documents
+          UNION
+          SELECT 'h' || (doc_id % {H})::VARCHAR || '.example.org',
+                 'h' || ((doc_id * 13 + 2) % {H})::VARCHAR || '.example.org'
+          FROM documents
+          UNION
+          SELECT 'h' || (doc_id % {H})::VARCHAR || '.example.org',
+                 'h0.example.org'
+          FROM documents WHERE doc_id % 4 = 0 AND doc_id % {H} <> 0),
+    od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT host, w AS r FROM w)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+    c{i} AS (SELECT e.dst AS host,
+                    CAST(round({damping} * r.r / od.outdeg) AS BIGINT) AS c
+             FROM e JOIN od USING (src)
+             JOIN r{i - 1} r ON r.host = e.src),
+    s{i} AS (SELECT host, sum(c)::BIGINT AS m FROM c{i} GROUP BY host),
+    r{i} AS (SELECT d.host,
+                    (CAST(round((1.0 - {damping}) * d.w) AS BIGINT)
+                     + coalesce(s.m, 0))::BIGINT AS r
+             FROM w d LEFT JOIN s{i} s USING (host))""")
+    return head + "".join(steps) + f"""
+    SELECT host, r AS rank_micros FROM r{iters}
+    """
+
+
+@query("graph_pagerank_weighted", _pagerank_weighted_oracle(3))
+def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (Haveliwala 2002's topic-sensitive form)
+    over the harvested host graph: the teleport vector is each host's
+    TOKEN MASS share, ``w_h = round(1e6 · tokens_h / total_tokens)``, so
+    centrality is biased toward content-heavy hosts instead of the
+    uniform prior — the form crawl pipelines use to rank by where the
+    trainable text actually lives. ``r_0 = w`` and the per-iteration
+    base is ``round((1.0-d) · w_h)`` per node (integer-micro discipline
+    throughout; ``operators/graph.py::pagerank_micros(teleport_col=)``).
+    The 1-row token-total attach is the DSIR broadcast shape."""
+    from modware_loader_spark.operators import graph as G
+    from modware_loader_spark.operators.curation import url_host
+    from modware_loader_spark.sources import warc as W
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    pages = _synth_link_pages(docs)
+    edges = G.host_link_edges(W.extract_links(pages)).localCheckpoint(eager=True)
+    m = F.col("doc_id")
+    host_tokens = (
+        docs.select(
+            F.concat(
+                F.lit("h"),
+                F.pmod(m, F.lit(_LINK_H)).cast("string"),
+                F.lit(".example.org"),
+            ).alias("host"),
+            F.size(TX.tokens(F.col("text"))).cast("long").alias("toks"),
+        )
+        .groupBy("host")
+        .agg(F.sum("toks").alias("t"))
+    )
+    total = host_tokens.agg(F.sum("t").alias("tt"))
+    nodes = (
+        host_tokens.crossJoin(F.broadcast(total))
+        .select(
+            "host",
+            F.round(F.lit(1000000.0) * F.col("t") / F.col("tt"))
+            .cast("long")
+            .alias("w_micros"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    return G.pagerank_micros(
+        nodes, edges, n, iters=3, id_col="host", teleport_col="w_micros"
+    )
+
+
 @query(
     "pipeline_curation_prior_gate",
     f"""

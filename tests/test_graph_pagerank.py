@@ -249,3 +249,45 @@ def test_host_link_edges_reduction(spark):
     )
     got = {(r["src"], r["dst"]) for r in host_link_edges(links).collect()}
     assert got == {("a.org", "b.org")}
+
+
+def _naive_teleport(nodes, edges, w, iters, d=0.85):
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = dict(w)
+    for _ in range(iters):
+        nxt = {v: _round_half_away((1.0 - d) * w[v]) for v in nodes}
+        for s, t in edges:
+            nxt[t] = nxt[t] + _round_half_away(d * r[s] / outdeg[s])
+        r = nxt
+    return r
+
+
+def test_pagerank_teleport_matches_naive_model(spark):
+    """Personalized teleport: r0 = w, per-node base round((1.0-d)*w)."""
+    nodes = [0, 1, 2, 3]
+    w = {0: 400000, 1: 300000, 2: 200000, 3: 100000}
+    edges = [(0, 1), (1, 2), (2, 0), (3, 0), (0, 3)]
+    ndf = spark.createDataFrame(
+        [(v, w[v]) for v in nodes], "doc_id long, w_micros long"
+    )
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["doc_id"]: r["rank_micros"]
+        for r in G.pagerank_micros(
+            ndf, edf, 4, iters=3, teleport_col="w_micros"
+        ).collect()
+    }
+    assert got == _naive_teleport(nodes, edges, w, 3)
+
+
+def test_pagerank_teleport_excludes_dangling_flag(spark):
+    import pytest
+
+    ndf = spark.createDataFrame([(0, 1000000)], "doc_id long, w_micros long")
+    edf = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        G.pagerank_micros(
+            ndf, edf, 1, teleport_col="w_micros", redistribute_dangling=True
+        )

@@ -166,6 +166,8 @@ _BNLJ_WHITELIST = {
     # 1-row dangling-mass aggregate broadcast back per iteration (x3) —
     # the strict-stochastic PageRank correction, DSIR shape
     "graph_pagerank_dangling",
+    # 1-row token-total broadcast attach for the teleport weights
+    "graph_pagerank_weighted",
 }
 
 

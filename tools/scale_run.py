@@ -54,6 +54,7 @@ QUERIES = [
     "source_html_links",
     "graph_pagerank_links",
     "graph_pagerank_dangling",
+    "graph_pagerank_weighted",
     "pipeline_curation_prior_gate",
     "pipeline_export_shards",
 ]
