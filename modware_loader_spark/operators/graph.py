@@ -156,11 +156,27 @@ def pagerank_micros(
         summed = contribs.groupBy(id_col).agg(F.sum("c").alias("in_mass"))
         new_rank = F.col("__base") + F.coalesce(F.col("in_mass"), F.lit(0))
         if redistribute_dangling:
+            # conditional sum over a LEFT join + groupBy(lit(0)), not an
+            # anti-join + global agg: (a) the global agg plans as an
+            # Exchange SinglePartition (repo-wide plan guard forbids it;
+            # groupBy(lit(0)) partial-aggregates map-side first — the
+            # DSIR-totals house shape), and (b) groupBy over an EMPTY
+            # anti-join would yield zero rows and the cross join would
+            # wipe the output — the left join keeps >=1 input row on any
+            # non-empty node set, so a dangling-free graph sums +0 terms
+            # to share 0 (the tested bit-identity).
             dangling = (
                 ranks.join(
-                    outdeg.withColumnRenamed("src", id_col), id_col, "left_anti"
+                    outdeg.withColumnRenamed("src", id_col), id_col, "left"
                 )
-                .agg(F.sum("rank_micros").alias("dangling_sum"))
+                .groupBy(F.lit(0).alias("__g"))
+                .agg(
+                    F.sum(
+                        F.when(
+                            F.col("outdeg").isNull(), F.col("rank_micros")
+                        ).otherwise(F.lit(0))
+                    ).alias("dangling_sum")
+                )
                 .select(
                     F.coalesce(
                         F.round(

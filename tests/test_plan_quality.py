@@ -202,6 +202,11 @@ _SCAN_BUDGET_OVERRIDES = {
     "similarity_pq_rerank_topk": 4,
     "similarity_hamming_rerank_topk": 4,
     "similarity_matryoshka_rerank_topk": 4,
+    # base ∪ planted twins double the leaf count, and the verify stage
+    # joins vectors back on both pair sides: 2 union legs x 2 self-join
+    # sides = 4 logical references of the ONE embeddings table (the
+    # candidate stage itself is lazily checkpointed — 0 relations).
+    "similarity_cosine_bucket_pairs": 4,
 }
 
 
