@@ -68,8 +68,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # The external driver records the FIRST 50 queries. Round-10 rotation
 # (the freshness invariant is computed by
 # tests/test_round4_invariants.py::test_driver_registry_contract from
-# the CORRECTNESS_r*.json artifacts; with 123 registered names the
-# adaptive window is ceil(123/50) = 3 recorded rounds). The head holds:
+# the CORRECTNESS_r*.json artifacts; with 124 registered names the
+# adaptive window is ceil(124/50) = 3 recorded rounds). The head holds:
 # (a) the EIGHTEEN r7-green names that hit the window bound — mandatory
 # this round exactly as round 9 scheduled (sample_mixture_rebalance,
 # sample_weighted_reservoir, text_chunk_windows, decontam_ngram_overlap,
@@ -78,7 +78,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # t6_blast_gbrowse_gff3, text_bpe_token_count, text_quality_classifier,
 # text_quality_quantile_gate, text_url_blocklist, text_url_canonical,
 # text_wordlist_flags, u4_next_rank, u6_fk_resolution_validity);
-# (b) the SEVEN new round-10 queries (source_html_links — HTML anchor
+# (b) the EIGHT new round-10 queries (dedup_semantic_keep_2l — two-level
+# coarse-quantizer SemDeDup; source_html_links — HTML anchor
 # harvest + href resolution + canonicalization; graph_pagerank_links —
 # the complete harvest→host-graph→centrality chain;
 # graph_pagerank_dangling — strict-stochastic dangling-mass
@@ -92,8 +93,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # regime with planted duplicates; dedup_semantic_keep — nlist now the
 # max(8, isqrt(n)) heuristic; text_classifier_train — NULL-label
 # coalesce + per-dataset weight memo);
-# (d) 22 of the 48-name r8 cohort, staggering it NOW so the remaining
-# 26 fit r11's head alongside the first half of the 50-name r9 cohort
+# (d) 21 of the 48-name r8 cohort, staggering it NOW so the remaining
+# 27 fit r11's head alongside the first half of the 50-name r9 cohort
 # (which hits the window bound at r12 — r9's warning honored).
 # The tail below = everything else, all in-window: 26 r8-green names
 # (mandatory r11 head slots) + the r9-green cohort + this round's
@@ -126,6 +127,7 @@ _DEPRIORITIZED = [
     "s11_blast_report_gff3",
     "s5_genbank_load_features",
     "sample_frequency_cap",
+    "sample_dsir_weights",
     "dedup_minhash_candidate_pairs",
     "dedup_simhash_near_pairs",
     "dedup_cluster_components",

@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "graph_pagerank_weighted",
     "pipeline_export_shards",
     "pipeline_curation_prior_gate",
+    "dedup_semantic_keep_2l",
 ]
 
 

@@ -56,6 +56,7 @@ def semantic_near_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-local semantic near-duplicate pairs ``(id_a < id_b, cell,
     cos)`` with 6-dp rounded cosine (portable vs the DuckDB oracle).
@@ -70,16 +71,17 @@ def semantic_near_pairs(
     of silently degrading as the corpus grows (r9 SCALE.md measurement,
     promoted from manual knob to default per VERDICT item 6).
     """
-    if nlist is None:
-        nlist = default_nlist(df.count())
-    # ivf_train materializes the trained assignment (persisted): the
-    # self-join below reads the cached (id, vec, cell) blocks on BOTH
-    # branches instead of re-deriving the argmin per branch — one corpus
-    # argmin pass total, not two.
-    _cents, assigned = ivf_train(
-        df, nlist=nlist, lloyd_iters=lloyd_iters, id_col=id_col, vec_col=vec_col,
-        return_assignment=True,
-    )
+    if assigned is None:
+        if nlist is None:
+            nlist = default_nlist(df.count())
+        # ivf_train materializes the trained assignment (persisted): the
+        # self-join below reads the cached (id, vec, cell) blocks on BOTH
+        # branches instead of re-deriving the argmin per branch — one
+        # corpus argmin pass total, not two.
+        _cents, assigned = ivf_train(
+            df, nlist=nlist, lloyd_iters=lloyd_iters, id_col=id_col,
+            vec_col=vec_col, return_assignment=True,
+        )
     # norms attach once per vector (map-side, before the pair explosion):
     # the per-pair work drops from three array folds (dot + two norms) to
     # one dot product — same doubles, same rounding, ~3x less fold work
@@ -115,6 +117,7 @@ def semantic_dedup(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """The semantically-deduplicated corpus: rows with no smaller-id
     near-duplicate in their cell.
@@ -125,7 +128,7 @@ def semantic_dedup(
     """
     pairs = semantic_near_pairs(
         df, nlist=nlist, lloyd_iters=lloyd_iters, threshold=threshold,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, assigned=assigned,
     )
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(F.broadcast(drops), id_col, "left_anti")

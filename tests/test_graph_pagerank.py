@@ -291,3 +291,48 @@ def test_pagerank_teleport_excludes_dangling_flag(spark):
         G.pagerank_micros(
             ndf, edf, 1, teleport_col="w_micros", redistribute_dangling=True
         )
+
+
+def test_assign_two_level_agreement_and_edge_cases(spark):
+    """Two-level assignment: (a) high agreement with the flat argmin on
+    real vectors, (b) EXACT agreement when a row's nearest centroid sits
+    in its nearest super's group, trivially true at s == k, (c) the
+    duplicated-super empty-group fallback stays total (no -1 cells)."""
+    from modware_loader_spark.operators import ivf as IVF
+    from modware_loader_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.01")["embeddings"]
+    cents = IVF.ivf_train(emb, nlist=22, lloyd_iters=1)
+    flat = {r["vec_id"]: r["cell"] for r in IVF.ivf_assign(emb, cents).collect()}
+    two = {
+        r["vec_id"]: r["cell"]
+        for r in IVF.assign_two_level(
+            emb.select("vec_id", "embedding"), cents
+        ).collect()
+    }
+    assert set(two.values()) <= set(flat.values())
+    assert all(c >= 0 for c in two.values())
+    agree = sum(1 for k in flat if two[k] == flat[k]) / len(flat)
+    assert agree >= 0.5, agree  # coarse-probe loss is bounded, not total
+    # s == k degenerates to the flat argmin exactly
+    two_full = {
+        r["vec_id"]: r["cell"]
+        for r in IVF.assign_two_level(
+            emb.select("vec_id", "embedding"), cents, n_groups=22
+        ).collect()
+    }
+    assert two_full == flat
+    # duplicated super vectors: group 1 empty (its centroid ties to
+    # super 0 and loses on sid) — rows must still assign, never -1
+    dup = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [5.0, 5.0]), (3, [9.0, 9.0])],
+        "cell int, centroid array<double>",
+    )
+    rows = spark.createDataFrame(
+        [(10, [0.1, 0.1]), (11, [8.0, 8.0])], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in IVF.assign_two_level(rows, dup, n_groups=2).collect()
+    }
+    assert got[10] in (0, 1) and got[11] == 3

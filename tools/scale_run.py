@@ -57,6 +57,7 @@ QUERIES = [
     "graph_pagerank_weighted",
     "pipeline_curation_prior_gate",
     "pipeline_export_shards",
+    "dedup_semantic_keep_2l",
 ]
 
 
