@@ -164,6 +164,8 @@ def ivf_train(
     seed_strategy: str = "id",
     seed: int = 42,
     return_assignment: bool = False,
+    train_points_per_cell: int | None = None,
+    n_rows: int | None = None,
 ):
     """Train IVF centroids: ``(cell, centroid array<double>)``.
 
@@ -192,6 +194,22 @@ def ivf_train(
     centroids, persisted — the "build the index once" shape: every query
     batch reuses the materialized assignment instead of re-scanning the
     corpus through the argmin (one full corpus scan saved per batch).
+
+    ``train_points_per_cell`` (the FAISS ``max_points_per_centroid``
+    contract): cap the LLOYD TRAINING SET at ``cap = c · nlist`` rows —
+    seeds and the refinement scans run over a deterministic md5-uniform
+    sample (``hash_uniform(id, 'ivftr') < cap / n``), while the final
+    assignment still covers the full corpus. k-means quality saturates
+    at a few hundred points per centroid, but the un-capped Lloyd pass
+    scans all n rows PER ITERATION — at 100 TB that is the binding term
+    of the whole SemDeDup chain (the round-10 measurement: ``ivf_train``
+    owned 11.5 of 14 s at 10x). The threshold filter needs no sort and
+    no extra shuffle, and it is exactly restatable in the DuckDB oracle
+    (same md5 prefix / 2^32 draw as ``operators/sampling.hash_uniform``).
+    When ``cap >= n`` the filter keeps every row (u01 < 1.0 always
+    holds), so small fixtures behave identically with or without the
+    cap. ``n_rows`` lets callers that already counted (e.g.
+    ``semdedup.default_nlist``) skip the count job.
     """
     # cell ids 0..nlist-1 in seed-id order. Seeds are k rows that get
     # broadcast to every executor anyway, so the driver-side collect +
@@ -203,8 +221,17 @@ def ivf_train(
         seed_order = [F.asc(id_col)]
     else:
         raise ValueError(f"unknown seed_strategy {seed_strategy!r}")
+    train_df = df
+    if train_points_per_cell is not None:
+        from modware_loader_spark.operators.sampling import hash_uniform
+
+        n = int(n_rows) if n_rows is not None else df.count()
+        # left-assoc double arithmetic, mirrored verbatim in the oracle's
+        # `least(1.0, c * nlist / n)` so the strict-< cut is bit-identical
+        p = min(1.0, float(train_points_per_cell) * nlist / n)
+        train_df = df.filter(hash_uniform(F.col(id_col), salt="ivftr") < F.lit(p))
     seed_rows = (
-        df.orderBy(*seed_order)
+        train_df.orderBy(*seed_order)
         .limit(nlist)
         .select(
             F.col(id_col).alias("seed_id"),
@@ -217,9 +244,14 @@ def ivf_train(
         "cell int, centroid array<double>",
     )
     vectors = ensure_min_partitions(df.select(id_col, vec_col))
+    tr_vectors = (
+        vectors
+        if train_df is df
+        else ensure_min_partitions(train_df.select(id_col, vec_col))
+    )
     cents = _centroid_literals(centroids)
     for _ in range(lloyd_iters):
-        assigned = _nearest_cell(vectors, centroids, id_col, vec_col, cents=cents)
+        assigned = _nearest_cell(tr_vectors, centroids, id_col, vec_col, cents=cents)
         by_dim = assigned.select(
             "cell", F.posexplode(F.col(vec_col)).alias("pos", "val")
         )

@@ -49,6 +49,16 @@ def default_nlist(n_vecs: int) -> int:
     return max(8, math.isqrt(int(n_vecs)))
 
 
+# FAISS-contract Lloyd training cap (points per centroid) applied by the
+# registered SemDeDup queries: k-means quality saturates at O(100)
+# points/cell, while an un-capped Lloyd pass scans ALL n rows per
+# iteration — the round-10 measured owner of the 10x semdedup wall
+# (ivf_train 11.5 of 14 s). 64/cell keeps small fixtures exact
+# (cap >= n there, the md5 sample filter keeps every row) and caps the
+# training scan at 64·isqrt(n) = O(n^0.5) rows at scale.
+TRAIN_POINTS_PER_CELL = 64
+
+
 def semantic_near_pairs(
     df: DataFrame,
     nlist: int | None = None,
@@ -72,15 +82,20 @@ def semantic_near_pairs(
     promoted from manual knob to default per VERDICT item 6).
     """
     if assigned is None:
+        n = None
         if nlist is None:
-            nlist = default_nlist(df.count())
+            n = df.count()
+            nlist = default_nlist(n)
         # ivf_train materializes the trained assignment (persisted): the
         # self-join below reads the cached (id, vec, cell) blocks on BOTH
         # branches instead of re-deriving the argmin per branch — one
-        # corpus argmin pass total, not two.
+        # corpus argmin pass total, not two. Lloyd runs on the capped
+        # md5-uniform training sample (TRAIN_POINTS_PER_CELL); only the
+        # final assignment scans the full corpus.
         _cents, assigned = ivf_train(
             df, nlist=nlist, lloyd_iters=lloyd_iters, id_col=id_col,
             vec_col=vec_col, return_assignment=True,
+            train_points_per_cell=TRAIN_POINTS_PER_CELL, n_rows=n,
         )
     # norms attach once per vector (map-side, before the pair explosion):
     # the per-pair work drops from three array folds (dot + two norms) to

@@ -2234,8 +2234,9 @@ def _export_shards_oracle() -> str:
     SELECT shard,
            count(*)::BIGINT AS n_docs,
            sum(n_bpe_tokens)::BIGINT AS total_tokens,
-           sum(CAST(('0x' || substring(md5(doc_id::VARCHAR || '@' || pos::VARCHAR), 1, 12))
-                    AS BIGINT)::DECIMAL(38,0)) AS layout_hash
+           CAST(sum(CAST(('0x' || substring(md5(doc_id::VARCHAR || '@' || pos::VARCHAR), 1, 12))
+                         AS BIGINT)::DECIMAL(38,0))
+                % CAST(2305843009213693951 AS DECIMAL(38,0)) AS BIGINT) AS layout_hash
     FROM p GROUP BY shard
     """
 
@@ -2252,13 +2253,22 @@ def pipeline_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     every (doc_id, pos) pair.
 
     The layout hash is an order-insensitive SUM of per-row 48-bit
-    md5(doc_id '@' pos) terms in exact DECIMAL(38,0) — it pins the
+    md5(doc_id '@' pos) terms, accumulated in exact DECIMAL(38,0) and
+    then reduced mod 2^61-1 into BIGINT on BOTH engines — it pins the
     complete ordered layout (any moved, dropped, or re-positioned
     document changes the sum) while staying a partially-aggregated
     commutative reduction: no per-shard collect_list / ordered
     string_agg, which at 100 TB would funnel whole multi-GB shards
-    through single aggregation buffers. Byte-level determinism of the
-    actual JSONL files is pinned by ``tests/test_jsonl_sink.py``."""
+    through single aggregation buffers. The BIGINT landing type is a
+    driver-contract requirement, not cosmetics: a DECIMAL(38,0) result
+    column materializes as float64 in ``duckdb.fetchdf`` but as
+    object(decimal.Decimal) in Spark ``toPandas``, so the external
+    gate's pandas-level hash can never match even when every value is
+    digit-identical (this exact row was red in CORRECTNESS_r10; third
+    instance of the dtype-canon class after r4 HUGEINT and r6 arrays —
+    ``tests/oracle_harness.py`` now rejects ANY landing-dtype mismatch).
+    Byte-level determinism of the actual JSONL files is pinned by
+    ``tests/test_jsonl_sink.py``."""
     from modware_loader_spark.functions.scalar import hex64
 
     kept = pipeline_curation_v2(spark, sf_dir)
@@ -2266,14 +2276,19 @@ def pipeline_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_bpe_tokens").cast("long").alias("total_tokens"),
-        F.sum(
-            hex64(
-                F.concat(
-                    F.col("doc_id").cast("string"),
-                    F.lit("@"),
-                    F.col("pos").cast("string"),
-                ),
-                bits=48,
-            ).cast("decimal(38,0)")
-        ).alias("layout_hash"),
+        (
+            F.sum(
+                hex64(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("@"),
+                        F.col("pos").cast("string"),
+                    ),
+                    bits=48,
+                ).cast("decimal(38,0)")
+            )
+            % F.lit(2305843009213693951).cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("layout_hash"),
     )

@@ -788,13 +788,49 @@ _DDB_IVF_CELLS = """
 
 # dedup_semantic_keep uses the nlist HEURISTIC (max(8, isqrt(n)), see
 # operators/semdedup.py::default_nlist) rather than the fixed 8 cells
-# the other IVF oracles pin — the oracle restates the same heuristic in
-# its seed LIMIT so parity holds at ANY scale factor.
-_DDB_IVF_CELLS_DYN = _DDB_IVF_CELLS.replace(
-    "LIMIT 8",
-    "LIMIT (SELECT greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT))"
-    " FROM embeddings)",
-)
+# the other IVF oracles pin, AND the FAISS-contract Lloyd training cap
+# (semdedup.TRAIN_POINTS_PER_CELL = 64 points/cell, r11): seeds and the
+# refinement scan run over the md5-uniform sample u01('ivftr'||id) <
+# least(1.0, 64·nlist/n) — a no-op at small n (cap >= n ⇒ p = 1.0) —
+# while the FINAL assignment (d1/cells) covers the full corpus. Both the
+# heuristic and the cap are restated here so parity holds at ANY scale.
+_DDB_IVF_CELLS_DYN = """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    par AS (SELECT greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT)) AS nlist,
+                   count(*) AS n
+            FROM embeddings),
+    tr AS (SELECT v.vec_id, v.e FROM v, par
+           WHERE (CAST(('0x' || substr(md5('ivftr' || CAST(v.vec_id AS VARCHAR)), 1, 8))
+                       AS UBIGINT) / 4294967296.0)
+                 < least(1.0, 64.0 * par.nlist / par.n)),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS centroid
+           FROM (SELECT vec_id, e FROM tr ORDER BY vec_id
+                 LIMIT (SELECT nlist FROM par))),
+    d0 AS (SELECT tr.vec_id, c0.cell,
+             round(list_sum(list_transform(generate_series(1, len(tr.e)),
+               i -> (tr.e[i] - c0.centroid[i]) * (tr.e[i] - c0.centroid[i]))), 6) AS dist
+           FROM tr CROSS JOIN c0),
+    a0 AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+             FROM d0) WHERE rn = 1),
+    dims AS (SELECT a0.cell, u.s.pos AS pos, u.s.val AS val
+             FROM a0 JOIN tr USING (vec_id),
+                  LATERAL (SELECT unnest(list_transform(generate_series(1, len(tr.e)),
+                            i -> {'pos': i, 'val': tr.e[i]})) AS s) u),
+    m AS (SELECT cell, pos,
+                 round(sum(CAST(val AS DECIMAL(28,12)))::DOUBLE / count(*), 6) AS m
+          FROM dims GROUP BY cell, pos),
+    c1 AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM m GROUP BY cell),
+    d1 AS (SELECT v.vec_id, c1.cell,
+             round(list_sum(list_transform(generate_series(1, len(v.e)),
+               i -> (v.e[i] - c1.centroid[i]) * (v.e[i] - c1.centroid[i]))), 6) AS dist
+           FROM v CROSS JOIN c1),
+    cells AS (SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+                FROM d1) WHERE rn = 1)
+"""
 
 
 @query(
@@ -855,11 +891,17 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     rg AS (SELECT vec_id, sid FROM (
              SELECT vec_id, sid, row_number() OVER (PARTITION BY vec_id ORDER BY d, sid) AS rn
              FROM rg0) WHERE rn = 1),
+    eff AS (SELECT s.sid,
+              CASE WHEN EXISTS (SELECT 1 FROM gmap WHERE gmap.sid = s.sid)
+                   THEN s.sid
+                   ELSE (SELECT gm.sid FROM gmap gm WHERE gm.cell = s.sid) END AS use_sid
+            FROM sup s),
     d2 AS (SELECT v.vec_id, c1.cell,
              round(list_sum(list_transform(generate_series(1, len(v.e)),
                i -> (v.e[i] - c1.centroid[i]) * (v.e[i] - c1.centroid[i]))), 6) AS d
            FROM v JOIN rg USING (vec_id)
-           JOIN gmap ON gmap.sid = rg.sid
+           JOIN eff ON eff.sid = rg.sid
+           JOIN gmap ON gmap.sid = eff.use_sid
            JOIN c1 ON c1.cell = gmap.cell),
     cells2 AS (SELECT vec_id, cell FROM (
                  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
@@ -894,12 +936,20 @@ def dedup_semantic_keep_2l(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, and its 10x scaling ratio (2.95 vs the flat 3.35) confirms
     the assignment term no longer grows with k."""
     from modware_loader_spark.operators import ivf as IVF2
-    from modware_loader_spark.operators.semdedup import default_nlist, semantic_dedup
+    from modware_loader_spark.operators.semdedup import (
+        TRAIN_POINTS_PER_CELL,
+        default_nlist,
+        semantic_dedup,
+    )
 
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
-    nlist = default_nlist(emb.count())
-    cents_df = IVF2.ivf_train(emb, nlist=nlist, lloyd_iters=1)
+    n = emb.count()
+    nlist = default_nlist(n)
+    cents_df = IVF2.ivf_train(
+        emb, nlist=nlist, lloyd_iters=1,
+        train_points_per_cell=TRAIN_POINTS_PER_CELL, n_rows=n,
+    )
     assigned = IVF2.assign_two_level(
         emb.select("vec_id", "embedding"), cents_df
     ).persist()

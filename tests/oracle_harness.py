@@ -69,6 +69,71 @@ def non_scalar_columns(schema) -> list[str]:
     ]
 
 
+def spark_landing_kind(field, vals) -> str:
+    """Predict the numpy dtype *kind* a Spark result column lands on
+    after the driver's ``toPandas`` conversion.
+
+    The external gate hashes both engines' results at the pandas level,
+    so what matters is not the logical type but the LANDING dtype class:
+    DuckDB ``fetchdf`` and Spark ``toPandas`` must agree or the hash can
+    never match even when every value is identical. Three rounds hit
+    this (r4 HUGEINT→float64 vs int64, r6 list cells, r10 DECIMAL(38,0)
+    →float64 vs object(Decimal)); the r4/r6 guards were class-specific
+    and DECIMAL slipped through — this predicts the landing kind for
+    EVERY type so no further class can.
+
+    Derived from the schema + the already-collected values (null
+    presence flips integral/bool columns to float64/object) instead of
+    a second ``toPandas`` execution, so the guard costs nothing.
+    """
+    from pyspark.sql import types as T
+
+    dt = field.dataType
+    has_null = any(v is None for v in vals)
+    if isinstance(dt, T.DecimalType):
+        return "O"  # object(decimal.Decimal) — the r10 killer
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "f"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "f" if has_null else "i"
+    if isinstance(dt, T.BooleanType):
+        return "O" if has_null else "b"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "M"
+    if isinstance(dt, T.DateType):
+        return "D"  # matches datetime64 OR object — pandas-version-dependent
+    return "O"
+
+
+def landing_mismatches(sdf_schema, scols, srows, ocols, odf) -> list[dict]:
+    """Columns whose pandas landing dtype class differs between engines."""
+    scol_idx = {c: i for i, c in enumerate(scols)}
+    out = []
+    for ci, cname in enumerate(ocols):
+        if cname not in scol_idx:
+            continue  # schema_ok check reports missing columns
+        si = scol_idx[cname]
+        okind = odf.dtypes.iloc[ci].kind
+        if okind == "u":
+            okind = "i"
+        svals = [r[si] for r in srows]
+        skind = spark_landing_kind(sdf_schema.fields[si], svals)
+        if skind == "D":
+            ok = okind in ("M", "O")
+        else:
+            ok = skind == okind
+        if not ok:
+            out.append(
+                {
+                    "column": cname,
+                    "spark_kind": skind,
+                    "oracle_kind": okind,
+                    "oracle_dtype": str(odf.dtypes.iloc[ci]),
+                }
+            )
+    return out
+
+
 def compare(spark, sf_dir: str, name: str, fn, sql: str | None):
     sdf = fn(spark, sf_dir)
     scols = sdf.columns
@@ -98,36 +163,15 @@ def compare(spark, sf_dir: str, name: str, fn, sql: str | None):
     ocols = [d[0] for d in res.description]
     orows = res.fetchall()
     result["oracle_rows"] = len(orows)
-    # Dtype-drift guard: the driver hashes the oracle result after a pandas
-    # conversion (``fetchdf``), where DuckDB HUGEINT (e.g. sum(BIGINT)) and
-    # nullable ints materialize as float64 even when every value is integral.
-    # ``fetchall`` yields Python ints, so the value comparison below is blind
-    # to it (this bit CORRECTNESS_r04's pack_token_budget). Flag any column
-    # that is float64 in pandas but purely int in fetchall: the oracle SQL
-    # needs an explicit CAST(... AS BIGINT).
+    # Landing-dtype guard: the driver hashes both results after a pandas
+    # conversion, so the PAIR of landing dtypes must agree per column —
+    # ``fetchall``/``canon_cell`` value equality is blind to it (r4
+    # HUGEINT float64 vs int64; r10 DECIMAL float64 vs object(Decimal)).
+    # Compare DuckDB's actual ``fetchdf`` dtype class against the
+    # predicted Spark ``toPandas`` class for EVERY column and fail on
+    # any mismatch — no per-class special cases left to slip through.
     odf = con.execute(sql).fetchdf()
-    # The hash poisons only when the two sides LAND on different pandas
-    # dtypes: the oracle column goes float64 (HUGEINT, or NULL-laden
-    # BIGINT) while the Spark column stays int64 (pure non-null ints).
-    # When Spark's column also holds NULLs, both sides become float64
-    # and the hashes agree (CORRECTNESS_r04: m10/s5 green) — only the
-    # asymmetric case is drift.
-    drift = []
-    scol_idx = {c: i for i, c in enumerate(scols)}
-    for ci, cname in enumerate(ocols):
-        if str(odf.dtypes.iloc[ci]) != "float64" or cname not in scol_idx:
-            continue
-        ovals = [r[ci] for r in orows]
-        svals = [r[scol_idx[cname]] for r in srows]
-        o_intish = ovals and all(
-            v is None or (isinstance(v, int) and not isinstance(v, bool))
-            for v in ovals
-        )
-        s_pure_int = svals and all(
-            isinstance(v, int) and not isinstance(v, bool) for v in svals
-        )
-        if o_intish and s_pure_int:
-            drift.append(cname)
+    drift = landing_mismatches(sdf.schema, scols, srows, ocols, odf)
     if drift:
         result["dtype_drift"] = drift
     sc, sr = canon_rows(scols, srows)

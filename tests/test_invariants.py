@@ -359,3 +359,57 @@ def test_quantize_int8_reconstruction(spark, sf_dir):
     )
     zr = quantize_int8(zero).collect()[0]
     assert zr.scale == 0.0 and set(zr.codes) == {0}
+
+
+def test_ivf_train_cap_filter_matches_oracle_draw(spark, sf_dir):
+    """The Lloyd training-set cap (r11) must cut EXACTLY the same rows
+    on both engines: Spark's ``hash_uniform(id, 'ivftr') < p`` vs the
+    oracle's ``('0x' || substr(md5('ivftr' || id), 1, 8))::UBIGINT /
+    2^32 < p`` — one row disagreeing moves a centroid and breaks
+    parity at every scale where the cap activates (cap < n)."""
+    import duckdb
+
+    from modware_loader_spark.operators.sampling import hash_uniform
+    from modware_loader_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    nlist, c = 8, 4  # cap = 32 << n: the filter genuinely cuts
+    n = emb.count()
+    p = min(1.0, float(c) * nlist / n)
+    spark_ids = {
+        r.vec_id
+        for r in emb.filter(hash_uniform(F.col("vec_id"), salt="ivftr") < F.lit(p))
+        .select("vec_id")
+        .collect()
+    }
+    con = duckdb.connect()
+    oracle_ids = {
+        r[0]
+        for r in con.execute(
+            f"""
+            SELECT vec_id FROM read_parquet('{sf_dir}/embeddings.parquet')
+            WHERE (CAST(('0x' || substr(md5('ivftr' || CAST(vec_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) / 4294967296.0)
+                  < least(1.0, {float(c)} * {nlist} / {n})
+            """
+        ).fetchall()
+    }
+    assert spark_ids == oracle_ids
+    assert 0 < len(spark_ids) < n
+
+
+def test_ivf_train_cap_inactive_at_small_n(spark, sf_dir):
+    """cap >= n ⇒ the md5 filter keeps EVERY row (u01 < 1.0 always):
+    trained centroids are bit-identical with and without the cap — the
+    guarantee that sf0.001-0.1 driver rows did not change in r11."""
+    from modware_loader_spark.operators.ivf import ivf_train
+    from modware_loader_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    n = emb.count()
+    plain = ivf_train(emb, nlist=8, lloyd_iters=1).collect()
+    capped = ivf_train(
+        emb, nlist=8, lloyd_iters=1,
+        train_points_per_cell=(n // 8) + 1, n_rows=n,
+    ).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, capped))

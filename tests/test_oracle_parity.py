@@ -42,6 +42,50 @@ def test_harness_rejects_array_columns(spark):
     assert res["non_scalar_columns"] == ["codes"]
 
 
+def test_harness_rejects_decimal_landing_mismatch(spark):
+    """A DECIMAL result column lands float64 in duckdb.fetchdf but
+    object(Decimal) in Spark toPandas — the exact r10 failure mode of
+    pipeline_export_shards. The guard must reject it locally even
+    though every VALUE is identical."""
+
+    def decimals(sp, sf_dir):
+        return sp.range(3).selectExpr(
+            "id", "CAST(id * 1000 AS DECIMAL(38,0)) AS big"
+        )
+
+    res = compare(
+        spark,
+        SF,
+        "fake_decimal_query",
+        decimals,
+        "SELECT range AS id, CAST(range * 1000 AS DECIMAL(38,0)) AS big FROM range(3)",
+    )
+    assert not res["ok"]
+    assert [d["column"] for d in res["dtype_drift"]] == ["big"]
+    assert res["dtype_drift"][0]["spark_kind"] == "O"
+    assert res["dtype_drift"][0]["oracle_kind"] == "f"
+
+
+def test_harness_rejects_hugeint_landing_mismatch(spark):
+    """The r4 class stays covered by the general guard: DuckDB
+    sum(BIGINT) is HUGEINT → float64 while Spark's pure-int column
+    stays int64."""
+
+    def ints(sp, sf_dir):
+        return sp.range(3).selectExpr("id", "id * 2 AS doubled")
+
+    res = compare(
+        spark,
+        SF,
+        "fake_hugeint_query",
+        ints,
+        "SELECT range AS id, sum(range * 2) OVER (PARTITION BY range)"
+        " AS doubled FROM range(3)",
+    )
+    assert not res["ok"]
+    assert [d["column"] for d in res["dtype_drift"]] == ["doubled"]
+
+
 def test_harness_allows_array_columns_rows_only(spark):
     """Rows-only entries skip the driver's canon, so shapes are free."""
 
