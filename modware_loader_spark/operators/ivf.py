@@ -48,9 +48,17 @@ def sq_l2(a, b):
     )
 
 
-# Above this many literal doubles (nlist × dim) the codegen'd distance
-# expression gets unwieldy; switch to the distributed min_by aggregation.
-_LITERAL_CELL_BUDGET = 65536
+# Above this many literal doubles (nlist × dim) the plan itself becomes
+# the cost and the argmin switches to the broadcast centroid-ARRAY
+# fallback. Set from the round-11 crossover sweep on this box (SCALE.md
+# round-11: warm argmin at n=20k, dim=64 — literal 0.46 s at k=8 /
+# 1.28 s at k=141 / 5.84 s at k=1024 vs array-column flat ~0.6-0.7 s at
+# EVERY k, and the r10 min_by fallback 1.0-1.2 s flat but paying a
+# full-corpus exchange): literal wins only below ~k=64·dim=64, so the
+# budget is 4096 — small enough that every fixed-nlist-8 plan keeps its
+# r10 shape bit-for-bit, and the pathological large-k literal region
+# (O(k·dim) parse/analyze per job) is unreachable.
+_LITERAL_CELL_BUDGET = 4096
 
 
 def ensure_min_partitions(df: DataFrame) -> DataFrame:
@@ -104,6 +112,38 @@ def _dist_cell_pairs_sql(vec: str, cents: list) -> str:
     return f"array({pairs})"
 
 
+def _cent_array_row(spark, cents: list):
+    """ONE-row frame carrying every centroid as an array<struct> column
+    (``__cents``) — the large-k argmin vehicle: broadcast-joined to the
+    corpus, the per-row fold runs over an array COLUMN, so plan size is
+    O(1) in k (vs the literal path's O(k·dim) parse/analyze per job)
+    and there is ZERO shuffle (vs the r10 ``min_by`` fallback's
+    full-corpus exchange). Measured (SCALE.md round-11): flat ~0.6-0.7 s
+    warm at every (k, n) tested up to k=1024, n=200k, where the literal
+    path costs 5.8-6.5 s and ``min_by`` 1.0-1.3 s plus the exchange.
+    The payload is k·dim doubles (~0.5 MB at k=1024, dim=64) — an
+    ordinary broadcast-table size at any production nlist.
+    """
+    data = [([(int(cell), [float(x) for x in vec]) for cell, vec in cents],)]
+    return spark.createDataFrame(
+        data, "__cents array<struct<cell:int, centroid:array<double>>>"
+    )
+
+
+def _dist_cell_pairs_col(vec: str, cents_col: str = "__cents") -> str:
+    """SQL text of the (dist, cell) struct array computed against the
+    broadcast ``__cents`` array column — op-for-op identical IEEE
+    arithmetic to ``_sql_sq_l2`` (same zip_with/aggregate fold order,
+    same 0.0D seed, same 6dp round), so literal and array-column plans
+    produce bit-identical assignments and either may serve any query."""
+    return (
+        f"transform({cents_col}, c -> struct("
+        f"round(aggregate(zip_with({vec}, c.centroid,"
+        " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " 0.0D, (acc, v) -> acc + v), 6) AS dist, c.cell AS cell))"
+    )
+
+
 def _dist_cell_pairs(vec_col: str, cents: list, vec_sql: str | None = None):
     """Array of (dist, cell) structs vs every centroid — pure expression.
 
@@ -125,15 +165,16 @@ def _nearest_cell(vectors: DataFrame, centroids: DataFrame, id_col: str,
     """Assign each vector to the centroid with min rounded squared-L2
     (tie-break: smaller cell id).
 
-    Small nlist×dim (the common case): centroids become literal arrays
-    and the argmin is a single map-side expression — assignment is
-    embarrassingly parallel, ZERO shuffle of the corpus (the previous
-    shape expanded every vector ×nlist and sorted the expansion through
-    a per-vector window — an nlist× shuffle that dominates at 100 TB).
-    Large nlist: broadcast nested-loop + ``min_by`` hash aggregation;
-    partial (map-side) aggregation collapses the expansion to one row
-    per vector per partition before the exchange, still far cheaper
-    than the full-expansion window sort.
+    Small nlist×dim: centroids become literal arrays and the argmin is
+    a single map-side expression — assignment is embarrassingly
+    parallel, ZERO shuffle of the corpus (the previous shape expanded
+    every vector ×nlist and sorted the expansion through a per-vector
+    window — an nlist× shuffle that dominates at 100 TB). Large nlist
+    (> ``_LITERAL_CELL_BUDGET`` literal doubles): same map-side fold,
+    but against the broadcast ``__cents`` ARRAY column — O(1) plan
+    size, still zero shuffle, bit-identical arithmetic. (The r10
+    ``min_by`` fallback this replaces paid a full-corpus hash exchange
+    on the id — measured strictly dominated at every k, SCALE.md r11.)
 
     ``cents``: pass the already-collected literal list to skip the
     collect (callers that train + assign + probe reuse one collect).
@@ -145,13 +186,14 @@ def _nearest_cell(vectors: DataFrame, centroids: DataFrame, id_col: str,
         return vectors.withColumn(
             "cell", F.array_min(_dist_cell_pairs(vec_col, cents)).getField("cell")
         )
-    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
-        "dist", F.round(sq_l2(F.col(vec_col), F.col("centroid")), 6)
-    )
-    other = [c for c in vectors.columns if c != id_col]
-    return scored.groupBy(id_col).agg(
-        *[F.first(c).alias(c) for c in other if c != id_col],
-        F.min_by(F.col("cell"), F.struct("dist", "cell")).alias("cell"),
+    cent_row = _cent_array_row(vectors.sparkSession, cents)
+    return (
+        vectors.crossJoin(F.broadcast(cent_row))
+        .withColumn(
+            "cell",
+            F.expr(f"array_min({_dist_cell_pairs_col(f'`{vec_col}`')}).cell"),
+        )
+        .drop("__cents")
     )
 
 
@@ -465,13 +507,25 @@ def ivf_topk(
             ).alias("__p"),
         ).select("query_id", "q_vec", F.col("__p").getField("cell").alias("cell"))
     else:
-        probe_w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cell"))
+        # same broadcast-array shape as the assignment fallback: sort the
+        # per-row (dist, cell) struct array and slice nprobe — no window,
+        # no shuffle of the query side (the r10 version here paid a
+        # window sort over the q×k expansion).
+        cent_row = _cent_array_row(q.sparkSession, cents)
         probes = (
-            q.crossJoin(F.broadcast(centroids))
-            .withColumn("dist", F.round(sq_l2(F.col("q_vec"), F.col("centroid")), 6))
-            .withColumn("__rn", F.row_number().over(probe_w))
-            .filter(F.col("__rn") <= nprobe)
-            .select("query_id", "q_vec", "cell")
+            q.crossJoin(F.broadcast(cent_row))
+            .select(
+                "query_id",
+                "q_vec",
+                F.explode(
+                    F.slice(
+                        F.expr(f"array_sort({_dist_cell_pairs_col('`q_vec`')})"),
+                        1,
+                        nprobe,
+                    )
+                ).alias("__p"),
+            )
+            .select("query_id", "q_vec", F.col("__p").getField("cell").alias("cell"))
         )
     scored = (
         probes.join(cells, "cell")

@@ -413,3 +413,64 @@ def test_ivf_train_cap_inactive_at_small_n(spark, sf_dir):
         train_points_per_cell=(n // 8) + 1, n_rows=n,
     ).collect()
     assert sorted(map(tuple, plain)) == sorted(map(tuple, capped))
+
+
+def test_nearest_cell_array_fallback_matches_literal(spark, sf_dir):
+    """The large-k argmin fallback (broadcast centroid-ARRAY column,
+    r11) must assign every vector to EXACTLY the cell the literal path
+    picks — the two shapes share one fold arithmetic by construction
+    and either may serve any query depending on _LITERAL_CELL_BUDGET."""
+    from modware_loader_spark.operators import ivf as IVF
+    from modware_loader_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    cents_df = IVF.ivf_train(emb, nlist=8, lloyd_iters=1)
+    cents = IVF._centroid_literals(cents_df)
+    lit = {
+        (r.vec_id, r.cell)
+        for r in IVF._nearest_cell(emb, cents_df, "vec_id", "embedding", cents=cents)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    old = IVF._LITERAL_CELL_BUDGET
+    IVF._LITERAL_CELL_BUDGET = 0  # force the array-column fallback
+    try:
+        arr = {
+            (r.vec_id, r.cell)
+            for r in IVF._nearest_cell(
+                emb, cents_df, "vec_id", "embedding", cents=cents
+            )
+            .select("vec_id", "cell")
+            .collect()
+        }
+    finally:
+        IVF._LITERAL_CELL_BUDGET = old
+    assert lit == arr
+
+
+def test_ivf_topk_array_fallback_matches_literal(spark, sf_dir):
+    """Probe selection through the broadcast-array path must reproduce
+    the literal path's top-k exactly (same array_sort tie-break)."""
+    from modware_loader_spark.operators import ivf as IVF
+    from modware_loader_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    cents_df = IVF.ivf_train(emb, nlist=8, lloyd_iters=1)
+    queries = emb.limit(20)
+
+    def run():
+        return {
+            tuple(r)
+            for r in IVF.ivf_topk(
+                emb, queries, cents_df, k=5, nprobe=2
+            ).collect()
+        }
+
+    lit = run()
+    old = IVF._LITERAL_CELL_BUDGET
+    IVF._LITERAL_CELL_BUDGET = 0
+    try:
+        arr = run()
+    finally:
+        IVF._LITERAL_CELL_BUDGET = old
+    assert lit == arr
