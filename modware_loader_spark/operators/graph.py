@@ -117,17 +117,17 @@ def pagerank_micros(
     personalized / topic-sensitive PageRank (Haveliwala 2002; Common
     Crawl's harmonic-centrality cousin weights by host mass). With it,
     ``r_0 = w_i`` and the per-iteration base is ``round((1.0-d) * w_i)``
-    — per-node, engine-restated with the same IEEE steps. Mutually
-    exclusive with ``redistribute_dangling`` (strict personalized
-    dangling redistribution is ∝ w, a different 1-row shape — raise
-    rather than silently blend).
+    — per-node, engine-restated with the same IEEE steps.
+
+    Combining both (r11, closing the r10 raise): personalized dangling
+    redistribution is WEIGHT-PROPORTIONAL — lost mass teleports along
+    the same personalization vector, so each node receives ``round(d *
+    dangling_sum * w_i / 1e6)`` (per-node rounding; the share differs
+    per receiver, unlike the uniform form's round-once constant). Same
+    plan shape: ONE extra 1-row aggregate per iteration broadcast back;
+    dangling-free graphs sum to share 0 and the output is bit-identical
+    to plain personalized PageRank (tested).
     """
-    if teleport_col is not None and redistribute_dangling:
-        raise ValueError(
-            "pagerank_micros: teleport_col and redistribute_dangling are"
-            " mutually exclusive (personalized dangling redistribution"
-            " is weight-proportional — not implemented)"
-        )
     # half-away rounding + this exact op order: the SQL oracle computes
     # round((1.0 - d) * 1000000.0 / n) with the same IEEE steps, and
     # (1.0 - 0.85) is NOT 0.15 exactly — formulation must match.
@@ -138,7 +138,10 @@ def pagerank_micros(
     else:
         base = F.round(F.lit(1.0 - damping) * F.col(teleport_col))
         r0 = F.col(teleport_col)
-    node_base = nodes.select(F.col(id_col), base.cast("long").alias("__base"))
+    node_cols = [F.col(id_col), base.cast("long").alias("__base")]
+    if teleport_col is not None and redistribute_dangling:
+        node_cols.append(F.col(teleport_col).cast("long").alias("__w"))
+    node_base = nodes.select(*node_cols)
     ranks = nodes.select(F.col(id_col), r0.cast("long").alias("rank_micros"))
     for _ in range(iters):
         contribs = (
@@ -165,7 +168,7 @@ def pagerank_micros(
             # wipe the output — the left join keeps >=1 input row on any
             # non-empty node set, so a dangling-free graph sums +0 terms
             # to share 0 (the tested bit-identity).
-            dangling = (
+            dangling_raw = (
                 ranks.join(
                     outdeg.withColumnRenamed("src", id_col), id_col, "left"
                 )
@@ -177,7 +180,11 @@ def pagerank_micros(
                         ).otherwise(F.lit(0))
                     ).alias("dangling_sum")
                 )
-                .select(
+            )
+            if teleport_col is None:
+                # uniform: the share is one constant for every receiver
+                # — round ONCE driver-free, broadcast the scalar.
+                dangling = dangling_raw.select(
                     F.coalesce(
                         F.round(
                             F.lit(damping)
@@ -187,15 +194,30 @@ def pagerank_micros(
                         F.lit(0),
                     ).alias("dangling_share")
                 )
-            )
+                extra = F.col("dangling_share")
+            else:
+                # weight-proportional: broadcast the RAW sum; each node
+                # rounds its own ∝w share (left-assoc op order mirrored
+                # in the oracle: ((d * ds) * w) / 1e6).
+                dangling = dangling_raw.select(
+                    F.coalesce(F.col("dangling_sum"), F.lit(0)).alias(
+                        "dangling_sum"
+                    )
+                )
+                extra = (
+                    F.round(
+                        F.lit(damping)
+                        * F.col("dangling_sum")
+                        * F.col("__w")
+                        / F.lit(1000000.0)
+                    )
+                ).cast("long")
             ranks = (
                 node_base.join(summed, id_col, "left")
                 .crossJoin(F.broadcast(dangling))
                 .select(
                     F.col(id_col),
-                    (new_rank + F.col("dangling_share"))
-                    .cast("long")
-                    .alias("rank_micros"),
+                    (new_rank + extra).cast("long").alias("rank_micros"),
                 )
             )
         else:

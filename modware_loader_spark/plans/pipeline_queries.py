@@ -1748,6 +1748,102 @@ def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_weighted_dangling_oracle(iters: int, damping: float = 0.85) -> str:
+    """Unrolled oracle for PERSONALIZED PageRank with weight-
+    proportional dangling redistribution: docs with doc_id % 5 == 0
+    dangle (the ``graph_pagerank_dangling`` fixture), the teleport
+    vector is per-DOC token-mass share, and each iteration adds
+    ``round(d · dangling_sum · w_i / 1e6)`` per node (per-node rounding
+    — the share differs per receiver, unlike the uniform round-once
+    constant)."""
+    head = f"""
+    WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+    dw AS (SELECT doc_id, len(string_split(trim(text), ' '))::BIGINT AS toks
+           FROM documents),
+    tot AS (SELECT sum(toks)::BIGINT AS tt FROM dw),
+    w AS (SELECT doc_id, CAST(round(1000000.0 * toks / tot.tt) AS BIGINT) AS w
+          FROM dw, tot),
+    e AS (SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst
+          FROM documents, nn WHERE doc_id % 5 <> 0
+          UNION ALL
+          SELECT doc_id, (doc_id * 13 + 2) % nn.n
+          FROM documents, nn WHERE doc_id % 5 <> 0),
+    od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT doc_id, w AS r FROM w)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+    g{i} AS (SELECT coalesce(sum(r.r), 0)::BIGINT AS ds
+             FROM r{i - 1} r LEFT JOIN od ON od.src = r.doc_id
+             WHERE od.src IS NULL),
+    c{i} AS (SELECT e.dst AS doc_id,
+                    CAST(round({damping} * r.r / od.outdeg) AS BIGINT) AS c
+             FROM e JOIN od USING (src)
+             JOIN r{i - 1} r ON r.doc_id = e.src),
+    s{i} AS (SELECT doc_id, sum(c)::BIGINT AS m FROM c{i} GROUP BY doc_id),
+    r{i} AS (SELECT d.doc_id,
+                    (CAST(round((1.0 - {damping}) * d.w) AS BIGINT)
+                     + coalesce(s.m, 0)
+                     + CAST(round({damping} * g{i}.ds * d.w / 1000000.0)
+                            AS BIGINT))::BIGINT AS r
+             FROM w d LEFT JOIN s{i} s USING (doc_id), g{i})""")
+    return head + "".join(steps) + f"""
+    SELECT doc_id, r AS rank_micros FROM r{iters}
+    """
+
+
+@query("graph_pagerank_weighted_dangling", _pagerank_weighted_dangling_oracle(3))
+def graph_pagerank_weighted_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank WITH weight-proportional dangling
+    redistribution (r11, closing the r10 raise at
+    ``operators/graph.py::pagerank_micros``): every doc_id divisible by
+    5 dangles, the teleport vector is per-doc token-mass share, and each
+    iteration teleports the lost mass along the SAME personalization
+    vector — node i receives ``round(d · dangling_sum · w_i / 1e6)``
+    (Haveliwala 2002's strict personalized form: the dangling
+    correction must follow the teleport distribution or mass leaks
+    toward the uniform prior). Plan shape unchanged from the uniform
+    correction: one extra 1-row aggregate per iteration broadcast back;
+    collect-free."""
+    from modware_loader_spark.operators import graph as G
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    toks = docs.select(
+        "doc_id", F.size(TX.tokens(F.col("text"))).cast("long").alias("toks")
+    )
+    total = toks.agg(F.sum("toks").alias("tt"))
+    nodes = (
+        toks.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(F.lit(1000000.0) * F.col("toks") / F.col("tt"))
+            .cast("long")
+            .alias("w_micros"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    linking = nodes.select("doc_id").filter(F.col("doc_id") % 5 != 0)
+    edges = linking.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 7 + 1, F.lit(n)).alias("dst"),
+    ).unionByName(
+        linking.select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") * 13 + 2, F.lit(n)).alias("dst"),
+        )
+    )
+    return G.pagerank_micros(
+        nodes,
+        edges,
+        n,
+        iters=3,
+        teleport_col="w_micros",
+        redistribute_dangling=True,
+    )
+
+
 @query(
     "pipeline_curation_prior_gate",
     f"""

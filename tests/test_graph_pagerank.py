@@ -282,15 +282,72 @@ def test_pagerank_teleport_matches_naive_model(spark):
     assert got == _naive_teleport(nodes, edges, w, 3)
 
 
-def test_pagerank_teleport_excludes_dangling_flag(spark):
-    import pytest
+def _naive_teleport_dangling(nodes, edges, w, iters, d=0.85):
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = dict(w)
+    for _ in range(iters):
+        dsum = sum(rv for v, rv in r.items() if v not in outdeg)
+        nxt = {
+            v: _round_half_away((1.0 - d) * w[v])
+            + _round_half_away(d * dsum * w[v] / 1e6)
+            for v in nodes
+        }
+        for s, t in edges:
+            nxt[t] = nxt[t] + _round_half_away(d * r[s] / outdeg[s])
+        r = nxt
+    return r
 
-    ndf = spark.createDataFrame([(0, 1000000)], "doc_id long, w_micros long")
-    edf = spark.createDataFrame([], "src long, dst long")
-    with pytest.raises(ValueError, match="mutually exclusive"):
-        G.pagerank_micros(
-            ndf, edf, 1, teleport_col="w_micros", redistribute_dangling=True
-        )
+
+def test_pagerank_teleport_dangling_hand_computed(spark):
+    """Weight-proportional dangling redistribution (r11, replacing the
+    r10 mutual-exclusion raise): node 2 dangles and its mass must
+    teleport ∝ w — node i receives round(d · dsum · w_i / 1e6), rounded
+    per node (naive-model parity, 2 iterations)."""
+    nodes = [0, 1, 2, 3]
+    w = {0: 400000, 1: 300000, 2: 200000, 3: 100000}
+    edges = [(0, 1), (1, 2), (3, 0), (0, 3)]
+    ndf = spark.createDataFrame(
+        [(v, w[v]) for v in nodes], "doc_id long, w_micros long"
+    )
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["doc_id"]: r["rank_micros"]
+        for r in G.pagerank_micros(
+            ndf, edf, 4, iters=2,
+            teleport_col="w_micros", redistribute_dangling=True,
+        ).collect()
+    }
+    assert got == _naive_teleport_dangling(nodes, edges, w, 2)
+    # the ∝w share must NOT equal the uniform share (w is non-uniform)
+    leaky = {
+        r["doc_id"]: r["rank_micros"]
+        for r in G.pagerank_micros(
+            ndf, edf, 4, iters=2, teleport_col="w_micros"
+        ).collect()
+    }
+    assert got != leaky
+
+
+def test_pagerank_teleport_dangling_identity_on_dangling_free_graph(spark):
+    """With no dangling nodes the ∝w correction sums to share 0 and the
+    output is bit-identical to plain personalized PageRank."""
+    nodes = [0, 1, 2, 3]
+    w = {0: 400000, 1: 300000, 2: 200000, 3: 100000}
+    edges = [(0, 1), (1, 2), (2, 0), (3, 0), (0, 3)]
+    ndf = spark.createDataFrame(
+        [(v, w[v]) for v in nodes], "doc_id long, w_micros long"
+    )
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    off = G.pagerank_micros(
+        ndf, edf, 4, iters=3, teleport_col="w_micros"
+    ).collect()
+    on = G.pagerank_micros(
+        ndf, edf, 4, iters=3,
+        teleport_col="w_micros", redistribute_dangling=True,
+    ).collect()
+    assert sorted(map(tuple, off)) == sorted(map(tuple, on))
 
 
 def test_assign_two_level_agreement_and_edge_cases(spark):
