@@ -2292,3 +2292,188 @@ def pipeline_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("layout_hash"),
     )
+
+
+# fixture-dir memo for pipeline_crawl_e2e (same contract as
+# _WARC_FIXTURE_DIRS: content deterministic per sf_dir, one dir/process)
+_CRAWL_FIXTURE_DIRS: dict[str, str] = {}
+
+# host-space size of the linked-page synthesis — MUST match
+# plans.pipeline_queries._LINK_H (kept literal here to avoid a
+# plans-module import cycle; pinned by test_crawl_e2e_host_space).
+_CRAWL_H = 32
+
+
+def _crawl_e2e_oracle(iters: int = 3, damping: float = 0.85) -> str:
+    """Composed oracle for the end-to-end crawl chain over the 1-in-11
+    fixture slice: host edges restated arithmetically from the planted
+    anchors (the `_pagerank_hosts_oracle` legs), ``iters`` unrolled
+    integer-micro PageRank steps, the main-content word census (the
+    `source_warc_main_content` restatement, minus the title block),
+    the above-uniform-rank + >=10-words keep rule
+    (`pipeline_curation_prior_gate`), and the BIGINT shard manifest
+    (`pipeline_export_shards` form, n_shards=4)."""
+    H = _CRAWL_H
+    head = f"""
+    WITH d11 AS (SELECT doc_id, coalesce(text, '') AS text
+                 FROM documents WHERE doc_id % 11 = 0),
+    hosts AS (SELECT DISTINCT 'h' || (doc_id % {H})::VARCHAR || '.example.org' AS host
+              FROM d11),
+    nh AS (SELECT count(*)::BIGINT AS n FROM hosts),
+    e AS (SELECT 'h' || (doc_id % {H})::VARCHAR || '.example.org' AS src,
+                 'h' || ((doc_id * 7 + 1) % {H})::VARCHAR || '.example.org' AS dst
+          FROM d11
+          UNION
+          SELECT 'h' || (doc_id % {H})::VARCHAR || '.example.org',
+                 'h' || ((doc_id * 13 + 2) % {H})::VARCHAR || '.example.org'
+          FROM d11
+          UNION
+          SELECT 'h' || (doc_id % {H})::VARCHAR || '.example.org',
+                 'h0.example.org'
+          FROM d11 WHERE doc_id % 4 = 0 AND doc_id % {H} <> 0),
+    od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT host, CAST(round(1000000.0 / nn.n) AS BIGINT) AS r
+           FROM hosts, nh nn)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+    c{i} AS (SELECT e.dst AS host,
+                    CAST(round({damping} * r.r / od.outdeg) AS BIGINT) AS c
+             FROM e JOIN od USING (src)
+             JOIN r{i - 1} r ON r.host = e.src),
+    s{i} AS (SELECT host, sum(c)::BIGINT AS m FROM c{i} GROUP BY host),
+    r{i} AS (SELECT d.host,
+                    (CAST(round((1.0 - {damping}) * 1000000.0 / nn.n)
+                          AS BIGINT) + coalesce(s.m, 0))::BIGINT AS r
+             FROM hosts d LEFT JOIN s{i} s USING (host), nh nn)""")
+    return head + "".join(steps) + f""",
+    mw AS (SELECT doc_id,
+                  CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = ''
+                       THEN 0
+                       ELSE len(string_split(
+                              trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+                  END::BIGINT AS n,
+                  'h' || (doc_id % {H})::VARCHAR || '.example.org' AS host
+           FROM d11),
+    kept AS (SELECT mw.doc_id, mw.n
+             FROM mw JOIN r{iters} ON r{iters}.host = mw.host, nh
+             WHERE r{iters}.r > CAST(round(1000000.0 / nh.n) AS BIGINT)
+               AND mw.n >= 10),
+    u AS (SELECT doc_id, n, {_SHARD_U01} AS u FROM kept),
+    s AS (SELECT doc_id, n, u, CAST(floor(u * 4.0) AS INT) AS shard FROM u),
+    p AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY u, doc_id)
+                      AS pos
+          FROM s)
+    SELECT shard,
+           count(*)::BIGINT AS n_docs,
+           sum(n)::BIGINT AS total_tokens,
+           CAST(sum(CAST(('0x' || substring(md5(doc_id::VARCHAR || '@' || pos::VARCHAR), 1, 12))
+                         AS BIGINT)::DECIMAL(38,0))
+                % CAST(2305843009213693951 AS DECIMAL(38,0)) AS BIGINT) AS layout_hash
+    FROM p GROUP BY shard
+    """
+
+
+@query("pipeline_crawl_e2e", _crawl_e2e_oracle())
+def pipeline_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCT CLAIM in one driver-checked chain (VERDICT r10 item
+    5): real multi-record ``.warc.gz`` files -> gzip-member record walk
+    (``read_warc``, one file per task) -> densitometric main-content
+    extraction -> anchor harvest + href resolution + canonicalization ->
+    host-graph reduction -> 3 integer-micro PageRank iterations ->
+    centrality-prior keep rule (above-uniform host rank AND >=10 main
+    words) -> deterministic shard layout -> one BIGINT-hashed manifest
+    row per shard.
+
+    Every stage is the registered operator other rows gate in isolation
+    (``source_warc_files``'s file walk, ``source_warc_main_content``'s
+    block census, ``source_html_links``'s harvest,
+    ``graph_pagerank_links``'s centrality,
+    ``pipeline_curation_prior_gate``'s keep rule,
+    ``pipeline_export_shards``'s manifest); THIS row proves they
+    compose. The driver-side collect is the TEST HARNESS writing the
+    bounded 1-in-11 fixture slice as real files (the
+    ``source_warc_files`` pattern); at production scale the crawl
+    already sits on object storage and the chain starts at the glob.
+
+    Scale shape: the record walk + main-content + harvest are one Arrow
+    map pass over the pages frame, persisted once and consumed by both
+    the content and the link branch (at 100 TB the extracted-pages
+    frame would be STAGED as parquet between the two consumers — the
+    standard crawl-pipeline materialization point — rather than
+    recomputed); the host graph is a many-orders-smaller reduction
+    (ONE shuffle on two short strings); per-iteration PageRank joins
+    shuffle host-keyed rows only; the gate is a broadcast join against
+    the rank table; the manifest is one partial-agg pass. The corpus
+    itself shuffles exactly once (the md5-uniform shard exchange)."""
+    import os
+    import tempfile
+
+    from modware_loader_spark.functions.scalar import hex64, round_half_away
+    from modware_loader_spark.operators import graph as G
+    from modware_loader_spark.operators.curation import url_host
+    from modware_loader_spark.sources import warc as W
+
+    d = _CRAWL_FIXTURE_DIRS.get(sf_dir)
+    if d is None or not os.path.isdir(d):
+        t = load_tables(spark, sf_dir)
+        docs = t["documents"].filter(F.col("doc_id") % 11 == 0)
+        payloads = sorted(
+            (int(r["media_id"]), bytes(r["payload"]))
+            for r in W.synth_warc_linked(docs, n_hosts=_CRAWL_H).collect()
+        )
+        d = tempfile.mkdtemp(prefix="mls_crawl_")
+        for fno, i in enumerate(range(0, len(payloads), 16)):
+            chunk = payloads[i : i + 16]
+            with open(os.path.join(d, f"part-{fno:05d}.warc.gz"), "wb") as fh:
+                fh.write(b"".join(p for _, p in chunk))
+        _CRAWL_FIXTURE_DIRS[sf_dir] = d
+    pages = (
+        W.read_warc(spark, os.path.join(d, "*.warc.gz"))
+        .select(
+            F.regexp_extract("target_uri", r"/d/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            F.decode(F.col("body"), "UTF-8").alias("html"),
+        )
+        .persist()
+    )
+    mc = W.extract_main_content(pages, "html", min_words=10)
+    edges = G.host_link_edges(W.extract_links(pages)).localCheckpoint(eager=True)
+    nodes = (
+        pages.select(url_host(F.col("url")).alias("host"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_hosts = nodes.count()
+    ranks = G.pagerank_micros(nodes, edges, n_hosts, iters=3, id_col="host")
+    r0 = round_half_away(1e6 / n_hosts)
+    kept = (
+        mc.withColumn("host", url_host(F.col("url")))
+        .join(F.broadcast(ranks), "host")
+        .filter(
+            (F.col("rank_micros") > F.lit(r0)) & (F.col("main_words") >= 10)
+        )
+        .select("doc_id", F.col("main_words").cast("long").alias("n_tokens"))
+    )
+    sh = PK.assign_shards(kept, n_shards=4)
+    return sh.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (
+            F.sum(
+                hex64(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("@"),
+                        F.col("pos").cast("string"),
+                    ),
+                    bits=48,
+                ).cast("decimal(38,0)")
+            )
+            % F.lit(2305843009213693951).cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("layout_hash"),
+    )

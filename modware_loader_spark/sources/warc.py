@@ -576,3 +576,84 @@ def synth_warc(
             ]
         ),
     )
+
+
+def synth_warc_linked(
+    df: DataFrame,
+    n_hosts: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Linked crawl pages as REAL gzip'd WARC/1.0 records — the fixture
+    for the end-to-end crawl chain (``pipeline_crawl_e2e``): page m
+    lives on ``www.h(m % n_hosts).example.org`` and its body carries
+    BOTH the document text (escaped ``<p>`` paragraph — the main-content
+    block) and the six-anchor link census of the
+    ``plans.pipeline_queries._synth_link_pages`` scheme (absolute
+    ``(7m+1) % H`` with tracking param + fragment, protocol-relative
+    ``(13m+2) % H`` with uppercase WWW. and :443, the ``m % 4 == 0`` hub
+    link to h0, a root-relative self link, mailto:, fragment-only, and a
+    bare ``<a>``). Deterministic bytes (fixed gzip mtime) so the fixture
+    files are reproducible and an external SQL engine can restate the
+    whole construction arithmetically."""
+    import gzip as _gzip
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for mid, text in zip(pdf[id_col].astype("int64"), pdf[text_col]):
+                m = int(mid)
+                host = f"h{m % n_hosts}.example.org"
+                uri = f"https://www.{host}/d/{m}"
+                a1 = (
+                    f"https://h{(m * 7 + 1) % n_hosts}.example.org/p/"
+                    f"{m % 50}?utm_source=feed#sec1"
+                )
+                a2 = f"//WWW.h{(m * 13 + 2) % n_hosts}.example.org:443/x"
+                hub = (
+                    '<a href="https://h0.example.org/hub">hub</a>'
+                    if m % 4 == 0
+                    else ""
+                )
+                body_html = (
+                    "<html><body><p>"
+                    + _html.escape(text or "")
+                    + f'</p><a href="{a1}">one</a><a href="{a2}">two</a>'
+                    + hub
+                    + '<a href="/about">self</a>'
+                    '<a href="mailto:crawl@example.org">mail</a>'
+                    '<a href="#top">top</a><a>bare</a></body></html>'
+                ).encode("utf-8")
+                http = (
+                    b"HTTP/1.1 200 OK" + CRLF
+                    + b"Content-Type: text/html" + CRLF
+                    + b"Content-Length: " + str(len(body_html)).encode() + CRLF
+                    + CRLF + body_html
+                )
+                rec = (
+                    b"WARC/1.0" + CRLF
+                    + b"WARC-Type: response" + CRLF
+                    + ("WARC-Target-URI: " + uri).encode() + CRLF
+                    + b"WARC-Record-ID: <urn:uuid:" + str(m).encode() + b">" + CRLF
+                    + b"Content-Type: application/http;msgtype=response" + CRLF
+                    + b"Content-Length: " + str(len(http)).encode() + CRLF
+                    + CRLF + http + CRLF + CRLF
+                )
+                buf = io.BytesIO()
+                with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                    gz.write(rec)
+                ids.append(m)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    from modware_loader_spark.operators.ivf import ensure_min_partitions
+
+    return ensure_min_partitions(df.select(id_col, text_col)).mapInPandas(
+        batches,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), True),
+            ]
+        ),
+    )

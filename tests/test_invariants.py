@@ -474,3 +474,25 @@ def test_ivf_topk_array_fallback_matches_literal(spark, sf_dir):
     finally:
         IVF._LITERAL_CELL_BUDGET = old
     assert lit == arr
+
+
+def test_crawl_e2e_host_space():
+    """pipeline_crawl_e2e's linked-WARC fixture must use the SAME host
+    space as the in-memory link-page synthesis — the two rows gate the
+    same anchor arithmetic through two front doors."""
+    from modware_loader_spark.plans.curation_queries import _CRAWL_H
+    from modware_loader_spark.plans.pipeline_queries import _LINK_H
+
+    assert _CRAWL_H == _LINK_H
+
+
+def test_crawl_e2e_produces_nonempty_manifest(spark):
+    """The composed chain must actually keep documents and emit shard
+    rows at the smoke SF (0-row results trivially pass the driver
+    hash — the repo-wide .count() probe discipline)."""
+    from modware_loader_spark.plans.registry import QUERIES
+
+    rows = QUERIES["pipeline_crawl_e2e"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert sum(r["n_docs"] for r in rows) > 0
+    assert all(r["total_tokens"] >= 10 * r["n_docs"] for r in rows)
