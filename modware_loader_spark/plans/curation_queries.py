@@ -1887,7 +1887,33 @@ def _logreg_oracle(n_buckets: int, iters: int, lr: float) -> str:
 
 
 # trained-weights memo per dataset dir (see docstring below)
-_TRAINED_LOGREG: dict[str, dict] = {}
+_TRAINED_LOGREG: dict[tuple, dict] = {}
+
+
+def _documents_fingerprint(sf_dir: str) -> tuple:
+    """Data-identity key for the weight memo (r10 ADVICE): the memo must
+    invalidate when the dataset under ``sf_dir`` is REGENERATED within
+    one process (fixture rebuilds, notebooks) — keying on the path alone
+    silently served stale weights. Fingerprint = (path, mtime_ns, size)
+    of every parquet part under ``documents.parquet`` (file or
+    Spark-written directory)."""
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(p):
+        parts = sorted(
+            os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+        )
+    else:
+        parts = [p]
+    fp = [sf_dir]
+    for part in parts:
+        try:
+            st = os.stat(part)
+            fp.append((part, st.st_mtime_ns, st.st_size))
+        except OSError:
+            fp.append((part, None, None))
+    return tuple(fp)
 
 
 @query("text_classifier_train", _logreg_oracle(n_buckets=32, iters=3, lr=0.1))
@@ -1910,15 +1936,21 @@ def text_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from the oracle's CASE ... ELSE 0 (y=0). Non-null on the fixture,
     # latent on real data (r9 ADVICE).
     label = F.coalesce(F.col("lang") == "en", F.lit(False))
-    # Per-sf_dir weight memo (the _WARC_FIXTURE_DIRS precedent): training
-    # is deterministic given the input, so re-invocations in one process
-    # (bench's cold+warm+warm triple was retraining 3x — ~10 s of its
-    # cold number on a loaded box) reuse the 33 trained micros. The
-    # FIRST call per dataset still runs the full driver-verified chain.
-    w = _TRAINED_LOGREG.get(sf_dir)
+    # Data-identity weight memo (the _WARC_FIXTURE_DIRS precedent,
+    # re-keyed per r10 ADVICE): training is deterministic given the
+    # input, so re-invocations in one process (bench's cold+warm+warm
+    # triple was retraining 3x — ~10 s of its cold number on a loaded
+    # box) reuse the 33 trained micros — but the key is the parquet
+    # fingerprint (path + mtime_ns + size), not the path, so a
+    # regenerated dataset retrains instead of serving stale weights.
+    # Bench-number semantics: warm runs measure PREDICTION only (noted
+    # beside the BENCH capture in SURVEY). The FIRST call per dataset
+    # still runs the full driver-verified chain.
+    key = _documents_fingerprint(sf_dir)
+    w = _TRAINED_LOGREG.get(key)
     if w is None:
         w = CL.train_logreg_hashed(docs, label, n_buckets=32, iters=3, lr=0.1)
-        _TRAINED_LOGREG[sf_dir] = w
+        _TRAINED_LOGREG[key] = w
     return CL.logreg_predictions(docs, w, 32, label)
 
 

@@ -294,10 +294,10 @@ def _planted_near_dup_embeddings(df: DataFrame) -> DataFrame:
     "similarity_cosine_bucket_pairs",
     f"""
     WITH base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
-    planted AS (SELECT vec_id + 1000000 AS vec_id,
+    planted AS (SELECT src_id + 1000000 AS vec_id,
                        list_transform(generate_series(1, len(e)),
-                                      i -> e[i] + 0.02 * (((vec_id + i) % 7) - 3)) AS e
-                FROM base WHERE vec_id % 10 = 0),
+                                      i -> e[i] + 0.02 * (((src_id + i) % 7) - 3)) AS e
+                FROM (SELECT vec_id AS src_id, e FROM base WHERE vec_id % 10 = 0)),
     v AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
     bands AS (
       SELECT vec_id, u.b AS band_id, {_ddb_sign_band_hash(8, 5)} AS band_hash

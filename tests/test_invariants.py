@@ -496,3 +496,23 @@ def test_crawl_e2e_produces_nonempty_manifest(spark):
     assert rows
     assert sum(r["n_docs"] for r in rows) > 0
     assert all(r["total_tokens"] >= 10 * r["n_docs"] for r in rows)
+
+
+def test_documents_fingerprint_tracks_data_identity(tmp_path):
+    """The classifier weight memo key must change when the parquet under
+    the same path is regenerated (r10 ADVICE: path-only keying served
+    stale weights after in-process fixture rebuilds)."""
+    import shutil
+    import time
+
+    from modware_loader_spark.plans.curation_queries import _documents_fingerprint
+
+    d = str(tmp_path)
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", f"{d}/documents.parquet")
+    fp1 = _documents_fingerprint(d)
+    assert fp1 == _documents_fingerprint(d)
+    time.sleep(0.01)
+    import os
+
+    os.utime(f"{d}/documents.parquet")
+    assert _documents_fingerprint(d) != fp1

@@ -33,20 +33,36 @@ def test_jsonl_shards_reproducible_bytes(spark, tmp_path):
     write_jsonl_shards(docs, pa, n_shards=3, codec=None)
     write_jsonl_shards(docs.repartition(7), pb, n_shards=3, codec=None)
 
-    def shard_lines(root):
+    def shard_files(root):
         out = {}
         for d in glob.glob(os.path.join(root, "shard=*")):
+            out[os.path.basename(d)] = sorted(
+                glob.glob(os.path.join(d, "part-*"))
+            )
+        return out
+
+    fa, fb = shard_files(pa), shard_files(pb)
+    assert fa.keys() == fb.keys()
+    # one-file-per-shard byte reproducibility (the r11 token-mapped
+    # exchange contract): each shard is owned by exactly one task, so
+    # exactly one part file, and its BYTES are identical across runs
+    # with different input partitioning.
+    for k in fa:
+        assert len(fa[k]) == 1 and len(fb[k]) == 1, (k, fa[k], fb[k])
+        with open(fa[k][0], "rb") as f1, open(fb[k][0], "rb") as f2:
+            assert f1.read() == f2.read(), f"shard {k} diverged"
+
+    def shard_lines(root):
+        out = {}
+        for d, files in shard_files(root).items():
             lines = []
-            for f in sorted(glob.glob(os.path.join(d, "part-*"))):
+            for f in files:
                 with open(f) as fh:
                     lines += fh.readlines()
-            out[os.path.basename(d)] = lines
+            out[d] = lines
         return out
 
     a, b = shard_lines(pa), shard_lines(pb)
-    assert a.keys() == b.keys()
-    for k in a:
-        assert a[k] == b[k], f"shard {k} diverged"
     # within-shard order follows pos
     any_shard = next(iter(a.values()))
     poss = [json.loads(line)["pos"] for line in any_shard]
