@@ -272,10 +272,16 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    cents: list | None = None,
+    books: list[list] | None = None,
 ) -> DataFrame:
     """Classic IVF-PQ (Jégou et al. 2011 §V): coarse IVF cells bound the
     scan, PQ codes bound the per-candidate cost — the composition the
     IVF and PQ docstrings promise, and the shape that holds at 100 TB.
+
+    ``cents``/``books`` accept a pre-trained coarse-centroid list and PQ
+    codebooks (the "index built once" production contract — callers
+    memoize them per dataset and repeat query batches skip training).
 
     One map stage over the corpus emits ``(id, cell, codes)`` — BOTH the
     coarse assignment and the PQ encoding are literal-centroid argmin
@@ -293,12 +299,15 @@ def ivfpq_topk(
         sq_l2,
     )
 
-    cents = _centroid_literals(
-        ivf_train(corpus, nlist=nlist, lloyd_iters=lloyd_iters,
-                  id_col=id_col, vec_col=vec_col)
-    )
-    books = pq_train(corpus, m=m, ksub=ksub, dim=dim, lloyd_iters=lloyd_iters,
-                     id_col=id_col, vec_col=vec_col)
+    if cents is None:
+        cents = _centroid_literals(
+            ivf_train(corpus, nlist=nlist, lloyd_iters=lloyd_iters,
+                      id_col=id_col, vec_col=vec_col)
+        )
+    if books is None:
+        books = pq_train(corpus, m=m, ksub=ksub, dim=dim,
+                         lloyd_iters=lloyd_iters,
+                         id_col=id_col, vec_col=vec_col)
     sub = len(books[0][0][1])
     enc = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("target_id"),

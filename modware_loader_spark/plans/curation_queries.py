@@ -1894,26 +1894,10 @@ def _documents_fingerprint(sf_dir: str) -> tuple:
     """Data-identity key for the weight memo (r10 ADVICE): the memo must
     invalidate when the dataset under ``sf_dir`` is REGENERATED within
     one process (fixture rebuilds, notebooks) — keying on the path alone
-    silently served stale weights. Fingerprint = (path, mtime_ns, size)
-    of every parquet part under ``documents.parquet`` (file or
-    Spark-written directory)."""
-    import os
+    silently served stale weights. See ``session.table_fingerprint``."""
+    from modware_loader_spark.session import table_fingerprint
 
-    p = os.path.join(sf_dir, "documents.parquet")
-    if os.path.isdir(p):
-        parts = sorted(
-            os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
-        )
-    else:
-        parts = [p]
-    fp = [sf_dir]
-    for part in parts:
-        try:
-            st = os.stat(part)
-            fp.append((part, st.st_mtime_ns, st.st_size))
-        except OSError:
-            fp.append((part, None, None))
-    return tuple(fp)
+    return table_fingerprint(sf_dir, "documents")
 
 
 @query("text_classifier_train", _logreg_oracle(n_buckets=32, iters=3, lr=0.1))

@@ -130,3 +130,29 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
 
 
 _TABLE_CACHE: dict = {}
+
+
+def table_fingerprint(sf_dir: str, table: str) -> tuple:
+    """Data-identity key for in-process training/index memos: (path,
+    mtime_ns, size) of every parquet part under ``<sf_dir>/<table>.
+    parquet`` (plain file or Spark-written directory). Deterministic
+    artifacts derived from the table (classifier weights, k-means
+    centroids, PQ codebooks) may be reused within one process ONLY
+    while this fingerprint is unchanged — keying on the path alone
+    serves stale artifacts after in-process dataset regeneration
+    (the r10 ADVICE on ``_TRAINED_LOGREG``)."""
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(p):
+        parts = sorted(
+            os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+        )
+    else:
+        parts = [p]
+    fp: list = [sf_dir, table]
+    for part in parts:
+        try:
+            st = os.stat(part)
+            fp.append((part, st.st_mtime_ns, st.st_size))
+        except OSError:
+            fp.append((part, None, None))
+    return tuple(fp)
