@@ -595,3 +595,40 @@ def cell_outlier_flags(
         .cast("int")
         .alias("is_outlier"),
     )
+
+
+def save_ivf_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    table: str,
+    n_buckets: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the assigned corpus ``(id, vec, cell)`` as a table
+    BUCKETED by ``cell`` — the "build the index once" storage layout the
+    module docstring promises: repeated query batches join candidates on
+    ``cell`` against the bucketed table with NO corpus-side Exchange
+    (the scan reports its bucketing to the planner; only the tiny probe
+    side shuffles — or broadcasts — per batch). At 100 TB this is the
+    difference between re-shuffling the corpus per query batch and
+    never shuffling it again after the one bucketed write.
+
+    ``n_buckets`` defaults to the centroid count (one bucket per cell —
+    the natural layout while nlist is moderate; at very large nlist use
+    fewer buckets, cells then co-locate but never split). Returns the
+    saved table as a DataFrame. Plan contract pinned by
+    ``tests/test_plan_quality.py::test_bucketed_ivf_index_join_is_exchange_free``.
+    """
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = centroids.count()
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    (
+        assigned.write.mode("overwrite")
+        .bucketBy(int(n_buckets), "cell")
+        .sortBy("cell")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return spark.table(table)

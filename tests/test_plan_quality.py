@@ -364,3 +364,46 @@ def test_cms_probe_broadcasts_sketch(spark, sf_dir):
     plan = _plan(spark, "sketch_cms_heavy_hitters", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_ivf_index_join_is_exchange_free(spark, sf_dir):
+    """save_ivf_index's storage contract: a cell-keyed candidate join
+    against the bucketed corpus table must NOT re-shuffle the corpus —
+    the scan reports its bucketing, so the only Exchange in a sort-merge
+    join plan is on the (tiny) probe side. This is the 100 TB claim in
+    operators/ivf.py's docstring, pinned."""
+    from pyspark.sql import functions as F
+
+    from modware_loader_spark.operators.ivf import ivf_train, save_ivf_index
+    from modware_loader_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    cents = ivf_train(emb, nlist=8, lloyd_iters=1)
+    table = "ivf_index_plan_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        idx = save_ivf_index(emb, cents, table)
+        assert idx.count() == emb.count()
+        probes = spark.range(8).select(F.col("id").cast("int").alias("cell"))
+        # force the shuffle-join path: broadcast would hide the bucketing
+        with_conf = spark.conf
+        old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table(table).join(probes, "cell")
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+        finally:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # exactly one Exchange NODE — the probe side; the bucketed scan
+        # feeds the join directly. The formatted output names each node
+        # twice (tree + details), so count the numbered detail headers.
+        assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
