@@ -168,6 +168,9 @@ _BNLJ_WHITELIST = {
     "graph_pagerank_dangling",
     # 1-row token-total broadcast attach for the teleport weights
     "graph_pagerank_weighted",
+    # both of the above: 1-row token total AND the per-iteration 1-row
+    # dangling-sum broadcast (∝w redistribution, r11)
+    "graph_pagerank_weighted_dangling",
 }
 
 
