@@ -419,6 +419,55 @@ def assign_two_level(
         if cell in groups:  # this centroid IS a super: remember its group
             home[cell] = best
     vec = f"`{vec_col}`"
+    dim = len(cents[0][1])
+    if k * dim > _LITERAL_CELL_BUDGET:
+        # Array form (r11): supers as one broadcast ARRAY column and the
+        # sid -> member-list mapping as a broadcast MAP column — the IMI
+        # shape with O(1) plan size (the literal CASE below costs
+        # O(k·dim) parse/analyze per job, the r10-measured large-k
+        # bottleneck shared with the flat literal argmin). Per-row work
+        # is the promised O((s + k/s)·dim): one fold over the supers
+        # array, one map lookup (s integer key compares), one fold over
+        # the matched group's member array. Empty-group borrowing is
+        # applied DRIVER-side when building the map, so semantics are
+        # identical to the CASE path (pinned by
+        # test_assign_two_level_agreement_and_edge_cases).
+        eff_groups = {
+            sid: (members or groups[home[sid]])
+            for sid, members in groups.items()
+        }
+        data = [
+            (
+                [(int(sid), [float(x) for x in svec]) for sid, svec in supers],
+                {
+                    int(sid): [
+                        (int(c), [float(x) for x in v]) for c, v in members
+                    ]
+                    for sid, members in eff_groups.items()
+                },
+            )
+        ]
+        aux = vectors.sparkSession.createDataFrame(
+            data,
+            "__supers array<struct<cell:int, centroid:array<double>>>, "
+            "__groups map<int, array<struct<cell:int, centroid:array<double>>>>",
+        )
+        return (
+            vectors.crossJoin(F.broadcast(aux))
+            .withColumn(
+                "__g",
+                F.expr(f"array_min({_dist_cell_pairs_col(vec, '__supers')}).cell"),
+            )
+            .withColumn(
+                "cell",
+                F.expr(
+                    "array_min("
+                    + _dist_cell_pairs_col(vec, "element_at(__groups, `__g`)")
+                    + ").cell"
+                ),
+            )
+            .drop("__supers", "__groups", "__g")
+        )
     super_pairs = _dist_cell_pairs_sql(
         vec, [(sid, svec) for sid, svec in supers]
     )

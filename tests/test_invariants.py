@@ -516,3 +516,33 @@ def test_documents_fingerprint_tracks_data_identity(tmp_path):
 
     os.utime(f"{d}/documents.parquet")
     assert _documents_fingerprint(d) != fp1
+
+
+def test_assign_two_level_array_form_matches_case_form(spark, sf_dir):
+    """The r11 array-form IMI assignment (broadcast supers array +
+    sid->members map) must agree cell-for-cell with the literal CASE
+    form — same folds, same tie-breaks, same empty-group borrowing."""
+    from modware_loader_spark.operators import ivf as IVF
+    from modware_loader_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    cents_df = IVF.ivf_train(emb, nlist=16, lloyd_iters=1)
+    cents = IVF._centroid_literals(cents_df)
+
+    def run():
+        return {
+            (r.vec_id, r.cell)
+            for r in IVF.assign_two_level(emb, cents_df, cents=cents)
+            .select("vec_id", "cell")
+            .collect()
+        }
+
+    old = IVF._LITERAL_CELL_BUDGET
+    try:
+        IVF._LITERAL_CELL_BUDGET = 10**9  # force the CASE form
+        case_form = run()
+        IVF._LITERAL_CELL_BUDGET = 0  # force the array form
+        array_form = run()
+    finally:
+        IVF._LITERAL_CELL_BUDGET = old
+    assert case_form == array_form

@@ -58,6 +58,9 @@ QUERIES = [
     "pipeline_curation_prior_gate",
     "pipeline_export_shards",
     "dedup_semantic_keep_2l",
+    # r11: the composed crawl chain and the ∝w dangling redistribution
+    "pipeline_crawl_e2e",
+    "graph_pagerank_weighted_dangling",
 ]
 
 
