@@ -90,9 +90,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle's lateral-alias disambiguation; text_classifier_train — weight
 # memo re-keyed on data identity; graph_pagerank_dangling +
 # graph_pagerank_weighted — pagerank_micros dangling-branch restructure);
-# (e) 14 of the 48-name r9 cohort (alphabetical prefix:
-# dedup_cluster_components .. embed_random_projection), staggering it
-# NOW so the remaining 34 fit r12's head alongside r12's own new/changed
+# (e) pipeline_curation_v2 — its rate-snapshot collect gained the
+# data-identity memo late in r11 (code changed => head re-verification);
+# (f) 13 of the 48-name r9 cohort (alphabetical prefix,
+# dedup_cluster_components .. embed_random_projection, minus
+# e7_multi_join_isin_filter which returns to the tail), staggering it
+# NOW so the remaining 35 fit r12's head alongside r12's own new/changed
 # rows (the cohort hits the window bound at r12).
 # The tail below = everything else, all in-window: the r10-green cohort
 # plus the 34 unstaggered r9 names (mandatory r12 head slots).
@@ -149,6 +152,7 @@ _DEPRIORITIZED = [
     "m4_delete_with_join",
     "m5_key_resolution_joins",
     "m6_except_idempotent_insert",
+    "e7_multi_join_isin_filter",
     "m8_scd1_update_from_join",
     "m9_refresh_child_sets",
     "m10_grown_groups",
@@ -173,7 +177,6 @@ _DEPRIORITIZED = [
     "sample_temperature",
     "text_bpe_train_merges",
     "text_bpe_encode",
-    "pipeline_curation_v2",
     "pack_training_shards",
 ]
 
