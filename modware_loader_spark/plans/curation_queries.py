@@ -2326,9 +2326,13 @@ def pipeline_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# fixture-dir memo for pipeline_crawl_e2e (same contract as
-# _WARC_FIXTURE_DIRS: content deterministic per sf_dir, one dir/process)
-_CRAWL_FIXTURE_DIRS: dict[str, str] = {}
+# fixture-dir memo for pipeline_crawl_e2e. Keyed on the documents
+# table's DATA identity (``_documents_fingerprint``), not the sf_dir
+# path: regenerating the parquet under the same path in one process
+# must invalidate the derived WARC bytes (the _TRAINED_LOGREG /
+# _V2_RATES_MEMO stale-artifact class, closed for those in r11 and
+# for this memo in r12 per ADVICE).
+_CRAWL_FIXTURE_DIRS: dict[tuple, str] = {}
 
 # host-space size of the linked-page synthesis — MUST match
 # plans.pipeline_queries._LINK_H (kept literal here to avoid a
@@ -2446,7 +2450,8 @@ def pipeline_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from modware_loader_spark.operators.curation import url_host
     from modware_loader_spark.sources import warc as W
 
-    d = _CRAWL_FIXTURE_DIRS.get(sf_dir)
+    fkey = _documents_fingerprint(sf_dir)
+    d = _CRAWL_FIXTURE_DIRS.get(fkey)
     if d is None or not os.path.isdir(d):
         t = load_tables(spark, sf_dir)
         docs = t["documents"].filter(F.col("doc_id") % 11 == 0)
@@ -2459,7 +2464,7 @@ def pipeline_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             chunk = payloads[i : i + 16]
             with open(os.path.join(d, f"part-{fno:05d}.warc.gz"), "wb") as fh:
                 fh.write(b"".join(p for _, p in chunk))
-        _CRAWL_FIXTURE_DIRS[sf_dir] = d
+        _CRAWL_FIXTURE_DIRS[fkey] = d
     pages = (
         W.read_warc(spark, os.path.join(d, "*.warc.gz"))
         .select(

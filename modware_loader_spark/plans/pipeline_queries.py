@@ -908,7 +908,7 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t["embeddings"]
     cents = _trained_artifact(
         sf_dir,
-        ("semdedup_cells", TRAIN_POINTS_PER_CELL),
+        ("semdedup_cells", "isqrt_nlist", 1, TRAIN_POINTS_PER_CELL),
         lambda: IVF._centroid_literals(
             IVF.ivf_train(
                 emb,
@@ -999,7 +999,7 @@ def dedup_semantic_keep_2l(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t["embeddings"]
     cents = _trained_artifact(
         sf_dir,
-        ("semdedup_cells", TRAIN_POINTS_PER_CELL),
+        ("semdedup_cells", "isqrt_nlist", 1, TRAIN_POINTS_PER_CELL),
         lambda: IVF2._centroid_literals(
             IVF2.ivf_train(
                 emb,

@@ -462,7 +462,7 @@ def test_ivf_topk_array_fallback_matches_literal(spark, sf_dir):
         return {
             tuple(r)
             for r in IVF.ivf_topk(
-                emb, queries, cents_df, k=5, nprobe=2
+                queries, emb, cents_df, k=5, nprobe=2
             ).collect()
         }
 
