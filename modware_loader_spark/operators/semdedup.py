@@ -67,6 +67,7 @@ def semantic_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assigned: DataFrame | None = None,
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """Cluster-local semantic near-duplicate pairs ``(id_a < id_b, cell,
     cos)`` with 6-dp rounded cosine (portable vs the DuckDB oracle).
@@ -80,6 +81,28 @@ def semantic_near_pairs(
     count job, and the n²/nlist pair bound stays ~linear in n instead
     of silently degrading as the corpus grows (r9 SCALE.md measurement,
     promoted from manual knob to default per VERDICT item 6).
+
+    ``cell_cap`` bounds the within-cell pair term against SKEWED cells
+    (r11 VERDICT item 2): with balanced cells the expected pair cost is
+    n²/nlist, but a duplicate-heavy cell — the viral-cluster regime the
+    dHash side measured at 9.84× runtime on 99.7× pair growth (SCALE.md
+    r9) — is locally quadratic with no ceiling. With a cap, any cell
+    with ``cnt > cell_cap`` members is split into ``ceil(cnt /
+    cell_cap)`` sub-buckets by a deterministic md5 hash of the id (the
+    ``dhash_near_pairs`` salt-split idiom), and pairs are emitted within
+    (cell, sub-bucket) only — per-cell pair work drops from C(cnt, 2)
+    to ~cnt·cell_cap/2 (linear in cell size). The trade is bounded
+    recall: near-duplicate pairs whose members hash to different
+    sub-buckets of an oversized cell are not reported — the same
+    boundary-loss class as SemDeDup's own cell locality, and because a
+    duplicate GROUP of g members spreads ~g/splits per bucket, every
+    bucket still finds the group's local duplicates, so the KEEP-rule
+    dedup rate degrades only marginally (measured: SCALE.md r12 planted
+    heavy cell). Cost: one nlist-row count aggregate broadcast back —
+    the corpus still never shuffles before the pair join. When no cell
+    exceeds the cap every split factor is 1 and the output is
+    BIT-IDENTICAL to the uncapped path
+    (``tests/test_invariants.py::test_semdedup_cell_cap_identity``).
     """
     if assigned is None:
         n = None
@@ -102,16 +125,38 @@ def semantic_near_pairs(
     # one dot product — same doubles, same rounding, ~3x less fold work
     # on the n²/nlist pair set.
     cells = assigned.withColumn("__nrm", norm(F.col(vec_col)))
+    join_keys = ["cell"]
+    if cell_cap is not None:
+        from modware_loader_spark.functions.scalar import hex64
+
+        # split factor per cell: ceil(cnt / cap) via floor((cnt + cap-1)
+        # / cap) in DOUBLE division on both engines (exact below 2^52).
+        # nlist rows → broadcast; the corpus side stays map-local.
+        splits = assigned.groupBy("cell").agg(
+            F.floor(
+                (F.count(F.lit(1)) + F.lit(cell_cap - 1)) / F.lit(cell_cap)
+            )
+            .cast("int")
+            .alias("__splits")
+        )
+        cells = cells.join(F.broadcast(splits), "cell").withColumn(
+            "__sub",
+            F.pmod(
+                hex64(F.concat(F.lit("sdcap"), F.col(id_col).cast("string"))),
+                F.col("__splits"),
+            ).cast("int"),
+        )
+        join_keys = ["cell", "__sub"]
     a = cells.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
-        F.col("__nrm").alias("__na"), "cell",
+        F.col("__nrm").alias("__na"), *join_keys,
     )
     b = cells.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
-        F.col("__nrm").alias("__nb"), "cell",
+        F.col("__nrm").alias("__nb"), *join_keys,
     )
     return (
-        a.join(b, "cell")
+        a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos",
@@ -133,6 +178,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assigned: DataFrame | None = None,
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """The semantically-deduplicated corpus: rows with no smaller-id
     near-duplicate in their cell.
@@ -144,6 +190,7 @@ def semantic_dedup(
     pairs = semantic_near_pairs(
         df, nlist=nlist, lloyd_iters=lloyd_iters, threshold=threshold,
         id_col=id_col, vec_col=vec_col, assigned=assigned,
+        cell_cap=cell_cap,
     )
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(F.broadcast(drops), id_col, "left_anti")

@@ -1018,6 +1018,71 @@ def dedup_semantic_keep_2l(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_semantic_keep_capped",
+    _DDB_IVF_CELLS_DYN + """,
+    spl AS (SELECT cell, CAST(floor((count(*) + 15) / 16.0) AS INT) AS s
+            FROM cells GROUP BY cell),
+    subc AS (SELECT cells.vec_id, cells.cell,
+               CAST(CAST(('0x' || substring(md5('sdcap' || CAST(cells.vec_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % spl.s AS INT) AS sub
+             FROM cells JOIN spl USING (cell)),
+    pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM subc a JOIN subc b
+                ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
+              JOIN v va ON va.vec_id = a.vec_id
+              JOIN v vb ON vb.vec_id = b.vec_id
+              WHERE round(list_sum(list_transform(generate_series(1, len(va.e)),
+                            i -> va.e[i] * vb.e[i]))
+                      / (sqrt(list_sum(list_transform(va.e, z -> z * z)))
+                         * sqrt(list_sum(list_transform(vb.e, z -> z * z)))), 6)
+                    >= 0.4)
+    SELECT emb.vec_id, emb.label
+    FROM embeddings emb
+    WHERE emb.vec_id NOT IN (SELECT id_b FROM pairs)
+    """,
+)
+def dedup_semantic_keep_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the SKEW-BOUNDED pair step (r11 VERDICT item 2):
+    any IVF cell with more than ``cell_cap=16`` members is split into
+    ``ceil(cnt/16)`` md5 sub-buckets before the within-cell pair join,
+    so a duplicate-heavy (viral) cell can no longer go locally quadratic
+    — per-cell pair work is capped at ~cnt·cap/2, linear in cell size.
+    The oracle restates the split factors, the 60-bit md5 sub-bucket
+    hash, and the bucket-local pair/keep rule exactly, so the lossy
+    recall boundary is ORACLE-PINNED, not approximated. The cap chosen
+    here splits most sf0.01 cells 2-3 ways — both branches (split and
+    singleton) are exercised at every SF. Production sizing note: set
+    ``cell_cap`` a small multiple of the expected cell size (n/nlist);
+    the planted-heavy-cell 10× measurement is in SCALE.md r12 and the
+    cap=∞ bit-identity in ``tests/test_invariants.py``."""
+    t = load_tables(spark, sf_dir)
+    from modware_loader_spark.operators.semdedup import (
+        TRAIN_POINTS_PER_CELL,
+        default_nlist,
+        semantic_dedup,
+    )
+
+    emb = t["embeddings"]
+    cents = _trained_artifact(
+        sf_dir,
+        ("semdedup_cells", "isqrt_nlist", 1, TRAIN_POINTS_PER_CELL),
+        lambda: IVF._centroid_literals(
+            IVF.ivf_train(
+                emb,
+                nlist=default_nlist(emb.count()),
+                lloyd_iters=1,
+                train_points_per_cell=TRAIN_POINTS_PER_CELL,
+            )
+        ),
+    )
+    centroids = spark.createDataFrame(cents, "cell int, centroid array<double>")
+    assigned = IVF.ivf_assign(emb, centroids).persist()
+    return semantic_dedup(
+        emb, threshold=0.4, assigned=assigned, cell_cap=16
+    ).select("vec_id", "label")
+
+
 def _pq_ctes(m: int, ksub: int, dim: int) -> tuple[list, str, str]:
     """The PQ training/encoding CTE chain shared by the PQ oracles:
     returns (ctes, adc_expr, code_joins). Assumes a ``v`` CTE with

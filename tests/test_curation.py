@@ -409,3 +409,103 @@ def test_temperature_sample_matches_naive_model(spark):
         for r in SA.temperature_sample(df, "source", "doc_id").collect()
     }
     assert got == want
+
+
+def test_semdedup_cell_cap_identity(spark):
+    """cell_cap >= every cell's size ⇒ every split factor is 1 ⇒ the
+    capped pair set and keep set are BIT-IDENTICAL to the uncapped path
+    (the r12 skew-cap must be a pure no-op on balanced data)."""
+    from modware_loader_spark.operators.semdedup import (
+        semantic_dedup,
+        semantic_near_pairs,
+    )
+
+    rows = [(i, [float((i * 7) % 13 + 1), float((i * 5) % 11 + 1), 1.0, 0.5]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base_pairs = {tuple(r) for r in semantic_near_pairs(df, nlist=8, threshold=0.9).collect()}
+    cap_pairs = {
+        tuple(r)
+        for r in semantic_near_pairs(df, nlist=8, threshold=0.9, cell_cap=1000).collect()
+    }
+    assert base_pairs == cap_pairs and base_pairs
+    base_keep = {r.vec_id for r in semantic_dedup(df, nlist=8, threshold=0.9).collect()}
+    cap_keep = {
+        r.vec_id
+        for r in semantic_dedup(df, nlist=8, threshold=0.9, cell_cap=1000).collect()
+    }
+    assert base_keep == cap_keep
+
+
+def test_semdedup_cell_cap_bounds_heavy_cell(spark):
+    """Planted viral cell: 400 near-identical vectors land in ONE cell.
+    Uncapped, the within-cell pair join emits C(400,2)=79800 candidate
+    pairs; capped at 16 the md5 sub-split must (a) reproduce exactly the
+    bucket-local pair set the split predicts (hash-deterministic, so the
+    test recomputes the buckets and the expected count), (b) stay far
+    below the quadratic count, and (c) still deduplicate the clone
+    group down to one survivor per sub-bucket or better — each bucket
+    holds ~400/25 clones, so every bucket finds its local duplicates."""
+    import hashlib
+
+    from modware_loader_spark.operators.semdedup import (
+        semantic_dedup,
+        semantic_near_pairs,
+    )
+
+    import math
+
+    from modware_loader_spark.operators.ivf import ivf_train
+
+    clones = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(400)]
+    spread = [(1000 + i, [float(i + 1), 0.0, 0.0, 0.01]) for i in range(12)]
+    data = clones + spread
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    got_pairs = {
+        (r.id_a, r.id_b)
+        for r in semantic_near_pairs(
+            df, nlist=8, threshold=0.999, cell_cap=16
+        ).collect()
+    }
+    # recompute the EXACT expected pair set driver-side from the actual
+    # assignment: per-cell split factor ceil(cnt/16), 60-bit md5
+    # sub-bucket, sequential-fold cosine at 6dp — the operator's own
+    # arithmetic, re-derived independently.
+    _, assigned = ivf_train(df, nlist=8, lloyd_iters=1, return_assignment=True)
+    cell_of = {r.vec_id: r.cell for r in assigned.select("vec_id", "cell").collect()}
+    cnt: dict = {}
+    for c in cell_of.values():
+        cnt[c] = cnt.get(c, 0) + 1
+    splits = {c: (n + 15) // 16 for c, n in cnt.items()}
+
+    def bucket(i: int) -> tuple:
+        h = int(hashlib.md5(f"sdcap{i}".encode()).hexdigest()[:15], 16)
+        return (cell_of[i], h % splits[cell_of[i]])
+
+    vec = {i: v for i, v in data}
+
+    def cos(a: list, b: list) -> float:
+        d = n1 = n2 = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+            n1 += x * x
+            n2 += y * y
+        return round(d / (math.sqrt(n1) * math.sqrt(n2)), 6)
+
+    ids = sorted(vec)
+    expected_pairs = {
+        (a, b)
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1 :]
+        if bucket(a) == bucket(b) and cos(vec[a], vec[b]) >= 0.999
+    }
+    assert got_pairs == expected_pairs
+    n = len(data)
+    assert len(got_pairs) < (n * (n - 1) // 2) // 8  # ≥8x below quadratic
+    kept = {
+        r.vec_id
+        for r in semantic_dedup(df, nlist=8, threshold=0.999, cell_cap=16).collect()
+    }
+    expected_kept = {i for i in ids if not any(a < i for a, b in expected_pairs if b == i)}
+    assert kept == expected_kept
+    # the viral group still deduplicates hard: ≤1 survivor per sub-bucket
+    assert sum(1 for k in kept if k < 400) <= max(splits.values())
