@@ -504,6 +504,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed_strategy: str = "id",
     seed: int = 42,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: probe the ``nprobe`` nearest cells per query, exact
     cosine inside probed cells, deterministic rank tie-break on target id.
@@ -514,8 +515,24 @@ def ivf_topk(
     skip the corpus argmin scan entirely. Recall vs
     ``similarity.brute_force_topk`` is measured in
     ``tests/test_invariants.py::test_ivf_recall``.
+
+    ``assigned`` (requires ``centroids``): a pre-assigned corpus
+    ``(id_col, vec_col, cell)`` — e.g. the bucketed table
+    ``save_ivf_index``/``append_ivf_index`` maintain, or an old∪new
+    union in the rolling-crawl flow — served AS-IS, skipping the corpus
+    argmin entirely. This is the production serving shape: the index is
+    assigned once per batch at ingest, and query batches only pay the
+    probe + candidate join (shuffle-free against a bucketed table).
     """
-    if centroids is None:
+    if assigned is not None:
+        if centroids is None:
+            raise ValueError("assigned requires centroids (for the probe list)")
+        cells = assigned.select(
+            F.col(id_col).alias("target_id"),
+            F.col(vec_col).alias("t_vec"),
+            "cell",
+        )
+    elif centroids is None:
         # trained centroids come back as a driver-local relation (KBs), so
         # the assign/probe consumers below share one materialization — no
         # checkpoint, no re-run of the training chain per consumer. The
@@ -675,6 +692,50 @@ def save_ivf_index(
     assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
     (
         assigned.write.mode("overwrite")
+        .bucketBy(int(n_buckets), "cell")
+        .sortBy("cell")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return spark.table(table)
+
+
+def append_ivf_index(
+    new_batch: DataFrame,
+    centroids: DataFrame,
+    table: str,
+    n_buckets: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append a NEW corpus batch into an existing ``save_ivf_index``
+    table WITHOUT retraining — the rolling-crawl twin of
+    ``dedup.minhash_incremental_flags`` (r11 VERDICT item 3).
+
+    The batch is assigned map-side against the SAVED centroids (the
+    frozen coarse quantizer — the FAISS ``IndexIVF.add`` contract: new
+    vectors land in existing cells, centroids never move), then written
+    with the SAME bucket spec in append mode, so the new files slot into
+    the table's bucketing and candidate joins stay corpus-Exchange-free
+    over old∪new (pinned by ``tests/test_plan_quality.py::
+    test_incremental_ivf_append_stays_exchange_free``). At 100 TB this
+    is what makes a daily crawl batch O(batch) instead of O(corpus):
+    assignment touches only the new rows, the write appends only their
+    bucketed files, and no existing file is rewritten. Recall drifts
+    only as the data distribution drifts from the trained centroids —
+    the standard IVF staleness trade; retrain + ``save_ivf_index`` when
+    cell-size skew (``cell_outlier_flags`` / cell histograms) says so.
+
+    ``n_buckets`` must match the spec the table was created with
+    (default: one bucket per centroid, the ``save_ivf_index`` default).
+    Returns the combined table as a DataFrame.
+    """
+    spark = new_batch.sparkSession
+    if n_buckets is None:
+        n_buckets = centroids.count()
+    assigned = ivf_assign(new_batch, centroids, id_col=id_col, vec_col=vec_col)
+    (
+        assigned.write.mode("append")
         .bucketBy(int(n_buckets), "cell")
         .sortBy("cell")
         .format("parquet")

@@ -563,6 +563,93 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_ivf_incremental_topk",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    vold AS (SELECT vec_id, e FROM v WHERE vec_id % 5 <> 0),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS centroid
+           FROM (SELECT vec_id, e FROM vold ORDER BY vec_id LIMIT 8)),
+    d0 AS (SELECT vold.vec_id, c0.cell,
+             round(list_sum(list_transform(generate_series(1, len(vold.e)),
+               i -> (vold.e[i] - c0.centroid[i]) * (vold.e[i] - c0.centroid[i]))), 6) AS dist
+           FROM vold CROSS JOIN c0),
+    a0 AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+             FROM d0) WHERE rn = 1),
+    dims AS (SELECT a0.cell, u.s.pos AS pos, u.s.val AS val
+             FROM a0 JOIN vold ON vold.vec_id = a0.vec_id,
+                  LATERAL (SELECT unnest(list_transform(generate_series(1, len(vold.e)),
+                            i -> {'pos': i, 'val': vold.e[i]})) AS s) u),
+    m AS (SELECT cell, pos,
+                 round(sum(CAST(val AS DECIMAL(28,12)))::DOUBLE / count(*), 6) AS m
+          FROM dims GROUP BY cell, pos),
+    c1 AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM m GROUP BY cell),
+    d1 AS (SELECT v.vec_id, c1.cell,
+             round(list_sum(list_transform(generate_series(1, len(v.e)),
+               i -> (v.e[i] - c1.centroid[i]) * (v.e[i] - c1.centroid[i]))), 6) AS dist
+           FROM v CROSS JOIN c1),
+    cells AS (SELECT vec_id AS target_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+                FROM d1) WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cell FROM (
+                 SELECT vec_id, cell,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+                 FROM d1 WHERE vec_id < 20) WHERE rn <= 2),
+    scored AS (SELECT p.query_id, c.target_id,
+                 round(list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * t.e[i]))
+                   / (sqrt(list_sum(list_transform(q.e, z -> z * z)))
+                      * sqrt(list_sum(list_transform(t.e, z -> z * z)))), 6) AS cos
+               FROM probes p JOIN cells c USING (cell)
+               JOIN v q ON q.vec_id = p.query_id JOIN v t ON t.vec_id = c.target_id
+               WHERE p.query_id <> c.target_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, target_id) AS rank
+               FROM scored)
+    SELECT query_id, target_id, cos, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-index IVF serving (r11 VERDICT item 3): centroids are
+    trained ONLY on the base corpus (``vec_id % 5 != 0`` — the crawl
+    snapshot the index was built from), the held-out fifth arrives as a
+    NEW batch assigned map-side against those SAVED centroids without
+    retraining, and the query batch is served over old∪new through
+    ``ivf_topk(assigned=...)`` — the probe + candidate join only, no
+    corpus argmin at query time. The oracle restates exactly that:
+    seeds/Lloyd over the old slice only, final assignment of the FULL
+    corpus against the frozen ``c1`` centroids, probes over the same.
+    The physical leg — append-mode bucketed write slotting the new
+    batch's files into the saved table so old∪new candidate joins stay
+    corpus-Exchange-free — is ``operators/ivf.py::append_ivf_index``,
+    pinned by ``tests/test_plan_quality.py::
+    test_incremental_ivf_append_stays_exchange_free`` (a table write
+    does not belong in an oracle-compared query)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = _trained_artifact(
+        sf_dir,
+        ("ivf_incr_cells", 8, 1, "mod5_base"),
+        lambda: IVF._centroid_literals(
+            IVF.ivf_train(old, nlist=8, lloyd_iters=1)
+        ),
+    )
+    centroids = spark.createDataFrame(cents, "cell int, centroid array<double>")
+    # old batch assigned at index-build time; new batch assigned at
+    # ingest; the union IS the index content after append_ivf_index.
+    combined = IVF.ivf_assign(old, centroids).unionByName(
+        IVF.ivf_assign(new, centroids)
+    )
+    return IVF.ivf_topk(
+        emb.filter(F.col("vec_id") < 20), emb, centroids=centroids,
+        k=5, nprobe=2, assigned=combined,
+    )
+
+
+@query(
     "text_token_stats",
     """
     WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)

@@ -410,3 +410,63 @@ def test_bucketed_ivf_index_join_is_exchange_free(spark, sf_dir):
         assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_incremental_ivf_append_stays_exchange_free(spark, sf_dir):
+    """append_ivf_index's storage contract: after appending a new batch
+    (assigned against the SAVED centroids, no retraining) the combined
+    table still reports its bucketing — a cell-keyed candidate join over
+    old∪new has exactly ONE Exchange (the probe side) — and the appended
+    rows carry exactly the assignment ivf_assign computes against the
+    frozen quantizer (no file rewrite can have altered old rows: their
+    count and ids survive)."""
+    from pyspark.sql import functions as F
+
+    from modware_loader_spark.operators.ivf import (
+        append_ivf_index,
+        ivf_assign,
+        ivf_train,
+        save_ivf_index,
+    )
+    from modware_loader_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = ivf_train(old, nlist=8, lloyd_iters=1)
+    table = "ivf_index_incr_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        save_ivf_index(old, cents, table)
+        combined = append_ivf_index(new, cents, table)
+        assert combined.count() == emb.count()
+        # appended rows == map-side assignment vs the frozen centroids
+        expect_new = {
+            (r.vec_id, r.cell) for r in ivf_assign(new, cents).collect()
+        }
+        got_new = {
+            (r.vec_id, r.cell)
+            for r in combined.filter(F.col("vec_id") % 5 == 0)
+            .select("vec_id", "cell")
+            .collect()
+        }
+        assert got_new == expect_new
+        probes = spark.range(8).select(F.col("id").cast("int").alias("cell"))
+        conf = spark.conf
+        oldconf = conf.get("spark.sql.autoBroadcastJoinThreshold")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table(table).join(probes, "cell")
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+        finally:
+            conf.set("spark.sql.autoBroadcastJoinThreshold", oldconf)
+        assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
