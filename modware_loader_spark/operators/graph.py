@@ -91,6 +91,8 @@ def pagerank_micros(
     id_col: str = "doc_id",
     redistribute_dangling: bool = False,
     teleport_col: str | None = None,
+    tol_micros: int | None = None,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """``iters`` PageRank iterations over ``(src, dst)`` edges in exact
     integer micro-units: ``(id, rank_micros)``.
@@ -127,6 +129,25 @@ def pagerank_micros(
     plan shape: ONE extra 1-row aggregate per iteration broadcast back;
     dangling-free graphs sum to share 0 and the output is bit-identical
     to plain personalized PageRank (tested).
+
+    Convergence mode (r11 VERDICT item 4 — real web-graph centrality
+    runs 20-50 iterations to a tolerance, not a fixed unroll):
+    ``tol_micros`` stops EARLY once ``max |r_i - r_{i-1}| < tol_micros``
+    — in integer micro-units the fixed point is exact, so
+    ``tol_micros=1`` means "ranks stopped changing at all". Each
+    iteration then materializes (persist + one 1-row max-delta
+    aggregate, the bounded-collect class); ``iters`` becomes the CAP.
+    Because the arithmetic is integer-exact, a converged run's output is
+    bit-identical to the fixed-unroll output at any depth >= the
+    stopping iteration — what keeps the oracle exact even in this mode
+    (``tests/test_graph_pagerank.py::test_pagerank_convergence``).
+
+    ``checkpoint_every=k`` truncates lineage every k iterations with an
+    eager ``localCheckpoint`` — at depth 20-50 the un-truncated chain
+    grows the analyzed plan quadratically and re-derives every prior
+    join per consumer; measured flat per-iteration cost at depth 10
+    vs 3: SCALE.md r12. Orthogonal to ``tol_micros`` (a tol run
+    piggybacks on its own per-iteration persist).
     """
     # half-away rounding + this exact op order: the SQL oracle computes
     # round((1.0 - d) * 1000000.0 / n) with the same IEEE steps, and
@@ -143,7 +164,8 @@ def pagerank_micros(
         node_cols.append(F.col(teleport_col).cast("long").alias("__w"))
     node_base = nodes.select(*node_cols)
     ranks = nodes.select(F.col(id_col), r0.cast("long").alias("rank_micros"))
-    for _ in range(iters):
+    prev_persisted = None
+    for it in range(iters):
         contribs = (
             edges.join(outdeg, "src")
             .join(ranks.withColumnRenamed(id_col, "src"), "src")
@@ -212,7 +234,7 @@ def pagerank_micros(
                         / F.lit(1000000.0)
                     )
                 ).cast("long")
-            ranks = (
+            new_ranks = (
                 node_base.join(summed, id_col, "left")
                 .crossJoin(F.broadcast(dangling))
                 .select(
@@ -221,8 +243,40 @@ def pagerank_micros(
                 )
             )
         else:
-            ranks = node_base.join(summed, id_col, "left").select(
+            new_ranks = node_base.join(summed, id_col, "left").select(
                 F.col(id_col),
                 new_rank.cast("long").alias("rank_micros"),
             )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            # eager lineage truncation: the next iteration's join reads
+            # the materialized blocks instead of replaying the whole
+            # prior chain (plan size stays O(1) in depth).
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        if tol_micros is not None:
+            new_ranks = new_ranks.persist()
+            # 1-row bounded aggregate (groupBy(lit) partial-aggregates
+            # map-side — the house DSIR-totals shape, no
+            # SinglePartition exchange of raw rows).
+            row = (
+                ranks.select(
+                    F.col(id_col), F.col("rank_micros").alias("__prev")
+                )
+                .join(new_ranks, id_col)
+                .groupBy(F.lit(0).alias("__g"))
+                .agg(
+                    F.max(
+                        F.abs(F.col("rank_micros") - F.col("__prev"))
+                    ).alias("d")
+                )
+                .collect()
+            )
+            if prev_persisted is not None:
+                prev_persisted.unpersist()
+            prev_persisted = new_ranks
+            ranks = new_ranks
+            delta = row[0]["d"] if row else None
+            if delta is None or delta < tol_micros:
+                break
+        else:
+            ranks = new_ranks
     return ranks

