@@ -130,6 +130,10 @@ BENCH_QUERIES = [
     # round-11 additions
     "graph_pagerank_weighted_dangling",
     "pipeline_crawl_e2e",
+    # round-12 additions
+    "dedup_semantic_keep_capped",
+    "similarity_ivf_incremental_topk",
+    "graph_pagerank_deep",
 ]
 
 
