@@ -259,14 +259,43 @@ def save_loader_state_jdbc(
     ).jdbc(url, "loader_meta", properties=props)
 
 
-def _jdbc_read_state(spark: SparkSession, url: str, table: str, props: dict) -> DataFrame:
+def _jdbc_read_state(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    props: dict,
+    key_range: tuple[str, int, int] | None = None,
+) -> DataFrame:
     """State-table read with predicate pushdown OFF: Spark's Derby
     dialect stores StringType as CLOB, and Derby cannot compare CLOB
     with CHAR — the first filter pushed into the database (``WHERE name
     = 'eco'``) dies with SQLSyntaxError 42818. State tables are
     merge-target/dimension sized and the merge diffs FULL tables, so
     evaluating every predicate Spark-side costs nothing here; a
-    Postgres sink (TEXT, comparable) could leave pushdown on."""
+    Postgres sink (TEXT, comparable) could leave pushdown on.
+
+    ``key_range=(col, lo, hi)``: KEY-RANGE pushdown that coexists with
+    the CLOB workaround (r11 VERDICT item 6) — the numeric BETWEEN is
+    baked into the ``dbtable`` subquery, so the DATABASE bounds the
+    scan on its integer key (index-range-scannable, never a CLOB
+    comparison) while Spark-side predicates stay unpushed. This is the
+    read-amplification fix for a staged diff whose batch spans a known
+    key interval: the live side streams only that interval instead of
+    the whole table (measured at 100× state: SCALE.md r12). ``col``
+    must be a numeric column; ``lo``/``hi`` are inclusive ints — both
+    interpolated as integers, not strings, so no quoting/injection
+    surface."""
+    if key_range is not None:
+        col, lo, hi = key_range
+        if not str(col).replace("_", "").isalnum():
+            raise ValueError(f"bad key column {col!r}")
+        # alias must not start with '_' (Derby 42X01 rejects it); the
+        # column is double-quoted because Spark's JDBC writer CREATEs
+        # quoted (case-exact) identifiers.
+        table = (
+            f'(SELECT * FROM {table} WHERE "{col}" BETWEEN {int(lo)} '
+            f"AND {int(hi)}) AS kr0"
+        )
     reader = (
         spark.read.format("jdbc")
         .option("url", url)

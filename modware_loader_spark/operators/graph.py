@@ -143,11 +143,16 @@ def pagerank_micros(
     (``tests/test_graph_pagerank.py::test_pagerank_convergence``).
 
     ``checkpoint_every=k`` truncates lineage every k iterations with an
-    eager ``localCheckpoint`` — at depth 20-50 the un-truncated chain
-    grows the analyzed plan quadratically and re-derives every prior
-    join per consumer; measured flat per-iteration cost at depth 10
-    vs 3: SCALE.md r12. Orthogonal to ``tol_micros`` (a tol run
-    piggybacks on its own per-iteration persist).
+    eager ``localCheckpoint``. Measured candidly (SCALE.md r12 depth
+    sweep): a single-consumer lazy evaluation keeps per-iteration cost
+    flat to depth 30 at fixture scale, so truncation there is pure
+    overhead (~2x at k=4) — its value is CLUSTER-side: a straggler or
+    lost executor replays lineage only back to the last
+    materialization instead of the whole chain, and the analyzed plan
+    stops growing with depth. Size k to the failure-recovery budget
+    (every ~10-25 iterations, the GraphX/Pregel convention), not for
+    local speed. Orthogonal to ``tol_micros`` (a tol run piggybacks on
+    its own per-iteration persist).
     """
     # half-away rounding + this exact op order: the SQL oracle computes
     # round((1.0 - d) * 1000000.0 / n) with the same IEEE steps, and

@@ -1646,14 +1646,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("graph_pagerank_deep", _pagerank_oracle(10))
 def graph_pagerank_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Depth-10 PageRank with periodic lineage truncation (r11 VERDICT
-    item 4): same integer-micro chain as ``graph_pagerank``, but at
-    real web-centrality depth the un-truncated 10-iteration lineage
-    re-derives every prior join per consumer and grows the analyzed
-    plan super-linearly — ``checkpoint_every=4`` caps it (two eager
-    localCheckpoints over the whole run; per-iteration cost measured
-    flat vs depth in SCALE.md r12). The oracle unrolls all 10
-    iterations exactly — integer micros make depth free for parity.
+    """Depth-10 PageRank with mid-run lineage truncation (r11 VERDICT
+    item 4): same integer-micro chain as ``graph_pagerank`` at real
+    web-centrality depth. The r12 depth sweep (SCALE.md) measured the
+    truncation trade candidly: a single lazy evaluation keeps
+    per-iteration cost FLAT to depth 30 at fixture scale (0.14-0.21
+    s/iter un-truncated), and EAGER checkpoints every 4 iterations are
+    a ~2x pessimization there — materialization costs more than
+    lineage that is never replayed. Truncation earns its keep at
+    cluster scale, where a straggler/failure replays the whole chain
+    from the last materialization and the analyzed-plan growth taxes
+    every executor heartbeat — so the registered row carries ONE
+    mid-run checkpoint (``checkpoint_every=5``): the driver-verified
+    path exercises truncation, at half the fixture-scale overhead of
+    ck4. The oracle unrolls all 10 iterations exactly — integer micros
+    make depth free for parity.
     The convergence-driven production mode (``tol_micros=`` early-exit,
     same operator) is exercised by
     ``tests/test_graph_pagerank.py::test_pagerank_convergence`` — an
@@ -1665,7 +1672,7 @@ def graph_pagerank_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = t["documents"].select("doc_id").localCheckpoint(eager=True)
     n = ids.count()
     edges = G.synthetic_link_edges(ids, n)
-    return G.pagerank_micros(ids, edges, n, iters=10, checkpoint_every=4)
+    return G.pagerank_micros(ids, edges, n, iters=10, checkpoint_every=5)
 
 
 _LINK_H = 32  # host-space size for the synthesized crawl pages
