@@ -88,15 +88,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # pipeline_curation_prior_gate — the pagerank_micros loop
 # restructure for tol/checkpoint; pipeline_crawl_e2e — the
 # fingerprint-keyed fixture memo);
-# (d) FOUR r10 names pre-staggered (s13_bibtex2chado_pub,
-# m7_closure_refresh_delete, m14_versioned_dbxref, u4_next_rank) so the
-# remaining 38 r10 names fit r13's head alongside r13's own new/changed
-# rows (the r10 cohort hits the window bound at r13 — MANDATORY r13
-# head slots).
+# (c2) the FOURTH new r12 row, similarity_index_drift — the rolling-
+# index staleness monitor completing the incremental-IVF story;
+# (d) THREE r10 names pre-staggered (s13_bibtex2chado_pub,
+# m7_closure_refresh_delete, m14_versioned_dbxref) so the remaining 39
+# r10 names fit r13's head alongside r13's own new/changed rows (the
+# r10 cohort hits the window bound at r13 — MANDATORY r13 head slots).
 # The tail below = everything else, all in-window (r10/r11 green).
 # Everything deprioritized stays covered every round by
 # tests/test_oracle_parity.py, which iterates the full dict.
 _DEPRIORITIZED = [
+    "u4_next_rank",
     "e1_e2_filter_computed_column",
     "e3_disjunctive_filter",
     "e4_not_in_subquery",

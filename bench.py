@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "dedup_semantic_keep_capped",
     "similarity_ivf_incremental_topk",
     "graph_pagerank_deep",
+    "similarity_index_drift",
 ]
 
 

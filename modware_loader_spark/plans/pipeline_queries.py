@@ -650,6 +650,106 @@ def similarity_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "similarity_index_drift",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    vold AS (SELECT vec_id, e FROM v WHERE vec_id % 5 <> 0),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS centroid
+           FROM (SELECT vec_id, e FROM vold ORDER BY vec_id LIMIT 8)),
+    d0 AS (SELECT vold.vec_id, c0.cell,
+             round(list_sum(list_transform(generate_series(1, len(vold.e)),
+               i -> (vold.e[i] - c0.centroid[i]) * (vold.e[i] - c0.centroid[i]))), 6) AS dist
+           FROM vold CROSS JOIN c0),
+    a0 AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+             FROM d0) WHERE rn = 1),
+    dims AS (SELECT a0.cell, u.s.pos AS pos, u.s.val AS val
+             FROM a0 JOIN vold ON vold.vec_id = a0.vec_id,
+                  LATERAL (SELECT unnest(list_transform(generate_series(1, len(vold.e)),
+                            i -> {'pos': i, 'val': vold.e[i]})) AS s) u),
+    m AS (SELECT cell, pos,
+                 round(sum(CAST(val AS DECIMAL(28,12)))::DOUBLE / count(*), 6) AS m
+          FROM dims GROUP BY cell, pos),
+    c1 AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM m GROUP BY cell),
+    d1 AS (SELECT v.vec_id, c1.cell,
+             round(list_sum(list_transform(generate_series(1, len(v.e)),
+               i -> (v.e[i] - c1.centroid[i]) * (v.e[i] - c1.centroid[i]))), 6) AS dist
+           FROM v CROSS JOIN c1),
+    cells AS (SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+                FROM d1) WHERE rn = 1),
+    agg AS (SELECT cell,
+                   sum(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END)::BIGINT AS base_cnt,
+                   sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS new_cnt
+            FROM cells GROUP BY cell),
+    tot AS (SELECT sum(base_cnt)::BIGINT AS bt, sum(new_cnt)::BIGINT AS nt FROM agg)
+    SELECT cell, base_cnt, new_cnt,
+           CAST(round(1000000.0 * base_cnt / tot.bt) AS BIGINT) AS base_share_micros,
+           CAST(round(1000000.0 * new_cnt / tot.nt) AS BIGINT) AS new_share_micros,
+           abs(CAST(round(1000000.0 * new_cnt / tot.nt) AS BIGINT)
+               - CAST(round(1000000.0 * base_cnt / tot.bt) AS BIGINT)) AS drift_micros,
+           CAST(CASE WHEN abs(CAST(round(1000000.0 * new_cnt / tot.nt) AS BIGINT)
+                              - CAST(round(1000000.0 * base_cnt / tot.bt) AS BIGINT))
+                          >= 20000 THEN 1 ELSE 0 END AS INT) AS retrain
+    FROM agg, tot
+    """,
+)
+def similarity_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-staleness monitor for the rolling IVF index — the signal
+    ``append_ivf_index``\'s docstring defers to ("retrain when cell-size
+    skew says so"): per cell, the BASE corpus\'s occupancy share vs the
+    NEW batch\'s share under the SAME frozen centroids, in integer
+    micros (order-free sums, engine-exact), with ``drift_micros`` their
+    absolute gap and ``retrain`` flagged at >= 2 percentage points. A
+    drifting crawl concentrates new vectors into few cells — probe
+    latency and within-cell pair cost grow there first; this is the
+    FAISS-operational "monitor imbalance factor" practice as a 1-agg
+    relational query. Plan: one map-side argmin over each side (zero
+    corpus shuffle — the production form reads ``cell`` straight from
+    the bucketed index), one nlist-row groupBy, one 1-row total
+    broadcast back. Cost is O(new batch) per monitoring tick at 100 TB
+    when cells come from the index table."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    cents = _trained_artifact(
+        sf_dir,
+        ("ivf_incr_cells", 8, 1, "mod5_base"),
+        lambda: IVF._centroid_literals(
+            IVF.ivf_train(old, nlist=8, lloyd_iters=1)
+        ),
+    )
+    centroids = spark.createDataFrame(cents, "cell int, centroid array<double>")
+    assigned = IVF.ivf_assign(emb, centroids)
+    agg = assigned.groupBy("cell").agg(
+        F.sum(F.when(F.col("vec_id") % 5 != 0, 1).otherwise(0))
+        .cast("long")
+        .alias("base_cnt"),
+        F.sum(F.when(F.col("vec_id") % 5 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("new_cnt"),
+    )
+    tot = agg.groupBy(F.lit(0).alias("__g")).agg(
+        F.sum("base_cnt").cast("long").alias("bt"),
+        F.sum("new_cnt").cast("long").alias("nt"),
+    )
+    base_share = F.round(F.lit(1000000.0) * F.col("base_cnt") / F.col("bt")).cast("long")
+    new_share = F.round(F.lit(1000000.0) * F.col("new_cnt") / F.col("nt")).cast("long")
+    drift = F.abs(new_share - base_share)
+    return agg.crossJoin(F.broadcast(tot.drop("__g"))).select(
+        "cell",
+        "base_cnt",
+        "new_cnt",
+        base_share.alias("base_share_micros"),
+        new_share.alias("new_share_micros"),
+        drift.alias("drift_micros"),
+        (drift >= 20000).cast("int").alias("retrain"),
+    )
+
+
+@query(
     "text_token_stats",
     """
     WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
