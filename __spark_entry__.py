@@ -88,17 +88,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # pipeline_curation_prior_gate — the pagerank_micros loop
 # restructure for tol/checkpoint; pipeline_crawl_e2e — the
 # fingerprint-keyed fixture memo);
-# (c2) the FOURTH new r12 row, similarity_index_drift — the rolling-
-# index staleness monitor completing the incremental-IVF story;
-# (d) THREE r10 names pre-staggered (s13_bibtex2chado_pub,
-# m7_closure_refresh_delete, m14_versioned_dbxref) so the remaining 39
-# r10 names fit r13's head alongside r13's own new/changed rows (the
-# r10 cohort hits the window bound at r13 — MANDATORY r13 head slots).
+# (c2) the FOURTH and FIFTH new r12 rows — similarity_index_drift
+# (rolling-index staleness monitor) and dedup_semantic_incremental
+# (batch-vs-history SemDeDup under the frozen quantizer) — completing
+# the incremental-IVF story;
+# (d) TWO r10 names pre-staggered (s13_bibtex2chado_pub,
+# m7_closure_refresh_delete) so the remaining 40 r10 names fit r13's
+# head alongside r13's own new/changed rows (the r10 cohort hits the
+# window bound at r13 — MANDATORY r13 head slots).
 # The tail below = everything else, all in-window (r10/r11 green).
 # Everything deprioritized stays covered every round by
 # tests/test_oracle_parity.py, which iterates the full dict.
 _DEPRIORITIZED = [
     "u4_next_rank",
+    "m14_versioned_dbxref",
     "e1_e2_filter_computed_column",
     "e3_disjunctive_filter",
     "e4_not_in_subquery",

@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "similarity_ivf_incremental_topk",
     "graph_pagerank_deep",
     "similarity_index_drift",
+    "dedup_semantic_incremental",
 ]
 
 

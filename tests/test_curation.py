@@ -509,3 +509,33 @@ def test_semdedup_cell_cap_bounds_heavy_cell(spark):
     assert kept == expected_kept
     # the viral group still deduplicates hard: ≤1 survivor per sub-bucket
     assert sum(1 for k in kept if k < 400) <= max(splits.values())
+
+
+def test_semantic_incremental_flags_semantics(spark):
+    """History always wins (a batch row near a history row drops even if
+    its id is smaller); within-batch groups keep the min id; batch rows
+    with no cell-local near-dup keep; history×history never contributes."""
+    from modware_loader_spark.operators.semdedup import (
+        semantic_incremental_flags,
+    )
+
+    # one shared cell (cell 0): history {10}, batch {1, 5, 6} where 1 is a
+    # clone of history-10 (drops despite smaller id), 5/6 clone each other
+    # (5 keeps, 6 drops); cell 1: batch singleton {7} keeps.
+    hist = spark.createDataFrame(
+        [(10, [1.0, 0.0], 0)], "vec_id long, embedding array<float>, cell int"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, [1.0, 0.001], 0),
+            (5, [0.0, 1.0], 0),      # orthogonal to history-10
+            (6, [0.001, 1.0], 0),    # clone of 5
+            (7, [0.5, 0.5], 1),
+        ],
+        "vec_id long, embedding array<float>, cell int",
+    )
+    got = {
+        r.vec_id: r.keep
+        for r in semantic_incremental_flags(hist, batch, threshold=0.999).collect()
+    }
+    assert got == {1: 0, 5: 1, 6: 0, 7: 1}
