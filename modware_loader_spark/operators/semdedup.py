@@ -224,7 +224,9 @@ def semantic_incremental_flags(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
         F.col("__nrm").alias("__na"), "cell", F.lit(1).alias("__hist"),
     )
-    bsrc = assigned_batch.withColumn("__nrm", norm(F.col(vec_col)))
+    # the batch side feeds BOTH pair legs (as candidate and as partner);
+    # persist so the batch argmin/norm pass runs once, not twice
+    bsrc = assigned_batch.withColumn("__nrm", norm(F.col(vec_col))).persist()
     b_as_a = bsrc.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
         F.col("__nrm").alias("__na"), "cell", F.lit(0).alias("__hist"),

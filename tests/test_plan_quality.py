@@ -171,6 +171,9 @@ _BNLJ_WHITELIST = {
     # both of the above: 1-row token total AND the per-iteration 1-row
     # dangling-sum broadcast (∝w redistribution, r11)
     "graph_pagerank_weighted_dangling",
+    # 1-row (base_total, new_total) broadcast attach onto the nlist-row
+    # share table (DSIR-totals shape, r12)
+    "similarity_index_drift",
 }
 
 
@@ -210,6 +213,19 @@ _SCAN_BUDGET_OVERRIDES = {
     # sides = 4 logical references of the ONE embeddings table (the
     # candidate stage itself is lazily checkpointed — 0 relations).
     "similarity_cosine_bucket_pairs": 4,
+    # r12 skew cap: the split-factor aggregate adds a THIRD logical
+    # reference of the persisted assignment (splits leg + pair a/b
+    # legs) on top of the final anti-join's corpus read + the drop-set
+    # derivation — 5 logical refs, but the three assignment legs all
+    # resolve to the ONE persisted (id, vec, cell) materialization at
+    # execution: executed corpus I/O is 2 passes, same as uncapped.
+    "dedup_semantic_keep_capped": 5,
+    # r12 incremental tick: history leg + two batch pair legs + the
+    # final label join-back = 5 logical refs of embeddings; the two
+    # batch legs share one persisted batch-assignment materialization
+    # (semantic_incremental_flags persists it), so executed I/O is the
+    # history pass + ONE batch pass + the label join.
+    "dedup_semantic_incremental": 5,
 }
 
 
