@@ -93,6 +93,7 @@ def pagerank_micros(
     teleport_col: str | None = None,
     tol_micros: int | None = None,
     checkpoint_every: int | None = None,
+    return_iters: bool = False,
 ) -> DataFrame:
     """``iters`` PageRank iterations over ``(src, dst)`` edges in exact
     integer micro-units: ``(id, rank_micros)``.
@@ -153,6 +154,9 @@ def pagerank_micros(
     (every ~10-25 iterations, the GraphX/Pregel convention), not for
     local speed. Orthogonal to ``tol_micros`` (a tol run piggybacks on
     its own per-iteration persist).
+
+    ``return_iters=True`` returns ``(ranks, n_iters_run)`` so callers
+    (and the convergence test) can see how early a tol run stopped.
     """
     # half-away rounding + this exact op order: the SQL oracle computes
     # round((1.0 - d) * 1000000.0 / n) with the same IEEE steps, and
@@ -170,7 +174,9 @@ def pagerank_micros(
     node_base = nodes.select(*node_cols)
     ranks = nodes.select(F.col(id_col), r0.cast("long").alias("rank_micros"))
     prev_persisted = None
+    iters_run = 0
     for it in range(iters):
+        iters_run = it + 1
         contribs = (
             edges.join(outdeg, "src")
             .join(ranks.withColumnRenamed(id_col, "src"), "src")
@@ -284,4 +290,6 @@ def pagerank_micros(
                 break
         else:
             ranks = new_ranks
+    if return_iters:
+        return ranks, iters_run
     return ranks

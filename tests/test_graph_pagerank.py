@@ -415,14 +415,15 @@ def test_pagerank_convergence(spark):
             break
         prev = cur
     assert depth is not None, "fixture never reaches an integer fixed point"
-    got = {
-        r["doc_id"]: r["rank_micros"]
-        for r in G.pagerank_micros(
-            ndf, edf, 4, iters=50, tol_micros=1
-        ).collect()
-    }
+    ranks, iters_run = G.pagerank_micros(
+        ndf, edf, 4, iters=50, tol_micros=1, return_iters=True
+    )
+    got = {r["doc_id"]: r["rank_micros"] for r in ranks.collect()}
     assert got == _naive(nodes, edges, 4, depth)
     assert got == _naive(nodes, edges, 4, 50)
+    # the early-exit genuinely fired: one extra iteration past the
+    # fixed point (to observe delta=0), nowhere near the 50 cap
+    assert depth <= iters_run <= depth + 1 < 50
 
 
 def test_pagerank_checkpoint_every_identical(spark):
