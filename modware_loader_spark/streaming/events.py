@@ -392,3 +392,45 @@ def stream_temperature_gate(
     else:
         rate = F.lit(0.0)
     return docs.filter(hash_uniform(F.col(key_col), salt=salt) < rate)
+
+
+def stream_semantic_gate(
+    stream_vecs: DataFrame,
+    centroids: DataFrame,
+    history: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming semantic-dedup gate against a STATIC frozen index —
+    the streaming twin of ``semdedup.semantic_incremental_flags``'s
+    history leg (as ``stream_dedup_against_history`` is for MinHash):
+    each streamed vector is assigned to its IVF cell MAP-SIDE (the
+    literal broadcast-argmin — a pure expression, so it runs inside a
+    streaming microbatch with no state), then a stream-static LEFT
+    ANTI join against the history index drops any row with a
+    cell-local cosine near-duplicate in history. STATELESS: append
+    mode, no watermark, no state store — the static side is the
+    cell-bucketed ``save_ivf_index`` table, so each microbatch's
+    candidate probe is bucket-local exactly like the batch path.
+
+    Contract note (mirrors ``stream_dedup_against_history``): this
+    gates against HISTORY only. Within-stream duplicates need the
+    min-id rule over a complete batch — run
+    ``semantic_incremental_flags`` on the micro-batch (foreachBatch)
+    or downstream in the batch compactor.
+    """
+    from modware_loader_spark.operators.ivf import _centroid_literals, _nearest_cell
+    from modware_loader_spark.operators.similarity import cosine
+
+    cents = _centroid_literals(centroids)
+    assigned = _nearest_cell(stream_vecs, centroids, id_col, vec_col, cents=cents)
+    h = history.select(
+        F.col(id_col).alias("__h_id"),
+        F.col(vec_col).alias("__h_vec"),
+        F.col("cell").alias("__h_cell"),
+    )
+    cond = (F.col("cell") == F.col("__h_cell")) & (
+        F.round(cosine(F.col(vec_col), F.col("__h_vec")), 6) >= F.lit(threshold)
+    )
+    return assigned.join(h, cond, "left_anti")

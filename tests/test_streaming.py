@@ -678,3 +678,53 @@ def test_stream_temperature_gate_tolerates_null_source_snapshot(spark, tmp_path)
     q.stop()
     got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM temp_null_t").collect()}
     assert got == {1, 2}  # NULL-source row dropped, not crashed
+
+
+def test_stream_semantic_gate_matches_batch(spark, tmp_path):
+    """The streaming semantic gate (stream-static anti-join against the
+    frozen index) keeps exactly the rows the equivalent batch anti-join
+    keeps, microbatch-by-microbatch, with no state store."""
+    from modware_loader_spark.operators.ivf import ivf_assign, ivf_train
+    from modware_loader_spark.operators.similarity import cosine
+    from modware_loader_spark.streaming.events import stream_semantic_gate
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    hist_raw = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = ivf_train(hist_raw, nlist=8, lloyd_iters=1)
+    history = ivf_assign(hist_raw, cents).localCheckpoint(eager=True)
+    # batch expectation: same cell + cosine >= threshold anti-join
+    b_assigned = ivf_assign(batch, cents)
+    h = history.select(
+        F.col("vec_id").alias("h_id"),
+        F.col("embedding").alias("h_vec"),
+        F.col("cell").alias("h_cell"),
+    )
+    cond = (F.col("cell") == F.col("h_cell")) & (
+        F.round(cosine(F.col("embedding"), F.col("h_vec")), 6) >= F.lit(0.4)
+    )
+    expect = sorted(
+        r.vec_id for r in b_assigned.join(h, cond, "left_anti").collect()
+    )
+    path = str(tmp_path / "vec_stream")
+    # two files → at least one multi-batch opportunity
+    batch.repartition(2).write.parquet(path)
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(path)
+    q = (
+        stream_semantic_gate(stream, cents, history, threshold=0.4)
+        .writeStream.format("memory")
+        .queryName("semgate_t")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        r.vec_id for r in spark.sql("SELECT vec_id FROM semgate_t").collect()
+    )
+    assert got == expect
+    assert 0 < len(got) < batch.count()
