@@ -1719,9 +1719,11 @@ def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.substring_dedup_rewrite(t["documents"], window_tokens=5)
 
 
-# fixture-dir memo for source_warc_files (content is deterministic per
-# sf_dir; one dir per process instead of one per invocation)
-_WARC_FIXTURE_DIRS: dict[str, str] = {}
+# fixture-dir memo for source_warc_files — keyed on the documents
+# table's DATA identity like _CRAWL_FIXTURE_DIRS (r12: same
+# stale-artifact class the r11 ADVICE flagged there; a regenerated
+# parquet under the same path must invalidate the derived WARC bytes)
+_WARC_FIXTURE_DIRS: dict[tuple, str] = {}
 
 
 @query(
@@ -1754,7 +1756,8 @@ def source_warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded: a 1-in-11 document slice), not part of the operator — at
     production scale the ``.warc.gz`` files already exist on object
     storage and ``read_warc`` starts from the glob. The fixture dir is
-    memoized per ``sf_dir`` (the content is deterministic), so bench's
+    memoized per documents-table data identity (deterministic content,
+    stale-proof under in-process regeneration — r12), so bench's
     cold+warm triple and repeated parity runs reuse one directory
     instead of leaking a fresh mkdtemp + slice collect per invocation."""
     import os
@@ -1762,7 +1765,8 @@ def source_warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from modware_loader_spark.sources import warc as W
 
-    d = _WARC_FIXTURE_DIRS.get(sf_dir)
+    wkey = _documents_fingerprint(sf_dir)
+    d = _WARC_FIXTURE_DIRS.get(wkey)
     if d is None or not os.path.isdir(d):
         t = load_tables(spark, sf_dir)
         docs = t["documents"].filter(F.col("doc_id") % 11 == 0)
@@ -1775,7 +1779,7 @@ def source_warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             chunk = payloads[i : i + 16]
             with open(os.path.join(d, f"part-{fno:05d}.warc.gz"), "wb") as fh:
                 fh.write(b"".join(p for _, p in chunk))
-        _WARC_FIXTURE_DIRS[sf_dir] = d
+        _WARC_FIXTURE_DIRS[wkey] = d
     recs = W.extract_html_text(W.read_warc(spark, os.path.join(d, "*.warc.gz")))
     return recs.select(
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
