@@ -61,6 +61,13 @@ QUERIES = [
     # r11: the composed crawl chain and the ∝w dangling redistribution
     "pipeline_crawl_e2e",
     "graph_pagerank_weighted_dangling",
+    # r12: the skew-capped semdedup, the incremental-index family, and
+    # the depth-10 truncated PageRank
+    "dedup_semantic_keep_capped",
+    "similarity_ivf_incremental_topk",
+    "dedup_semantic_incremental",
+    "similarity_index_drift",
+    "graph_pagerank_deep",
 ]
 
 
