@@ -899,6 +899,46 @@ def cmd_exportjsonl(args) -> dict:
     return out
 
 
+def cmd_ivfindex(args) -> dict:
+    """Rolling ANN-index lifecycle over a bucketed table: ``build``
+    trains centroids on the input vectors (hash-uniform seeds — the
+    production seeding) and materializes the cell-bucketed index +
+    a ``<table>__centroids`` side table; ``append`` assigns a new batch
+    against those SAVED centroids and slots its files into the buckets
+    (O(batch), no retrain); ``compact`` collapses each bucket back to
+    one file. ``similarity_index_drift``'s share-drift statistic is the
+    retrain signal (see operators/ivf.py scale notes)."""
+    from modware_loader_spark.operators.ivf import (
+        append_ivf_index,
+        compact_ivf_index,
+        ivf_train,
+        save_ivf_index,
+    )
+
+    spark = get_spark("ivfindex")
+    t, ct = args.table, args.table + "__centroids"
+    if args.action == "build":
+        vecs = spark.read.parquet(args.input).select(args.id_col, args.vec_col)
+        cents = ivf_train(
+            vecs, nlist=int(args.nlist), lloyd_iters=int(args.lloyd_iters),
+            id_col=args.id_col, vec_col=args.vec_col, seed_strategy="hash",
+        )
+        cents.write.mode("overwrite").format("parquet").saveAsTable(ct)
+        idx = save_ivf_index(
+            vecs, spark.table(ct), t, id_col=args.id_col, vec_col=args.vec_col
+        )
+        return {"rows": idx.count(), "cells": spark.table(ct).count()}
+    if args.action == "append":
+        vecs = spark.read.parquet(args.input).select(args.id_col, args.vec_col)
+        idx = append_ivf_index(
+            vecs, spark.table(ct), t, id_col=args.id_col, vec_col=args.vec_col
+        )
+        return {"rows": idx.count()}
+    if args.action == "compact":
+        return compact_ivf_index(spark, t)
+    raise SystemExit(f"unknown --action {args.action!r}")
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="modware-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -1045,6 +1085,16 @@ def main(argv=None) -> int:
            "--compress": {"action": "store_true",
                           "help": "gzip the output to <output>.gz "
                                   "(reference CanCompress role)"}})
+    add("ivfindex", cmd_ivfindex, catalog=False,
+        **{"--action": {"required": True,
+                        "choices": ["build", "append", "compact"]},
+           "--table": {"required": True},
+           "--input": {"default": None,
+                       "help": "parquet dir of vectors (build/append)"},
+           "--nlist": {"default": "64"},
+           "--lloyd_iters": {"default": "1"},
+           "--id_col": {"default": "vec_id"},
+           "--vec_col": {"default": "embedding"}})
     add("exportjsonl", cmd_exportjsonl, catalog=False,
         **{"--input": {"required": True, "help": "parquet dir to export"},
            "--output": {"required": True},

@@ -742,3 +742,52 @@ def append_ivf_index(
         .saveAsTable(table)
     )
     return spark.table(table)
+
+
+def compact_ivf_index(spark, table: str) -> dict:
+    """Compact a ``save_ivf_index``/``append_ivf_index`` table back to
+    ONE file per bucket — the maintenance step of the rolling-index
+    lifecycle (build → append* → monitor → compact → retrain). Each
+    append slots its own part files into the buckets; after many crawl
+    batches a bucket is dozens of small files and the candidate join's
+    scan pays per-file open cost. Compaction reads the table, breaks
+    lineage (``localCheckpoint`` — Spark refuses to overwrite a table
+    its plan still reads), repartitions ON the bucket column into
+    n_buckets partitions (Spark's repartition hash and its bucketing
+    hash are both murmur3-pmod, so each task holds exactly one bucket's
+    rows → exactly one output file per bucket), and rewrites with the
+    SAME bucket spec — the Exchange-free candidate-join contract is
+    preserved (re-asserted by ``tests/test_plan_quality.py::
+    test_ivf_index_compaction``). Returns ``{"rows", "n_buckets",
+    "files_before", "files_after"}``.
+    """
+    import re as _re
+
+    desc = spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    n_buckets = None
+    for r in desc:
+        if str(r[0]).strip().lower() == "num buckets":
+            m = _re.search(r"\d+", str(r[1]))
+            if m:
+                n_buckets = int(m.group())
+    if not n_buckets:
+        raise ValueError(f"{table} is not a bucketed table")
+    files_before = len(
+        [f for f in spark.table(table).inputFiles()]
+    )
+    snap = spark.table(table).localCheckpoint(eager=True)
+    (
+        snap.repartition(n_buckets, F.col("cell"))
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "cell")
+        .sortBy("cell")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    out = spark.table(table)
+    return {
+        "rows": out.count(),
+        "n_buckets": n_buckets,
+        "files_before": files_before,
+        "files_after": len(out.inputFiles()),
+    }

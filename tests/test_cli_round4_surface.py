@@ -204,3 +204,38 @@ def test_exportjsonl_cli(capsys, tmp_path):
 
     dirs = sorted(os.path.basename(d) for d in glob.glob(os.path.join(out, "shard=*")))
     assert dirs == ["shard=0", "shard=1", "shard=2", "shard=3"]
+
+
+def test_ivfindex_cli_lifecycle(capsys, spark, tmp_path):
+    """build → append → compact through cli.main: the bucketed index +
+    centroid side table materialize, the append lands the held-out
+    batch without retraining, and compaction reduces file count while
+    preserving row count."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base_dir = str(tmp_path / "base")
+    batch_dir = str(tmp_path / "batch")
+    emb.filter(F.col("vec_id") % 5 != 0).write.parquet(base_dir)
+    emb.filter(F.col("vec_id") % 5 == 0).write.parquet(batch_dir)
+    table = "ivf_cli_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}__centroids")
+    try:
+        res = _run(
+            capsys,
+            ["ivfindex", "--action", "build", "--table", table,
+             "--input", base_dir, "--nlist", "8"],
+        )
+        n_base = emb.filter(F.col("vec_id") % 5 != 0).count()
+        assert res == {"rows": n_base, "cells": 8}
+        res = _run(
+            capsys,
+            ["ivfindex", "--action", "append", "--table", table,
+             "--input", batch_dir],
+        )
+        assert res["rows"] == emb.count()
+        res = _run(capsys, ["ivfindex", "--action", "compact", "--table", table])
+        assert res["rows"] == emb.count()
+        assert res["files_after"] <= res["n_buckets"]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__centroids")

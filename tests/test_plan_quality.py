@@ -486,3 +486,59 @@ def test_incremental_ivf_append_stays_exchange_free(spark, sf_dir):
         assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_ivf_index_compaction(spark, sf_dir):
+    """After several appends a bucket is many small files; compaction
+    must collapse to exactly one file per non-empty bucket, preserve
+    content bit-for-bit, and keep the candidate join Exchange-free."""
+    from pyspark.sql import functions as F
+
+    from modware_loader_spark.operators.ivf import (
+        append_ivf_index,
+        compact_ivf_index,
+        ivf_train,
+        save_ivf_index,
+    )
+    from modware_loader_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 4 == 0)
+    cents = ivf_train(base, nlist=8, lloyd_iters=1)
+    table = "ivf_index_compact_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        save_ivf_index(base, cents, table)
+        for m in (1, 2, 3):
+            append_ivf_index(emb.filter(F.col("vec_id") % 4 == m), cents, table)
+        before = {
+            (r.vec_id, tuple(r.embedding), r.cell)
+            for r in spark.table(table).collect()
+        }
+        info = compact_ivf_index(spark, table)
+        assert info["rows"] == emb.count() == len(before)
+        assert info["files_after"] < info["files_before"]
+        assert info["files_after"] <= info["n_buckets"]
+        after = {
+            (r.vec_id, tuple(r.embedding), r.cell)
+            for r in spark.table(table).collect()
+        }
+        assert after == before
+        # bucketing contract still holds post-compaction
+        probes = spark.range(8).select(F.col("id").cast("int").alias("cell"))
+        conf = spark.conf
+        old = conf.get("spark.sql.autoBroadcastJoinThreshold")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                spark.table(table).join(probes, "cell").explain("formatted")
+            plan = buf.getvalue()
+        finally:
+            conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
