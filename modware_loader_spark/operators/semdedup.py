@@ -202,6 +202,7 @@ def semantic_incremental_flags(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """Keep/drop verdicts for a NEW batch against history∪batch —
     SemDeDup's rolling-crawl twin (the shape
@@ -219,6 +220,17 @@ def semantic_incremental_flags(
     per tick, never O(corpus²)); norms attach map-side before the
     explosion; history×history work never happens, which is the entire
     point of the incremental form.
+
+    ``cell_cap`` extends the r12 skew cap to the tick: a viral cell —
+    huge in HISTORY precisely because duplicate-heavy crawl content
+    accumulates there — multiplies every future batch's candidate term
+    through cell_density. The cap sub-buckets the history∪batch UNION
+    per cell with the same ``ceil(cnt/cap)`` md5 split as
+    ``semantic_near_pairs``; pairs form within (cell, sub-bucket), so
+    the per-cell candidate term is bounded at ~|batch_c|·cap. Same
+    bounded-recall trade, same no-op identity when no cell exceeds the
+    cap (``tests/test_curation.py::
+    test_semantic_incremental_flags_cell_cap``).
     """
     h = assigned_history.withColumn("__nrm", norm(F.col(vec_col))).select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
@@ -231,13 +243,39 @@ def semantic_incremental_flags(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
         F.col("__nrm").alias("__na"), "cell", F.lit(0).alias("__hist"),
     )
+    a = h.unionByName(b_as_a)
+    join_keys = ["cell"]
+    if cell_cap is not None:
+        from modware_loader_spark.functions.scalar import hex64
+
+        union_cells = assigned_history.select(id_col, "cell").unionByName(
+            assigned_batch.select(id_col, "cell")
+        )
+        splits = union_cells.groupBy("cell").agg(
+            F.floor(
+                (F.count(F.lit(1)) + F.lit(cell_cap - 1)) / F.lit(cell_cap)
+            )
+            .cast("int")
+            .alias("__splits")
+        )
+        sub = lambda c: F.pmod(  # noqa: E731 — same hash as semantic_near_pairs
+            hex64(F.concat(F.lit("sdcap"), c.cast("string"))),
+            F.col("__splits"),
+        ).cast("int")
+        a = a.join(F.broadcast(splits), "cell").withColumn(
+            "__sub", sub(F.col("id_a"))
+        ).drop("__splits")
+        bsrc = bsrc.join(F.broadcast(splits), "cell").withColumn(
+            "__sub", sub(F.col(id_col))
+        ).drop("__splits")
+        join_keys = ["cell", "__sub"]
     b = bsrc.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
-        F.col("__nrm").alias("__nb"), "cell",
+        F.col("__nrm").alias("__nb"), *join_keys,
     )
     pairs = (
-        h.unionByName(b_as_a)
-        .join(b, "cell")
+        a
+        .join(b, join_keys)
         # history partners always count; batch partners only as the
         # smaller id (min-id keep rule within the batch)
         .filter(

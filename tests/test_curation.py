@@ -539,3 +539,62 @@ def test_semantic_incremental_flags_semantics(spark):
         for r in semantic_incremental_flags(hist, batch, threshold=0.999).collect()
     }
     assert got == {1: 0, 5: 1, 6: 0, 7: 1}
+
+
+def test_semantic_incremental_flags_cell_cap(spark):
+    """The tick-side skew cap: (a) cap >= every union cell size is a
+    bit-identical no-op; (b) with a planted viral HISTORY cell the cap
+    bounds candidates but every batch clone still finds a history
+    partner in its sub-bucket when the bucket holds any history clone —
+    and survivors match the driver-side recomputation of the bucket
+    law exactly."""
+    import hashlib
+
+    from modware_loader_spark.operators.semdedup import (
+        semantic_incremental_flags,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, [1.0, 2.0], 0) for i in range(300)]
+        + [(900, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, cell int",
+    )
+    batch = spark.createDataFrame(
+        [(1000 + i, [1.0, 2.0], 0) for i in range(60)]
+        + [(2000, [0.001, 1.0], 1)],
+        "vec_id long, embedding array<float>, cell int",
+    )
+    base = {
+        r.vec_id: r.keep
+        for r in semantic_incremental_flags(hist, batch, threshold=0.999).collect()
+    }
+    noop = {
+        r.vec_id: r.keep
+        for r in semantic_incremental_flags(
+            hist, batch, threshold=0.999, cell_cap=1000
+        ).collect()
+    }
+    assert noop == base
+    assert base[2000] == 0  # history near-dup in cell 1 drops it
+    capped = {
+        r.vec_id: r.keep
+        for r in semantic_incremental_flags(
+            hist, batch, threshold=0.999, cell_cap=16
+        ).collect()
+    }
+    # recompute the bucket law: union cell 0 has 360 members -> 23 subs;
+    # a batch clone drops iff its bucket contains a history clone or a
+    # smaller-id batch clone
+    splits = (360 + 15) // 16
+
+    def sub(i):
+        return int(hashlib.md5(f"sdcap{i}".encode()).hexdigest()[:15], 16) % splits
+
+    hist_subs = {sub(i) for i in range(300)}
+    batch_ids = list(range(1000, 1060))
+    for bid in batch_ids:
+        partners_hist = sub(bid) in hist_subs
+        partners_batch = any(o < bid and sub(o) == sub(bid) for o in batch_ids)
+        assert capped[bid] == (0 if (partners_hist or partners_batch) else 1), bid
+    # cell 1 unaffected (2 members < cap)
+    assert capped[2000] == 0
