@@ -22,6 +22,33 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def lit_array(values, element_sql_type: str = "bigint") -> Column:
+    """A literal array column built as ONE parsed SQL expression.
+
+    ``F.lit(<python list>)`` decomposes into ``array(*[lit(x) ...])`` —
+    one py4j round trip PER ELEMENT — so a 4096-slot model literal costs
+    ~3-5 s of driver-side plan construction on every query invocation
+    (measured r12; the dense_fold_score fold was the worst offender).
+    Rendering the same constant as SQL text and parsing it JVM-side is
+    a single call (~10 ms at 4096 elements) and yields the identical
+    constant-folded array.
+
+    ``element_sql_type``: ``bigint`` (int values, ``L`` suffix) or
+    ``double`` (``repr(float)`` + ``D`` — the exact round-trip text form
+    ``operators/ivf._sql_arr`` already uses). Nested lists render as
+    ``array(array(...), ...)`` of the element type.
+    """
+
+    def render(v) -> str:
+        if isinstance(v, (list, tuple)):
+            return "array(" + ",".join(render(x) for x in v) + ")"
+        if element_sql_type == "double":
+            return f"{float(v)!r}D"
+        return f"{int(v)}L"
+
+    return F.expr(render(list(values)))
+
+
 def md5_long(col: Column, seed: int | None = None) -> Column:
     """Deterministic 60-bit integer hash of a string column via md5.
 

@@ -360,13 +360,16 @@ def dense_fold_score(
     dense trained model it is strictly better. Same integer micro-unit
     arithmetic, bit-identical scores.
     """
-    # One F.lit(list) call, not array(*4096 lits): per-element Column
-    # construction costs a py4j round trip each, and the resulting
-    # 4096-node expression tree re-analyzes on every action — measured
-    # ~7 s of pure plan-building/analysis overhead per run at 4096
-    # buckets. A single list literal is one call and one tree node.
-    arr = F.lit([int(weights.get(b, 0)) for b in range(n_buckets)]).cast(
-        "array<long>"
+    # ONE parsed SQL literal, not F.lit(list): PySpark's lit() on a list
+    # decomposes into array(*[lit(x) ...]) — a py4j round trip per
+    # element, measured ~3 s of driver-side plan construction per
+    # invocation at 4096 buckets (r12 profile; it was >half the
+    # composed-pipeline build time). scalar.lit_array renders the same
+    # constant as SQL text parsed JVM-side in one call (~10 ms).
+    from modware_loader_spark.functions.scalar import lit_array
+
+    arr = lit_array(
+        [int(weights.get(b, 0)) for b in range(n_buckets)], "bigint"
     )
     return F.aggregate(
         tokens(text),

@@ -568,12 +568,14 @@ def random_projection(
     oracle's ``e[j]`` out-of-range NULLs).
     """
     rows = rp_sign_matrix(out_dims, in_dims)
-    # One F.lit(list) per ROW, not per element: per-element Column
-    # construction is a py4j round trip each plus an expression node
-    # re-analyzed per action (the dense_fold_score lesson, measured at
-    # ~7 s for 4096 elements); out_dims row literals keep plan-building
-    # O(out_dims), independent of in_dims.
-    mat = F.array(*[F.lit(row).cast("array<double>") for row in rows])
+    # ONE parsed SQL literal for the whole matrix: F.lit(list) and
+    # F.array(*cols) both cost a py4j round trip per element
+    # (out_dims × in_dims of them here — the dense_fold_score lesson,
+    # r12 profile); scalar.lit_array renders the nested constant as SQL
+    # text parsed JVM-side in a single call.
+    from modware_loader_spark.functions.scalar import lit_array
+
+    mat = lit_array(rows, "double")
     proj = F.transform(
         F.sequence(F.lit(0), F.lit(out_dims - 1)),
         lambda k: F.aggregate(

@@ -46,15 +46,22 @@ def summarize_plan(txt: str) -> dict:
 def main() -> None:
     import __spark_entry__ as entrymod
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     runs = 2
     out_path = "/tmp/qprofile.json"
+    args: list[str] = []
     argv = sys.argv[1:]
-    for i, a in enumerate(argv):
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a == "--runs":
             runs = int(argv[i + 1])
-        if a == "--out":
+            i += 2
+        elif a == "--out":
             out_path = argv[i + 1]
+            i += 2
+        else:
+            args.append(a)
+            i += 1
     spark = get_spark("modware-profile")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
