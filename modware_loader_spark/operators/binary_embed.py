@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from modware_loader_spark.operators.ivf import ensure_min_partitions
+
 WORD_BITS = 32
 
 
@@ -90,9 +92,8 @@ def hamming_topk(
         F.col(id_col).alias("target_id"),
         pack_sign_bits(F.col(vec_col), dim).alias("t_bits"),
     )
-    par = targets.sparkSession.sparkContext.defaultParallelism
     scored = (
-        t.repartition(par)
+        ensure_min_partitions(t)
         .crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("target_id"))
         .withColumn("hamming", hamming(F.col("q_bits"), F.col("t_bits")))

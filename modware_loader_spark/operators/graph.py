@@ -161,7 +161,21 @@ def pagerank_micros(
     # half-away rounding + this exact op order: the SQL oracle computes
     # round((1.0 - d) * 1000000.0 / n) with the same IEEE steps, and
     # (1.0 - 0.85) is NOT 0.15 exactly — formulation must match.
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    #
+    # Materialize the loop-invariant edge structure ONCE (r12, guide
+    # §2.4/§5): every iteration consumes edges⋈outdeg, and the dangling
+    # branch probes outdeg again — left lazy, iteration k's plan
+    # re-derives the degree aggregation and the join k times (k extra
+    # edge-table shuffles + k aggregations at scale; the GraphX/Pregel
+    # convention is exactly this cached edge RDD). persist() is lazy, so
+    # a cold invocation pays ONE materialization during the first
+    # action, and the arithmetic — hence the ranks — is unchanged.
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    edges_deg = (
+        edges.join(outdeg, "src")
+        .select(F.col("src"), F.col("dst"), F.col("outdeg"))
+        .persist()
+    )
     if teleport_col is None:
         base = F.lit(_round_half_away((1.0 - damping) * 1e6 / n_nodes))
         r0 = F.lit(_round_half_away(1e6 / n_nodes))
@@ -178,7 +192,7 @@ def pagerank_micros(
     for it in range(iters):
         iters_run = it + 1
         contribs = (
-            edges.join(outdeg, "src")
+            edges_deg
             .join(ranks.withColumnRenamed(id_col, "src"), "src")
             .select(
                 F.col("dst").alias(id_col),

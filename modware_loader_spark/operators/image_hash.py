@@ -433,6 +433,17 @@ def dhash_near_pairs(
             )
         ).alias("band"),
     ).select("media_id", "hash_words", "band.chunk_no", "band.chunk_val")
+    # Materialize the band table ONCE (r12, guide §8/§4): it is consumed
+    # three times below (hot-bucket census, probe side A, replicated
+    # side B), and left lazy each reference re-runs the WHOLE upstream
+    # lineage — including the Arrow decode (and any synthesis) stages
+    # that produced the fingerprints; the r12 profile showed 16
+    # Python-boundary nodes in this one plan, i.e. every payload decoded
+    # ~8x. The band table is the skinny proxy (4 rows of id + 2 longs +
+    # 2 ints per image — the "shuffle keys, not payloads" shape), so
+    # persisting it is exactly the §8 materialization point: decode runs
+    # once, everything downstream reads 20-byte rows.
+    banded = banded.persist()
     hot = (
         banded.groupBy("chunk_no", "chunk_val")
         .agg(F.count(F.lit(1)).alias("__n"))

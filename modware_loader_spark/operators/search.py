@@ -139,12 +139,20 @@ def bm25_topk(
             F.filter(F.col("__toks"), lambda t: t.isin(*terms)), F.array()
         ),
     )
+    # The exploded sentinel+matches frame is the ONLY corpus derivative
+    # either consumer needs: the NULL rows carry (n_docs, avgdl), the
+    # term rows carry both df (stats) and tf (postings). Persisting it
+    # (skinny: id + int + short token) makes the stats collect the
+    # cache-filling pass and the postings pipeline a cache read — ONE
+    # tokenize+explode scan per query instead of two (r12, guide
+    # §2.3/§5; the round-7 shape was six scans, the r11 shape two).
+    ex = dl.select(
+        "doc_id",
+        "dl",
+        F.explode(sentinel_plus_matches).alias("tok"),
+    ).persist()
     info = (
-        dl.select(
-            "doc_id",
-            F.col("dl").cast("double").alias("dl"),
-            F.explode(sentinel_plus_matches).alias("tok"),
-        )
+        ex.select("tok", "doc_id", F.col("dl").cast("double").alias("dl"))
         .groupBy("tok")
         .agg(
             F.countDistinct("doc_id").alias("df"),
@@ -159,9 +167,11 @@ def bm25_topk(
             avgdl = r["avgdl"] if r["avgdl"] is not None else 1.0
         else:
             dfs[r["tok"]] = r["df"]
+    # identical multiset to exploding __toks and filtering isin(terms):
+    # the sentinel array keeps every matching occurrence and adds only
+    # the one NULL row per doc dropped here.
     postings = (
-        dl.select("doc_id", "dl", F.explode("__toks").alias("tok"))
-        .filter(F.col("tok").isin(list(terms)))
+        ex.filter(F.col("tok").isNotNull())
         .groupBy("doc_id", "dl", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

@@ -22,6 +22,14 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def ensure_min_partitions(df: DataFrame) -> DataFrame:
+    """Lazy re-export of ``ivf.ensure_min_partitions`` (module-level
+    import would cycle: ``ivf`` imports ``similarity.cosine``)."""
+    from modware_loader_spark.operators.ivf import ensure_min_partitions as _emp
+
+    return _emp(df)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Index-ordered sequential dot product (float32 → double widening)."""
     return F.aggregate(
@@ -71,7 +79,7 @@ def brute_force_topk(
     )
     par = targets.sparkSession.sparkContext.defaultParallelism
     scored = (
-        t.repartition(par)
+        ensure_min_partitions(t)
         .crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("target_id"))
         .withColumn(
@@ -107,9 +115,11 @@ def cosine_near_pairs(
     with_norm = df.select(
         F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("nrm")
     )
-    a = with_norm.select(
-        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
-    ).repartition(par)
+    a = ensure_min_partitions(
+        with_norm.select(
+            F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
+        )
+    )
     b = with_norm.select(
         F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb")
     )
@@ -162,7 +172,7 @@ def band_candidate_pairs(
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     bands_tbl = (
-        df.repartition(par)
+        ensure_min_partitions(df)
         .select(
             F.col(id_col),
             F.posexplode(sign_band_hashes(F.col(vec_col), bands, bits, stride)),
@@ -303,7 +313,7 @@ def lsh_banded_topk(
     par = targets.sparkSession.sparkContext.defaultParallelism
 
     def band_table(df: DataFrame, out_id: str) -> DataFrame:
-        return df.repartition(par).select(
+        return ensure_min_partitions(df).select(
             F.col(id_col).alias(out_id),
             F.posexplode(sign_band_hashes(F.col(vec_col), bands, bits, stride)),
         ).withColumnsRenamed({"pos": "band_id", "col": "band_hash"})
@@ -374,7 +384,7 @@ def lsh_bucket_topk(
     recall matters.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
-    bucketed = df.repartition(par).select(
+    bucketed = ensure_min_partitions(df).select(
         F.col(id_col),
         F.col(vec_col),
         sign_bucket(F.col(vec_col), bits).alias("bucket"),
@@ -479,7 +489,7 @@ def matryoshka_rerank_topk(
         F.desc("pre_cos"), F.asc("target_id")
     )
     cand = (
-        tp.repartition(par)
+        ensure_min_partitions(tp)
         .join(F.broadcast(qp), F.col("query_id") != F.col("target_id"))
         .withColumn(
             "pre_cos",

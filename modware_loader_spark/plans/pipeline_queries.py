@@ -1028,8 +1028,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition at entry so a single-file scan doesn't serialize the
     hash-heavy map (SCALE.md local-mode caveat)."""
     t = load_tables(spark, sf_dir)
-    par = spark.sparkContext.defaultParallelism
-    return t["documents"].repartition(par).select(
+    return IVF.ensure_min_partitions(t["documents"]).select(
         "doc_id",
         F.explode(TX.winnow_fingerprints("text", k=8, w=4)).alias("fp"),
     )
