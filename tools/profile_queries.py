@@ -123,6 +123,10 @@ def main() -> None:
                 prof["plan_chars"] = len(plan_txt)
             for rdd in list(sc._jsc.getPersistentRDDs().values()):
                 rdd.unpersist()
+            try:
+                spark.catalog.clearCache()  # same sweep as bench.py
+            except Exception:
+                pass
             jobs_after = len(tracker.getJobIdsForGroup(None) or [])
             prof.setdefault("jobs_per_run", []).append(jobs_after - jobs_before)
         prof["samples"] = samples
