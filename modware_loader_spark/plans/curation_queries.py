@@ -1534,11 +1534,17 @@ def source_warc_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs over ``binaryFile``-read ``.warc.gz`` files, one file per task
     (gzip members are not splittable; files are the crawl's parallelism
     unit).
+
+    r12: the three Arrow stages are FUSED into one
+    (``synth_extract_html_text`` — same three functions composed in a
+    single Python pass, rows identical by construction): the staged
+    chain paid three JVM↔Python crossings and shipped every gzip'd
+    payload Python→JVM→Python between its stages (guide §4).
     """
     from modware_loader_spark.sources import warc as W
 
     t = load_tables(spark, sf_dir)
-    recs = W.extract_html_text(W.warc_records(W.synth_warc(t["documents"])))
+    recs = W.synth_extract_html_text(t["documents"])
     return recs.select(
         F.col("source").cast("long").alias("doc_id"),
         F.col("target_uri").alias("url"),
@@ -1819,17 +1825,14 @@ def source_warc_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     paragraph + (skipped) style/script, so the oracle restates the
     block census (title is always boilerplate at 2 words, the paragraph
     is content iff its word count clears the gate) and the main_text
-    round trip. Three chained Arrow map stages, zero shuffle; the body
-    bytes never survive the extraction stage."""
+    round trip. r12: ONE fused Arrow map stage
+    (``synth_extract_main_content`` — was three chained stages shipping
+    the payload across the JVM↔Python boundary between them, guide §4),
+    zero shuffle; the body bytes never leave the Python worker."""
     from modware_loader_spark.sources import warc as W
 
     t = load_tables(spark, sf_dir)
-    recs = W.warc_records(W.synth_warc(t["documents"]))
-    pages = recs.select(
-        F.col("source").cast("long").alias("doc_id"),
-        F.decode(F.col("body"), "UTF-8").alias("html"),
-    )
-    out = W.extract_main_content(pages, "html", min_words=10)
+    out = W.synth_extract_main_content(t["documents"], min_words=10)
     return out.select(
         "doc_id",
         F.col("n_blocks").cast("long").alias("n_blocks"),

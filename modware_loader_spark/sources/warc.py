@@ -510,6 +510,46 @@ def read_warc(spark, path_glob: str) -> DataFrame:
     )
 
 
+def _synth_record_bytes(mid: int, text: str | None, gzip_records: bool) -> bytes:
+    """One deterministic WARC/1.0 response record (WARC named fields,
+    embedded HTTP/1.1 envelope, html-escaped body; gzip member with
+    fixed mtime when ``gzip_records``) — shared by ``synth_warc`` and
+    the fused synth→parse→extract operators below, so fusion cannot
+    drift from the staged chain byte-wise."""
+    import gzip as _gzip
+
+    body_html = (
+        "<html><head><title>doc "
+        + str(mid)
+        + '</title><style>p{color:black}</style></head><body><p>'
+        + _html.escape(text or "")
+        + "</p><script>var x=1;</script></body></html>"
+    ).encode("utf-8")
+    http = (
+        b"HTTP/1.1 200 OK" + CRLF
+        + b"Content-Type: text/html" + CRLF
+        + b"Content-Length: " + str(len(body_html)).encode() + CRLF
+        + CRLF + body_html
+    )
+    uri = f"https://crawl.example.com/doc/{mid}"
+    rec = (
+        b"WARC/1.0" + CRLF
+        + b"WARC-Type: response" + CRLF
+        + ("WARC-Target-URI: " + uri).encode() + CRLF
+        + b"WARC-Record-ID: <urn:uuid:" + str(mid).encode() + b">" + CRLF
+        + b"Content-Type: application/http;msgtype=response" + CRLF
+        + b"Content-Length: " + str(len(http)).encode() + CRLF
+        + CRLF + http + CRLF + CRLF
+    )
+    if gzip_records:
+        buf = io.BytesIO()
+        # fixed mtime: byte-deterministic output
+        with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(rec)
+        rec = buf.getvalue()
+    return rec
+
+
 def synth_warc(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -523,46 +563,14 @@ def synth_warc(
     exercises the true record walk + gzip + HTML extraction while an
     external SQL engine can restate the construction (URI arithmetic,
     escaped body length) without a WARC stack."""
-    import gzip as _gzip
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, payloads = [], []
             for mid, text in zip(pdf[id_col].astype("int64"), pdf[text_col]):
                 mid = int(mid)
-                body_html = (
-                    "<html><head><title>doc "
-                    + str(mid)
-                    + '</title><style>p{color:black}</style></head><body><p>'
-                    + _html.escape(text or "")
-                    + "</p><script>var x=1;</script></body></html>"
-                ).encode("utf-8")
-                http = (
-                    b"HTTP/1.1 200 OK" + CRLF
-                    + b"Content-Type: text/html" + CRLF
-                    + b"Content-Length: " + str(len(body_html)).encode() + CRLF
-                    + CRLF + body_html
-                )
-                uri = f"https://crawl.example.com/doc/{mid}"
-                rec = (
-                    b"WARC/1.0" + CRLF
-                    + b"WARC-Type: response" + CRLF
-                    + ("WARC-Target-URI: " + uri).encode() + CRLF
-                    + b"WARC-Record-ID: <urn:uuid:" + str(mid).encode() + b">" + CRLF
-                    + b"Content-Type: application/http;msgtype=response" + CRLF
-                    + b"Content-Length: " + str(len(http)).encode() + CRLF
-                    + CRLF + http + CRLF + CRLF
-                )
-                if gzip_records:
-                    buf = io.BytesIO()
-                    # fixed mtime: byte-deterministic output
-                    with _gzip.GzipFile(
-                        fileobj=buf, mode="wb", mtime=0
-                    ) as gz:
-                        gz.write(rec)
-                    rec = buf.getvalue()
                 ids.append(mid)
-                payloads.append(rec)
+                payloads.append(_synth_record_bytes(mid, text, gzip_records))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     from modware_loader_spark.operators.ivf import ensure_min_partitions
@@ -575,6 +583,109 @@ def synth_warc(
                 T.StructField("payload", T.BinaryType(), True),
             ]
         ),
+    )
+
+
+def synth_extract_html_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gzip_records: bool = True,
+) -> DataFrame:
+    """Fused ``synth_warc → warc_records → extract_html_text`` for the
+    driver-verified synthesis path: the same three functions composed
+    inside ONE Arrow stage (guide §4: each ``mapInPandas`` is a separate
+    JVM↔Python crossing with an Arrow transpose+serialization on each
+    side, and the staged chain additionally ships every gzip'd WARC
+    payload Python→JVM→Python just to hand it to the next Python stage).
+    Per row: build the record bytes (``_synth_record_bytes`` — byte-
+    identical to ``synth_warc``), walk them back through the REAL record
+    parser (``parse_warc_records``: gzip member split, header parse,
+    HTTP envelope strip), extract text with the stdlib HTML parser.
+    Output schema/rows identical to the staged chain by construction
+    (same functions, same order); payload bytes never cross the
+    boundary. The staged operators remain the reusable building blocks —
+    production crawls enter via ``read_warc`` where the payload is READ
+    in the JVM and must cross once anyway."""
+    schema = T.StructType(
+        [f for f in WARC_SCHEMA.fields if f.name != "body"]
+        + [T.StructField("text", T.StringType(), True)]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {f.name: [] for f in schema.fields}
+            for mid, text in zip(pdf[id_col].astype("int64"), pdf[text_col]):
+                mid = int(mid)
+                rec = _synth_record_bytes(mid, text, gzip_records)
+                for i, r in enumerate(parse_warc_records(rec)):
+                    rows["source"].append(str(mid))
+                    rows["record_no"].append(i)
+                    for k in ("target_uri", "warc_type", "http_status",
+                              "content_length"):
+                        rows[k].append(r[k])
+                    body = r["body"]
+                    rows["text"].append(
+                        html_to_text(bytes(body).decode("utf-8", "replace"))
+                        if body is not None
+                        else None
+                    )
+            yield pd.DataFrame(rows)
+
+    from modware_loader_spark.operators.ivf import ensure_min_partitions
+
+    return ensure_min_partitions(df.select(id_col, text_col)).mapInPandas(
+        batches, schema=schema
+    )
+
+
+def synth_extract_main_content(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 10,
+    gzip_records: bool = True,
+) -> DataFrame:
+    """Fused ``synth_warc → warc_records → decode → extract_main_content``
+    (see ``synth_extract_html_text`` for the boundary arithmetic): one
+    Arrow stage running the record round trip plus the densitometric
+    block classifier (``main_content``). Output identical to the staged
+    chain by construction; the JVM ``decode(body, 'UTF-8')`` step is
+    ``bytes.decode('utf-8', 'replace')`` (both substitute U+FFFD)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("n_blocks", T.IntegerType(), False),
+            T.StructField("n_content_blocks", T.IntegerType(), False),
+            T.StructField("main_text", T.StringType(), False),
+            T.StructField("main_words", T.IntegerType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {f.name: [] for f in schema.fields}
+            for mid, text in zip(pdf[id_col].astype("int64"), pdf[text_col]):
+                mid = int(mid)
+                rec = _synth_record_bytes(mid, text, gzip_records)
+                for r in parse_warc_records(rec):
+                    body = r["body"]
+                    html = (
+                        bytes(body).decode("utf-8", "replace")
+                        if body is not None
+                        else ""
+                    )
+                    mc = main_content(html, min_words)
+                    rows["doc_id"].append(mid)
+                    for k in ("n_blocks", "n_content_blocks", "main_text",
+                              "main_words"):
+                        rows[k].append(mc[k])
+            yield pd.DataFrame(rows)
+
+    from modware_loader_spark.operators.ivf import ensure_min_partitions
+
+    return ensure_min_partitions(df.select(id_col, text_col)).mapInPandas(
+        batches, schema=schema
     )
 
 

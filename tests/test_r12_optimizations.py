@@ -102,6 +102,89 @@ def test_bm25_sentinel_explode_equals_token_filter(spark):
     )
 
 
+def test_sign_band_hashes_sql_form_matches_column_form(spark):
+    """sign_band_hashes renders ONE parsed SQL expression when given a
+    column name (r12: the per-term ``F.when`` construction measured
+    ~1.1 s of driver time per call at the registered 12x8 config); pin
+    value- and type-identity against the original Column-input form
+    across the registered configs. (Out-of-range element_at throws under
+    ANSI mode in BOTH forms — verified identical SQLSTATE 22003 — so the
+    contract domain, vectors covering the banded range, is what's
+    pinned.)"""
+    from modware_loader_spark.operators.similarity import sign_band_hashes
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -0.5, 0.0, 1.0, -1.0, 2.0, 0.1, -0.1] * 8),
+            (2, [-1.0] * 64),
+            (3, [1.0] * 64),
+            (4, [float((i * 7) % 5 - 2) for i in range(64)]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    for bands, bits, stride in [(12, 8, 5), (12, 2, 5), (8, 3, 8)]:
+        out = df.select(
+            "vec_id",
+            sign_band_hashes("embedding", bands, bits, stride).alias("new"),
+            sign_band_hashes(F.col("embedding"), bands, bits, stride).alias(
+                "old"
+            ),
+        )
+        assert (
+            out.schema["new"].dataType == out.schema["old"].dataType
+        ), (bands, bits, stride)
+        rows = out.collect()
+        assert all(list(r["new"]) == list(r["old"]) for r in rows), (
+            bands,
+            bits,
+            stride,
+        )
+
+
+def test_fused_warc_synth_chains_match_staged(spark):
+    """The fused one-Arrow-stage synth→parse→extract operators must
+    produce row-identical output to the staged three-stage chains they
+    replace in source_warc_html_text / source_warc_main_content."""
+    from modware_loader_spark.sources import warc as W
+
+    docs = spark.createDataFrame(
+        [
+            (0, "short"),
+            (7, "  spaced   out\ttabs\nand newlines  "),
+            (11, "a <b>bold</b> & \"quoted\" 'text' with entities"),
+            (12, None),
+            (13, ""),
+            (99, " ".join(f"w{i}" for i in range(25))),
+        ],
+        "doc_id long, text string",
+    )
+    staged_html = sorted(
+        tuple(r)
+        for r in W.extract_html_text(
+            W.warc_records(W.synth_warc(docs))
+        ).collect()
+    )
+    fused_html = sorted(
+        tuple(r) for r in W.synth_extract_html_text(docs).collect()
+    )
+    assert staged_html == fused_html
+
+    recs = W.warc_records(W.synth_warc(docs))
+    pages = recs.select(
+        F.col("source").cast("long").alias("doc_id"),
+        F.decode(F.col("body"), "UTF-8").alias("html"),
+    )
+    staged_mc = sorted(
+        tuple(r)
+        for r in W.extract_main_content(pages, "html", min_words=10).collect()
+    )
+    fused_mc = sorted(
+        tuple(r)
+        for r in W.synth_extract_main_content(docs, min_words=10).collect()
+    )
+    assert staged_mc == fused_mc
+
+
 def test_pagerank_persisted_edges_match_inline_recompute(spark):
     """pagerank_micros now persists outdeg/edges⋈outdeg; pin its ranks
     against a hand-unrolled single iteration computed without any
