@@ -145,9 +145,13 @@ def sign_band_hashes(vec: Column | str, bands: int, bits: int, stride: int) -> C
     the registered 12-band × 8-bit config (r12, the ``lit_array`` class
     of plan-construction cost) vs 0.01 s for the parsed form; the
     resulting expression tree (and physical plan) is identical. The
-    Column form keeps the original construction for expression inputs."""
+    Column form keeps the original construction for expression inputs;
+    a dotted name (struct-field reference — `F.col` would resolve it,
+    a backtick-quoted SQL identifier would not) takes it too."""
+    if isinstance(vec, str) and "." in vec:
+        vec = F.col(vec)
     if isinstance(vec, str):
-        ref = f"`{vec}`"
+        ref = "`" + vec.replace("`", "``") + "`"
         bands_sql = []
         for b in range(bands):
             terms = ["CAST(0 AS BIGINT)"]

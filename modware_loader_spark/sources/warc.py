@@ -34,6 +34,7 @@ crawls); extension scope mandated by the north-star baseline
 
 from __future__ import annotations
 
+import gzip as _gzip
 import html as _html
 import io
 import re
@@ -516,8 +517,6 @@ def _synth_record_bytes(mid: int, text: str | None, gzip_records: bool) -> bytes
     fixed mtime when ``gzip_records``) — shared by ``synth_warc`` and
     the fused synth→parse→extract operators below, so fusion cannot
     drift from the staged chain byte-wise."""
-    import gzip as _gzip
-
     body_html = (
         "<html><head><title>doc "
         + str(mid)
@@ -586,6 +585,38 @@ def synth_warc(
     )
 
 
+def _fused_synth_stage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gzip_records: bool,
+    schema: T.StructType,
+    emit,
+) -> DataFrame:
+    """Shared scaffold for the fused synth→parse→extract operators: per
+    input row, build the record bytes (``_synth_record_bytes`` —
+    byte-identical to ``synth_warc``), walk them back through the REAL
+    record parser (``parse_warc_records``: gzip member split, header
+    parse, HTTP envelope strip), and let ``emit(rows, mid, record_no,
+    record)`` append the operator-specific output columns."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {f.name: [] for f in schema.fields}
+            for mid, text in zip(pdf[id_col].astype("int64"), pdf[text_col]):
+                mid = int(mid)
+                rec = _synth_record_bytes(mid, text, gzip_records)
+                for i, r in enumerate(parse_warc_records(rec)):
+                    emit(rows, mid, i, r)
+            yield pd.DataFrame(rows)
+
+    from modware_loader_spark.operators.ivf import ensure_min_partitions
+
+    return ensure_min_partitions(df.select(id_col, text_col)).mapInPandas(
+        batches, schema=schema
+    )
+
+
 def synth_extract_html_text(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -598,10 +629,6 @@ def synth_extract_html_text(
     JVM↔Python crossing with an Arrow transpose+serialization on each
     side, and the staged chain additionally ships every gzip'd WARC
     payload Python→JVM→Python just to hand it to the next Python stage).
-    Per row: build the record bytes (``_synth_record_bytes`` — byte-
-    identical to ``synth_warc``), walk them back through the REAL record
-    parser (``parse_warc_records``: gzip member split, header parse,
-    HTTP envelope strip), extract text with the stdlib HTML parser.
     Output schema/rows identical to the staged chain by construction
     (same functions, same order); payload bytes never cross the
     boundary. The staged operators remain the reusable building blocks —
@@ -612,31 +639,19 @@ def synth_extract_html_text(
         + [T.StructField("text", T.StringType(), True)]
     )
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows: dict[str, list] = {f.name: [] for f in schema.fields}
-            for mid, text in zip(pdf[id_col].astype("int64"), pdf[text_col]):
-                mid = int(mid)
-                rec = _synth_record_bytes(mid, text, gzip_records)
-                for i, r in enumerate(parse_warc_records(rec)):
-                    rows["source"].append(str(mid))
-                    rows["record_no"].append(i)
-                    for k in ("target_uri", "warc_type", "http_status",
-                              "content_length"):
-                        rows[k].append(r[k])
-                    body = r["body"]
-                    rows["text"].append(
-                        html_to_text(bytes(body).decode("utf-8", "replace"))
-                        if body is not None
-                        else None
-                    )
-            yield pd.DataFrame(rows)
+    def emit(rows, mid, record_no, r):
+        rows["source"].append(str(mid))
+        rows["record_no"].append(record_no)
+        for k in ("target_uri", "warc_type", "http_status", "content_length"):
+            rows[k].append(r[k])
+        body = r["body"]
+        rows["text"].append(
+            html_to_text(bytes(body).decode("utf-8", "replace"))
+            if body is not None
+            else None
+        )
 
-    from modware_loader_spark.operators.ivf import ensure_min_partitions
-
-    return ensure_min_partitions(df.select(id_col, text_col)).mapInPandas(
-        batches, schema=schema
-    )
+    return _fused_synth_stage(df, id_col, text_col, gzip_records, schema, emit)
 
 
 def synth_extract_main_content(
@@ -662,31 +677,17 @@ def synth_extract_main_content(
         ]
     )
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows: dict[str, list] = {f.name: [] for f in schema.fields}
-            for mid, text in zip(pdf[id_col].astype("int64"), pdf[text_col]):
-                mid = int(mid)
-                rec = _synth_record_bytes(mid, text, gzip_records)
-                for r in parse_warc_records(rec):
-                    body = r["body"]
-                    html = (
-                        bytes(body).decode("utf-8", "replace")
-                        if body is not None
-                        else ""
-                    )
-                    mc = main_content(html, min_words)
-                    rows["doc_id"].append(mid)
-                    for k in ("n_blocks", "n_content_blocks", "main_text",
-                              "main_words"):
-                        rows[k].append(mc[k])
-            yield pd.DataFrame(rows)
+    def emit(rows, mid, record_no, r):
+        body = r["body"]
+        html = (
+            bytes(body).decode("utf-8", "replace") if body is not None else ""
+        )
+        mc = main_content(html, min_words)
+        rows["doc_id"].append(mid)
+        for k in ("n_blocks", "n_content_blocks", "main_text", "main_words"):
+            rows[k].append(mc[k])
 
-    from modware_loader_spark.operators.ivf import ensure_min_partitions
-
-    return ensure_min_partitions(df.select(id_col, text_col)).mapInPandas(
-        batches, schema=schema
-    )
+    return _fused_synth_stage(df, id_col, text_col, gzip_records, schema, emit)
 
 
 def synth_warc_linked(
@@ -707,7 +708,6 @@ def synth_warc_linked(
     bare ``<a>``). Deterministic bytes (fixed gzip mtime) so the fixture
     files are reproducible and an external SQL engine can restate the
     whole construction arithmetically."""
-    import gzip as _gzip
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
