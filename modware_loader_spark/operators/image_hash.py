@@ -442,8 +442,16 @@ def dhash_near_pairs(
     # ~8x. The band table is the skinny proxy (4 rows of id + 2 longs +
     # 2 ints per image — the "shuffle keys, not payloads" shape), so
     # persisting it is exactly the §8 materialization point: decode runs
-    # once, everything downstream reads 20-byte rows.
-    banded = banded.persist()
+    # once, everything downstream reads 20-byte rows. Persist contract
+    # (r13): the returned pair frame reads this cache lazily, so there
+    # is no release point inside the operator — the caller (the bench
+    # sweep; a long-lived session's own cadence) releases it after
+    # consuming the pairs. Explicit MEMORY_AND_DISK: the band table is
+    # the skinny proxy, but at 100 TB it still spills rather than
+    # evicting mid-join.
+    from pyspark.storagelevel import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     hot = (
         banded.groupBy("chunk_no", "chunk_val")
         .agg(F.count(F.lit(1)).alias("__n"))

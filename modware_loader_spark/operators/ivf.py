@@ -329,9 +329,15 @@ def ivf_train(
         )
     if not return_assignment:
         return centroids
+    # Persist contract (r13): the assignment is returned for reuse by
+    # query batches — no in-operator release point; caller/bench sweep
+    # releases. MEMORY_AND_DISK: a 100 TB assignment spills, never
+    # evicts mid-probe.
+    from pyspark.storagelevel import StorageLevel
+
     assigned = _nearest_cell(
         vectors, centroids, id_col, vec_col, cents=cents
-    ).persist()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     return centroids, assigned
 
 
@@ -340,9 +346,16 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: list | None = None,
 ) -> DataFrame:
-    """Corpus rows + their ``cell`` id (map-side vs broadcast centroids)."""
-    return _nearest_cell(df.select(id_col, vec_col), centroids, id_col, vec_col)
+    """Corpus rows + their ``cell`` id (map-side vs broadcast centroids).
+
+    ``cents``: the already-collected literal list (``_centroid_literals``
+    order) — callers that hold the driver-side centroid artifact skip
+    the collect job (r13; same contract as ``_nearest_cell``)."""
+    return _nearest_cell(
+        df.select(id_col, vec_col), centroids, id_col, vec_col, cents=cents
+    )
 
 
 def _py_sq_l2_6dp(a: list, b: list) -> float:

@@ -12,9 +12,10 @@ Spark shape (all built-ins, whole-stage codegen):
   query-term set — the filter sits *before* the groupBy, so the shuffle
   carries matching postings only, never the full corpus posting list;
 - corpus stats (N, avgdl) and per-term document frequency are at most
-  ``|terms| + 1`` rows — computed eagerly in ONE sentinel-row pass and
-  injected as literals, so the lazy postings lineage is the only other
-  corpus scan (two scans per query total);
+  ``|terms| + 1`` rows — ONE sentinel-row aggregation over the cached
+  exploded frame, attached back as broadcast joins (no driver collect
+  in the query path, no per-term re-plan; r13), so the corpus is
+  tokenized exactly once per query;
 - final top-k is ``orderBy(...).limit(k)`` — a TakeOrdered over
   per-partition heads, NOT a global row_number window, so no
   single-partition exchange at 100 TB; the k-row head is then
@@ -35,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from modware_loader_spark.operators.ivf import ensure_min_partitions
 from modware_loader_spark.operators.text import tokens
@@ -142,31 +144,37 @@ def bm25_topk(
     # The exploded sentinel+matches frame is the ONLY corpus derivative
     # either consumer needs: the NULL rows carry (n_docs, avgdl), the
     # term rows carry both df (stats) and tf (postings). Persisting it
-    # (skinny: id + int + short token) makes the stats collect the
-    # cache-filling pass and the postings pipeline a cache read — ONE
-    # tokenize+explode scan per query instead of two (r12, guide
-    # §2.3/§5; the round-7 shape was six scans, the r11 shape two).
+    # (skinny: id + int + short token; explicit MEMORY_AND_DISK so the
+    # at-scale eviction behaviour is chosen, not defaulted) means the
+    # stats branch fills the cache and the postings pipeline reads it —
+    # ONE tokenize+explode scan per query (r12, guide §2.3/§5; the
+    # round-7 shape was six scans, the r11 shape two). Released below
+    # once the k-row head has been materialized.
     ex = dl.select(
         "doc_id",
         "dl",
         F.explode(sentinel_plus_matches).alias("tok"),
-    ).persist()
-    info = (
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Corpus stats (N, avgdl — the NULL-sentinel group) and per-term df
+    # attach as BROADCAST JOINS of the tiny aggregate (<= |terms|+1
+    # rows) instead of the r12 driver collect + literal CASE chain
+    # (r13, guide §3/§5: no eager collect in the query path, no
+    # per-term-set re-plan; the arithmetic below applies the SAME ops
+    # to the SAME long/double values, so scores are bit-identical —
+    # pinned by tests/test_r13_optimizations.py).
+    stats = (
         ex.select("tok", "doc_id", F.col("dl").cast("double").alias("dl"))
         .groupBy("tok")
         .agg(
             F.countDistinct("doc_id").alias("df"),
             F.avg("dl").alias("avgdl"),
         )
-        .collect()
     )
-    n_docs, avgdl, dfs = 0, 1.0, {}
-    for r in info:
-        if r["tok"] is None:
-            n_docs = r["df"]
-            avgdl = r["avgdl"] if r["avgdl"] is not None else 1.0
-        else:
-            dfs[r["tok"]] = r["df"]
+    nstats = stats.filter(F.col("tok").isNull()).select(
+        F.col("df").alias("__n_docs"),
+        F.coalesce(F.col("avgdl"), F.lit(1.0)).alias("__avgdl"),
+    )
+    dfreq = stats.filter(F.col("tok").isNotNull()).select("tok", "df")
     # identical multiset to exploding __toks and filtering isin(terms):
     # the sentinel array keeps every matching occurrence and adds only
     # the one NULL row per doc dropped here.
@@ -175,22 +183,14 @@ def bm25_topk(
         .groupBy("doc_id", "dl", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    # df per token as a literal CASE chain (absent terms have no
-    # postings rows, so only observed tokens need an arm); idf stays a
-    # JVM-side expression so the ln arithmetic is bit-identical to the
-    # round-7 broadcast-join shape.
-    df_lit = F.lit(None).cast("long")
-    for t, d in dfs.items():
-        df_lit = F.when(F.col("tok") == F.lit(t), F.lit(d).cast("long")).otherwise(
-            df_lit
-        )
     scored = (
-        postings.withColumn("df", df_lit)
+        postings.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(nstats))
         .withColumn(
             "idf",
             F.log(
                 F.lit(1.0)
-                + (F.lit(n_docs).cast("long") - F.col("df") + F.lit(0.5))
+                + (F.col("__n_docs") - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5))
             ),
         )
@@ -203,7 +203,7 @@ def bm25_topk(
                 + F.lit(k1)
                 * (
                     F.lit(1.0 - b)
-                    + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+                    + F.lit(b) * F.col("dl").cast("double") / F.col("__avgdl")
                 )
             ),
         )
@@ -226,8 +226,14 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(k)
     )
-    # rank over the k survivors only, windowless (see _rank_head)
-    return _rank_head(ranked, "score")
+    # rank over the k survivors only, windowless (see _rank_head);
+    # _rank_head materializes the head, which is the one action that
+    # consumes the cached exploded frame — release it immediately after
+    # (r13, VERDICT item 7: operator-internal persists must not outlive
+    # the operator when a natural release point exists).
+    out = _rank_head(ranked, "score")
+    ex.unpersist()
+    return out
 
 
 def rrf_fuse(

@@ -237,8 +237,14 @@ def semantic_incremental_flags(
         F.col("__nrm").alias("__na"), "cell", F.lit(1).alias("__hist"),
     )
     # the batch side feeds BOTH pair legs (as candidate and as partner);
-    # persist so the batch argmin/norm pass runs once, not twice
-    bsrc = assigned_batch.withColumn("__nrm", norm(F.col(vec_col))).persist()
+    # persist so the batch argmin/norm pass runs once, not twice.
+    # Persist contract (r13): read lazily by the returned verdict frame
+    # — no in-operator release point; caller/bench sweep releases.
+    from pyspark.storagelevel import StorageLevel
+
+    bsrc = assigned_batch.withColumn("__nrm", norm(F.col(vec_col))).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     b_as_a = bsrc.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
         F.col("__nrm").alias("__na"), "cell", F.lit(0).alias("__hist"),

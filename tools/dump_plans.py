@@ -1,6 +1,7 @@
-"""Dump .explain("formatted") for named queries to plans/r12/<q>_<tag>.txt.
+"""Dump .explain("formatted") for named queries to plans/<round>/<q>_<tag>.txt.
 
 Usage: python tools/dump_plans.py <tag> <query> [query ...]
+Round dir defaults to r13; override with SPARK_GRAFT_PLANS_DIR.
 """
 
 from __future__ import annotations
@@ -13,8 +14,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from modware_loader_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+OUT_DIR = os.environ.get("SPARK_GRAFT_PLANS_DIR") or os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
 )
 
 
