@@ -82,7 +82,17 @@ def contamination(
         .select("gram")
         .distinct()
     )
-    doc_grams = ngram_inventory(documents, text_col, id_col, n)
+    # The corpus-side shingle+probe is a pure map stage and inherits the
+    # source's split count — one local parquet file serialized the whole
+    # n-gram harvest onto one core (r13 drill: 9 tasks, flat 8-vs-32).
+    # Guarded rebalance (the r12 ensure_min_partitions pattern: shuffle
+    # only when actual splits < cores, so a production corpus with real
+    # split counts never pays it), projected to the two columns the
+    # inventory reads before the exchange (guide §2.3).
+    from modware_loader_spark.operators.ivf import ensure_min_partitions
+
+    slim = documents.select(F.col(id_col), F.col(text_col))
+    doc_grams = ngram_inventory(ensure_min_partitions(slim), text_col, id_col, n)
     hits = doc_grams.join(F.broadcast(bench_grams), "gram", "inner")
     return hits.groupBy(id_col).agg(
         F.count("*").alias("n_hit_grams"),

@@ -279,6 +279,18 @@ def simhash_near_pairs(
         F.col("simhash"),
         F.posexplode(F.array(*chunk_exprs)),
     ).withColumnsRenamed({"pos": "chunk_id", "col": "chunk_val"})
+    # Pin the chunk table so the fingerprint subtree (an O(tokens × bits)
+    # arithmetic fold over the full corpus when fed by
+    # simhash_fingerprints) runs ONCE, not once per self-join side — the
+    # same lazy-localCheckpoint pinning as band_candidate_pairs /
+    # lsh_banded_topk's self-join shape (r13; guide §5 "persist exactly
+    # the reused intermediate"). Lazy: materializes with the first
+    # action, so nothing runs at plan-construction time; blocks are not
+    # recomputable on executor loss, acceptable because the chunk table
+    # is cheap to rebuild by re-running the query. The pinned frame is
+    # (id, long, int, long) per chunk — corpus-reduced, far narrower
+    # than the documents it derives from.
+    chunks = chunks.localCheckpoint(eager=False)
     a = chunks.select(
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"),
         "chunk_id", "chunk_val",

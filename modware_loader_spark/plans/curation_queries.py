@@ -2487,6 +2487,14 @@ def pipeline_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             with open(os.path.join(d, f"part-{fno:05d}.warc.gz"), "wb") as fh:
                 fh.write(b"".join(p for _, p in chunk))
         _CRAWL_FIXTURE_DIRS[fkey] = d
+    # Persist contract (r13): consumed eagerly by the edge/node
+    # checkpoints during build AND lazily by the main-content branch of
+    # the returned frame — no in-query release point; the bench sweep /
+    # caller releases. Explicit MEMORY_AND_DISK (at 100 TB the
+    # extracted-pages frame would be STAGED as parquet instead — see
+    # the docstring).
+    from pyspark.storagelevel import StorageLevel
+
     pages = (
         W.read_warc(spark, os.path.join(d, "*.warc.gz"))
         .select(
@@ -2496,7 +2504,7 @@ def pipeline_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("target_uri").alias("url"),
             F.decode(F.col("body"), "UTF-8").alias("html"),
         )
-        .persist()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     mc = W.extract_main_content(pages, "html", min_words=10)
     edges = G.host_link_edges(W.extract_links(pages)).localCheckpoint(eager=True)

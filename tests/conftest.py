@@ -1,5 +1,16 @@
 from __future__ import annotations
 
+import os
+
+# Tiny-fixture tuning for the TEST session only (r13): every test runs
+# on KB-scale data where per-task dispatch dominates, so fewer shuffle
+# partitions cut the suite's wall clock ~25% (measured on
+# test_ontology_load: 4m36s -> 3m25s) without changing any result or
+# plan SHAPE (node counts are width-independent; no test pins a
+# partition count). Real deployments size this via the same env var;
+# bench.py does not inherit this default (separate process, env unset).
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "4")
+
 import pytest
 
 from modware_loader_spark.session import get_spark

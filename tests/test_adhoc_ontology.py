@@ -5,6 +5,8 @@ flip-only updates, include_metadata child sets, skip-if-unresolved edges.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -60,6 +62,7 @@ def test_adhoc_load_fresh(spark):
     assert edge.type_id == _term(onto, "part of").cvterm_id
 
 
+@pytest.mark.slowlane
 def test_adhoc_flip_only_update(spark):
     onto = ChadoOntologyLoader(spark)
     adhoc_load(onto, MINI)
@@ -77,6 +80,7 @@ def test_adhoc_flip_only_update(spark):
     assert _term(onto, "beta").definition == "no longer obsolete"
 
 
+@pytest.mark.slowlane
 def test_adhoc_idempotent_no_flip(spark):
     onto = ChadoOntologyLoader(spark)
     adhoc_load(onto, MINI)
@@ -88,6 +92,7 @@ def test_adhoc_idempotent_no_flip(spark):
     assert onto.tables["cvterm"].count() == n_terms
 
 
+@pytest.mark.slowlane
 def test_adhoc_ro_typedefs(spark):
     onto = ChadoOntologyLoader(spark)
     counts = adhoc_load(onto, "/root/reference/t/test_data/obo/ro.obo")

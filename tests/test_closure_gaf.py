@@ -23,6 +23,7 @@ def data_dir():
     return DATA
 
 
+@pytest.mark.slowlane
 def test_closure_load_and_refresh(spark, data_dir):
     onto = ChadoOntologyLoader(spark)
     onto.load_file(os.path.join(data_dir, "obo", "eco_v2.00.obo"))

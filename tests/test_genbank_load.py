@@ -8,6 +8,8 @@ Golden counts derived from ``tests/fixtures/mini.genbank`` (2 genes, one
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -34,6 +36,7 @@ def test_gb2chado_golden_counts(spark):
     assert counts["new_feature_dbxref"] == 2
 
 
+@pytest.mark.slowlane
 def test_gb2chado_rows_and_residues(spark):
     ldr = GenBankChadoLoader(spark)
     ldr.load_file(FIX)
@@ -88,6 +91,7 @@ def test_gb2chado_rows_and_residues(spark):
     assert {"nuclear_sequence", "product", "protein_id"} <= prop_names
 
 
+@pytest.mark.slowlane
 def test_gb2chado_idempotent_reload(spark):
     ldr = GenBankChadoLoader(spark)
     ldr.load_file(FIX)
@@ -98,6 +102,7 @@ def test_gb2chado_idempotent_reload(spark):
     assert ldr.tables["feature"].count() == n_feat
 
 
+@pytest.mark.slowlane
 def test_gb2chado_plasmid_scaffold_only(spark):
     """The reference plasmid fixture has CDS but no gene features — the
     canonical dispatch loads only the scaffold (FeatureStack never opens,

@@ -78,6 +78,7 @@ def _derby(spark, tmp_path, name):
     )
 
 
+@pytest.mark.slowlane
 def test_gff3tochado_end_to_end_over_jdbc(spark, tmp_path):
     import os
 
@@ -123,6 +124,7 @@ def test_gff3tochado_end_to_end_over_jdbc(spark, tmp_path):
     )
 
 
+@pytest.mark.slowlane
 def test_obo2chado_end_to_end_over_jdbc(spark, tmp_path):
     import os
 

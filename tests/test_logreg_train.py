@@ -5,6 +5,8 @@ full unrolled chain is covered by test_oracle_parity.py)."""
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 import math
 
@@ -74,6 +76,7 @@ _texts = st.lists(
 
 @settings(**_SETTINGS)
 @given(_texts)
+@pytest.mark.slowlane
 def test_train_matches_naive_model(spark, corpus):
     rows = [
         (i, " ".join(words), y) for i, (words, y) in enumerate(corpus)

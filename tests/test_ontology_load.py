@@ -43,6 +43,7 @@ def test_eco_load_golden_counts(spark, obo_dir):
     assert counts["new_cvterms"] == 298  # 297 terms + used_in typedef
 
 
+@pytest.mark.slowlane
 def test_eco_v2_then_v1_update(spark, obo_dir):
     # obo2chado-core-update.t: load v2 (268 terms / 1 obsolete), then the
     # newer v1 file as an update (294 / 3) — exercises prune, SCD-1 update
@@ -95,6 +96,7 @@ def test_eco_v2_then_v1_update(spark, obo_dir):
         assert loader.tables[t].count() == before, t
 
 
+@pytest.mark.slowlane
 def test_version_gate_rejects_older_file(spark, obo_dir):
     loader = ChadoOntologyLoader(spark)
     loader.load_file(os.path.join(obo_dir, "eco.obo"))  # date 04:04:2013
@@ -102,6 +104,7 @@ def test_version_gate_rejects_older_file(spark, obo_dir):
         loader.load_file(os.path.join(obo_dir, "eco_v2.00.obo"))  # 25:03:2012
 
 
+@pytest.mark.slowlane
 def test_metadata_stored_and_updated_in_cvprop(spark, obo_dir):
     # obo2chado-metadata-update.t: header metadata lands in cvprop and is
     # updated (not duplicated) by a newer load
@@ -118,6 +121,7 @@ def test_metadata_stored_and_updated_in_cvprop(spark, obo_dir):
     assert n <= 4
 
 
+@pytest.mark.slowlane
 def test_drop_ontology(spark, obo_dir):
     """dropontofromchado: drops a whole cv namespace (cvterms + cascaded
     children + orphan dbxrefs), leaves other namespaces and the cv/cvprop

@@ -229,6 +229,7 @@ _SCAN_BUDGET_OVERRIDES = {
 }
 
 
+@pytest.mark.slowlane
 def test_no_single_partition_exchange_anywhere(spark, sf_dir):
     """Round-4 guard, extended in rounds 7/8: one pass over every
     registered query's physical plan asserting (a) no Exchange

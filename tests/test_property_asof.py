@@ -57,6 +57,7 @@ def _model(left, right, direction, how, tolerance):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(levents=events, revents=events, tol=st.sampled_from([None, 2]))
+@pytest.mark.slowlane
 def test_asof_matches_model(spark, direction, how, levents, revents, tol):
     left_rows = [(k, t, f"e{i}") for i, (k, t) in enumerate(levents)]
     right_rows = [(k, t, i) for i, (k, t) in enumerate(revents)]

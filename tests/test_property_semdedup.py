@@ -8,6 +8,8 @@ test in test_curation.py with randomized shapes."""
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 
 from hypothesis import HealthCheck, given, settings
@@ -27,6 +29,7 @@ _vec = st.lists(
     cap=st.integers(min_value=1, max_value=6),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slowlane
 def test_cell_cap_subset_identity_and_bucket_law(spark, vecs, cap):
     from modware_loader_spark.operators.semdedup import semantic_near_pairs
 

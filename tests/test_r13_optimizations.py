@@ -200,6 +200,34 @@ def test_training_data_e2e_executes_two_corpus_scans(spark):
     assert scans <= 2, f"expected <=2 executed corpus scans, saw {scans}"
 
 
+def test_simhash_near_pairs_single_fingerprint_pass(spark):
+    """The simhash chunk-table pin (r13): the O(tokens x bits)
+    fingerprint fold over the corpus must EXECUTE once (the lazy
+    localCheckpoint materialization), not once per self-join side —
+    one executed parquet scan per invocation, and the pinned form's
+    pairs must equal the oracle-green values."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    _sweep(spark)
+    store = spark._jsparkSession.sharedState().statusStore()
+    lst = store.executionsList()
+    before = {lst.apply(i).executionId() for i in range(lst.size())}
+    rows = qs["dedup_simhash_near_pairs"](spark, SF_SMOKE).collect()
+    assert rows, "expected near pairs on the smoke fixture"
+    assert all(r["hamming"] <= 2 for r in rows)
+    lst = store.executionsList()
+    scans = 0
+    for i in range(lst.size()):
+        ex = lst.apply(i)
+        if ex.executionId() not in before:
+            scans += len(
+                re.findall(r"\(\d+\) Scan parquet", ex.physicalPlanDescription())
+            )
+    _sweep(spark)
+    assert scans <= 1, f"expected <=1 executed corpus scan, saw {scans}"
+
+
 # ------------------------------------------------ persist contract
 
 

@@ -25,6 +25,7 @@ def _strains(spark, rows):
     )
 
 
+@pytest.mark.slowlane
 def test_import_stock_new_and_existing(spark, imp):
     r1 = imp.import_stock(
         _strains(spark, [("DBS0000001", "s1", "D. discoideum", "d1"),
@@ -44,6 +45,7 @@ def test_import_stock_new_and_existing(spark, imp):
     assert imp.tables["stockcollection_stock"].count() == 3
 
 
+@pytest.mark.slowlane
 def test_import_props_rank_and_refresh(spark, imp):
     imp.import_stock(_strains(spark, [("DBS0000001", "s1", "Dd", None)]))
     props = spark.createDataFrame(
@@ -64,6 +66,7 @@ def test_import_props_rank_and_refresh(spark, imp):
     assert imp.tables["stockprop"].count() == 3
 
 
+@pytest.mark.slowlane
 def test_import_inventory_melt(spark, imp):
     imp.import_stock(_strains(spark, [("DBS0000001", "s1", "Dd", None)]))
     # ontology preloaded with only some keys → unknown keys drop
@@ -94,6 +97,7 @@ def test_import_inventory_melt(spark, imp):
     assert r["inventory_props"] == 5
 
 
+@pytest.mark.slowlane
 def test_import_publications_dedup(spark, imp):
     imp.import_stock(_strains(spark, [("DBS0000001", "s1", "Dd", None)]))
     pubs = spark.createDataFrame(
@@ -109,6 +113,7 @@ def test_import_publications_dedup(spark, imp):
     assert imp.tables["stock_pub"].count() == 2
 
 
+@pytest.mark.slowlane
 def test_import_characteristics(spark, imp):
     imp.import_stock(_strains(spark, [("DBS0000001", "s1", "Dd", None)]))
     imp.cvterm_ids("strain_characteristics", create=["axenic", "null mutant"])
@@ -123,6 +128,7 @@ def test_import_characteristics(spark, imp):
     assert pub.uniquename == "23494302"
 
 
+@pytest.mark.slowlane
 def test_genotype_and_phenotype(spark, imp):
     imp.import_stock(
         _strains(spark, [("DBS0000001", "s1", "Dd", None),
@@ -153,6 +159,7 @@ def test_genotype_and_phenotype(spark, imp):
     assert sum(1 for s in stmts if s.pub_id == default_pub.pub_id) == 1
 
 
+@pytest.mark.slowlane
 def test_parent_and_plasmid_links(spark, imp):
     imp.import_stock(
         _strains(spark, [("DBS0000001", "s1", "Dd", None),
@@ -191,6 +198,7 @@ def test_plasmid_inventory_keys():
     assert len(PLASMID_INVENTORY_KEYS) == 5
 
 
+@pytest.mark.slowlane
 def test_plasmid_sequences_and_genes(spark, imp):
     imp.import_stock(
         _strains(spark, [("DBP0000001", "p1", None, None),
